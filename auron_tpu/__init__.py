@@ -1,0 +1,61 @@
+"""auron-tpu: a TPU-native vectorized query-execution engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of Apache Auron
+(the Spark/Flink native-execution accelerator, surveyed in SURVEY.md):
+vectorized filter/projection, hash aggregation (partial/final), sort/top-k,
+broadcast + shuffled hash joins, window functions, and a distributed exchange
+— all over fixed-capacity columnar blocks resident in HBM, compiled from a
+DataFusion-style physical-plan IR into SPMD programs over a `jax.sharding.Mesh`.
+
+Where Auron's data plane is Spark shuffle files + Arrow IPC (reference:
+/root/reference/native-engine/datafusion-ext-plans/src/shuffle/), ours is XLA
+collectives (`all_to_all`, `psum`) over ICI/DCN inside a single jitted program.
+Where Auron spills to disk under memory pressure (auron-memmgr), we size blocks
+to an HBM budget and fall back to multi-pass chunked algorithms.
+
+SQL engines need 64-bit integers and doubles; enable x64 before anything else.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from auron_tpu.config import AuronConf, conf  # noqa: E402
+from auron_tpu.block import Column, TableBlock  # noqa: E402
+from auron_tpu.dtypes import (  # noqa: E402
+    BOOL,
+    DATE32,
+    DECIMAL64,
+    FLOAT32,
+    FLOAT64,
+    INT8,
+    INT16,
+    INT32,
+    INT64,
+    STRING,
+    DataType,
+    Field,
+    Schema,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "AuronConf",
+    "conf",
+    "Column",
+    "TableBlock",
+    "DataType",
+    "Field",
+    "Schema",
+    "BOOL",
+    "INT8",
+    "INT16",
+    "INT32",
+    "INT64",
+    "FLOAT32",
+    "FLOAT64",
+    "DATE32",
+    "DECIMAL64",
+    "STRING",
+]

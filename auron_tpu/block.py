@@ -1,0 +1,299 @@
+"""Fixed-capacity columnar blocks in HBM — the engine's batch format.
+
+Re-designs Auron/Arrow record batches (reference: arrow RecordBatch flowing
+through /root/reference/native-engine/datafusion-ext-plans operators) for XLA's
+static-shape world:
+
+* A ``TableBlock`` is a struct-of-arrays: each column is a dense ``values``
+  array of static shape ``[capacity]`` plus an optional validity bitmap.
+* Instead of Arrow's dynamic row counts, a block carries a boolean ``row_mask``
+  of shape ``[capacity]``: True = live row. Filters just AND into the mask
+  (a selection vector, no data movement — the fastest possible filter on a
+  vector machine); compaction happens only where it pays (exchange, output).
+* Capacities are padded to lane-friendly multiples so every kernel sees
+  aligned static shapes and XLA recompiles only when the capacity *bucket*
+  changes, not per row-count.
+
+Blocks are registered JAX pytrees, so whole query pipelines over them can be
+jitted / shard_mapped directly.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu import config
+from auron_tpu.dtypes import (BOOL, DataType, Field, Schema, STRING,
+                              type_from_name)
+
+
+def round_capacity(n: int, align: Optional[int] = None) -> int:
+    """Round n up to a lane-friendly capacity bucket (power-of-two-ish)."""
+    align = align or config.conf.get(config.CAPACITY_ALIGN)
+    n = max(n, 1)
+    # Bucket to {1, 1.25, 1.5, 1.75} x 2^k to bound recompiles, then align.
+    k = max((n - 1).bit_length() - 2, 0)
+    step = max(1 << k, 1)
+    bucket = ((n + step - 1) // step) * step
+    return ((bucket + align - 1) // align) * align
+
+
+class Column:
+    """One column: dense values [capacity] + optional validity mask.
+
+    ``validity is None`` means "no nulls" (Arrow's null_count==0 fast path).
+    For string columns, ``values`` are int32 dictionary codes; the dictionary
+    itself lives host-side (``dict_values``, a numpy object array), outside
+    the traced pytree so it never enters XLA programs.
+    """
+
+    __slots__ = ("values", "validity", "dtype", "dict_values")
+
+    def __init__(self, values, validity=None, dtype: Optional[DataType] = None,
+                 dict_values: Optional[np.ndarray] = None):
+        self.values = values
+        self.validity = validity
+        if dtype is None:
+            raise ValueError("Column requires a logical dtype")
+        self.dtype = dtype
+        self.dict_values = dict_values
+
+    @property
+    def capacity(self) -> int:
+        return self.values.shape[0]
+
+    def valid_at(self):
+        """Validity as a dense bool array (all-True when validity is None)."""
+        if self.validity is None:
+            return jnp.ones(self.values.shape[0], dtype=jnp.bool_)
+        return self.validity
+
+    def with_values(self, values, validity="_keep") -> "Column":
+        v = self.validity if validity == "_keep" else validity
+        return Column(values, v, self.dtype, self.dict_values)
+
+    @staticmethod
+    def of(values, dtype: DataType, validity=None,
+           dict_values: Optional[np.ndarray] = None) -> "Column":
+        """Fresh column of a given logical type (no inherited dictionary)."""
+        return Column(values, validity, dtype, dict_values)
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        if self.validity is None:
+            return (self.values,), ("no_validity", self.dtype, _DictRef(self.dict_values))
+        return (self.values, self.validity), ("validity", self.dtype, _DictRef(self.dict_values))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        tag, dtype, dict_ref = aux
+        if tag == "no_validity":
+            return cls(children[0], None, dtype, dict_ref.array)
+        return cls(children[0], children[1], dtype, dict_ref.array)
+
+    def __repr__(self):
+        return f"Column({self.dtype!r}, cap={self.values.shape[0]}, " \
+               f"nulls={'y' if self.validity is not None else 'n'})"
+
+
+class _DictRef:
+    """Hashable wrapper so a host-side dictionary can ride in pytree aux data.
+
+    Compares by identity: two jit traces share a cache entry only if they use
+    the very same dictionary object, which is the correct invalidation rule.
+    """
+
+    __slots__ = ("array",)
+
+    def __init__(self, array: Optional[np.ndarray]):
+        self.array = array
+
+    def __hash__(self):
+        return id(self.array)
+
+    def __eq__(self, other):
+        return isinstance(other, _DictRef) and other.array is self.array
+
+
+jax.tree_util.register_pytree_node(
+    Column, Column.tree_flatten, Column.tree_unflatten)
+
+
+class TableBlock:
+    """A batch of rows: named columns + row liveness mask, all [capacity]."""
+
+    __slots__ = ("columns", "row_mask")
+
+    def __init__(self, columns: Dict[str, Column], row_mask):
+        self.columns = dict(columns)
+        self.row_mask = row_mask
+
+    # -- construction -------------------------------------------------------
+    @staticmethod
+    def from_numpy(data: Dict[str, np.ndarray],
+                   dtypes: Optional[Dict[str, DataType]] = None,
+                   capacity: Optional[int] = None,
+                   validity: Optional[Dict[str, np.ndarray]] = None,
+                   dictionaries: Optional[Dict[str, np.ndarray]] = None) -> "TableBlock":
+        """Build a block from host arrays, padding to a capacity bucket."""
+        if not data:
+            raise ValueError("empty block")
+        n = len(next(iter(data.values())))
+        cap = capacity or round_capacity(n)
+        if cap < n:
+            raise ValueError(f"capacity {cap} < rows {n}")
+        cols = {}
+        for name, arr in data.items():
+            arr = np.asarray(arr)
+            if dtypes and name in dtypes:
+                dt = dtypes[name]
+            else:
+                dt = _infer_dtype(arr)
+            padded = np.zeros(cap, dtype=dt.np_dtype)
+            padded[:n] = arr.astype(dt.np_dtype, copy=False)
+            val = None
+            if validity and name in validity and validity[name] is not None:
+                v = np.zeros(cap, dtype=np.bool_)
+                v[:n] = validity[name]
+                val = jnp.asarray(v)
+            dv = dictionaries.get(name) if dictionaries else None
+            cols[name] = Column(jnp.asarray(padded), val, dt, dv)
+        mask = np.zeros(cap, dtype=np.bool_)
+        mask[:n] = True
+        return TableBlock(cols, jnp.asarray(mask))
+
+    @staticmethod
+    def from_pandas(df, dtypes: Optional[Dict[str, DataType]] = None,
+                    capacity: Optional[int] = None) -> "TableBlock":
+        """Build from a pandas DataFrame; strings are dictionary-encoded."""
+        data, vals, dicts, dts = {}, {}, {}, dict(dtypes or {})
+        for name in df.columns:
+            s = df[name]
+            npa = s.to_numpy()
+            isna = s.isna().to_numpy()
+            if npa.dtype == object or str(npa.dtype).startswith(("str", "<U")) \
+                    or (dtypes and name in dtypes and dtypes[name].is_string):
+                # dictionary-encode on host
+                filled = np.where(isna, "", npa.astype(object))
+                uniq, codes = np.unique(filled.astype(str), return_inverse=True)
+                data[name] = codes.astype(np.int32)
+                dicts[name] = uniq
+                dts[name] = STRING
+            elif isna.any():
+                if np.issubdtype(npa.dtype, np.floating):
+                    data[name] = np.nan_to_num(npa, nan=0.0)
+                else:
+                    data[name] = np.where(isna, 0, npa)
+            else:
+                data[name] = npa
+            if isna.any():
+                vals[name] = ~isna
+        return TableBlock.from_numpy(data, dts, capacity, vals, dicts)
+
+    # -- basic accessors ----------------------------------------------------
+    @property
+    def capacity(self) -> int:
+        return self.row_mask.shape[0]
+
+    @property
+    def schema(self) -> Schema:
+        return Schema([Field(n, c.dtype, c.validity is not None)
+                       for n, c in self.columns.items()])
+
+    @property
+    def names(self) -> List[str]:
+        return list(self.columns.keys())
+
+    def num_rows(self):
+        """Traced count of live rows."""
+        return jnp.sum(self.row_mask.astype(jnp.int32))
+
+    def column(self, name: str) -> Column:
+        return self.columns[name]
+
+    def __getitem__(self, name: str) -> Column:
+        return self.columns[name]
+
+    # -- functional updates --------------------------------------------------
+    def with_mask(self, mask) -> "TableBlock":
+        return TableBlock(self.columns, mask)
+
+    def filter_mask(self, keep) -> "TableBlock":
+        """AND a predicate into the row mask (the O(1)-movement filter)."""
+        return TableBlock(self.columns, jnp.logical_and(self.row_mask, keep))
+
+    def with_columns(self, new_cols: Dict[str, Column]) -> "TableBlock":
+        cols = dict(self.columns)
+        cols.update(new_cols)
+        return TableBlock(cols, self.row_mask)
+
+    def project(self, names: Sequence[str]) -> "TableBlock":
+        return TableBlock({n: self.columns[n] for n in names}, self.row_mask)
+
+    def rename(self, mapping: Dict[str, str]) -> "TableBlock":
+        """Schema aliasing at stage seams (RenameColumnsExec parity)."""
+        return TableBlock({mapping.get(n, n): c for n, c in self.columns.items()},
+                          self.row_mask)
+
+    # -- host-side output ---------------------------------------------------
+    def to_pandas(self):
+        """Gather live rows to host, decode dictionaries, return DataFrame.
+
+        Output boundary only (analog of Auron's C2R seam,
+        /root/reference/spark-extension/.../NativeHelper.scala:119-160).
+        """
+        import pandas as pd
+        mask = np.asarray(self.row_mask)
+        out = {}
+        for name, col in self.columns.items():
+            vals = np.asarray(col.values)[mask]
+            if col.dtype.is_string and col.dict_values is not None:
+                decoded = col.dict_values[np.clip(vals, 0, len(col.dict_values) - 1)]
+                s = pd.Series(decoded, dtype=object)
+            elif col.dtype.name == "decimal64":
+                _, scale = col.dtype.params
+                s = pd.Series(vals.astype(np.float64) / (10 ** scale))
+            else:
+                s = pd.Series(vals)
+            if col.validity is not None:
+                nulls = ~np.asarray(col.validity)[mask]
+                s = s.mask(nulls)
+            out[name] = s
+        return pd.DataFrame(out)
+
+    # -- pytree protocol ----------------------------------------------------
+    def tree_flatten(self):
+        names = tuple(self.columns.keys())
+        return (tuple(self.columns[n] for n in names), self.row_mask), names
+
+    @classmethod
+    def tree_unflatten(cls, names, children):
+        cols, mask = children
+        return cls(dict(zip(names, cols)), mask)
+
+    def __repr__(self):
+        cols = ", ".join(f"{n}:{c.dtype!r}" for n, c in self.columns.items())
+        return f"TableBlock(cap={self.capacity}, [{cols}])"
+
+
+jax.tree_util.register_pytree_node(
+    TableBlock,
+    lambda b: b.tree_flatten(),
+    lambda aux, ch: TableBlock.tree_unflatten(aux, ch))
+
+
+def _infer_dtype(arr: np.ndarray) -> DataType:
+    kind = arr.dtype.kind
+    if kind == "b":
+        return BOOL
+    if kind in ("i", "u"):
+        return type_from_name(f"int{arr.dtype.itemsize * 8}")
+    if kind == "f":
+        return type_from_name(f"float{arr.dtype.itemsize * 8}")
+    if kind == "M":  # datetime64 -> date32 days
+        return type_from_name("date32")
+    raise TypeError(f"cannot infer engine dtype for numpy dtype {arr.dtype}")

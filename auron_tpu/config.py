@@ -1,0 +1,209 @@
+"""Typed configuration registry.
+
+Re-designs Auron's layered config system (reference:
+/root/reference/auron-core/src/main/java/org/apache/auron/configuration/ConfigOption.java
+and spark-extension/.../SparkAuronConfiguration.java:42-556 — ~80 typed options
+with defaults, alternative keys and validation, read lazily by the native side
+so there is a single source of truth).
+
+Here the engine is a single Python process, so one registry serves both the
+"driver" (plan compiler) and the "executor" (jitted stages). Options are typed,
+documented, support alt-keys, and can be overridden per-session or via
+environment variables (``AURON_TPU_<KEY>`` with dots replaced by underscores).
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Generic, List, Optional, TypeVar
+
+T = TypeVar("T")
+
+_REGISTRY: Dict[str, "ConfigOption"] = {}
+
+
+@dataclass(frozen=True)
+class ConfigOption(Generic[T]):
+    """A typed config option with a default, docs, and optional alt keys."""
+
+    key: str
+    default: T
+    dtype: type
+    doc: str = ""
+    alt_keys: tuple = ()
+    validator: Optional[Callable[[T], bool]] = None
+
+    def __post_init__(self):
+        if self.key in _REGISTRY:
+            raise ValueError(f"duplicate config key {self.key}")
+        _REGISTRY[self.key] = self
+        for k in self.alt_keys:
+            _REGISTRY[k] = self
+
+
+def _parse(dtype: type, raw: str) -> Any:
+    if dtype is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    return dtype(raw)
+
+
+class AuronConf:
+    """A mutable bag of option overrides on top of the registry defaults."""
+
+    def __init__(self, overrides: Optional[Dict[str, Any]] = None):
+        self._overrides: Dict[str, Any] = dict(overrides or {})
+        self._lock = threading.Lock()
+
+    def get(self, opt: "ConfigOption[T] | str") -> T:
+        if isinstance(opt, str):
+            if opt not in _REGISTRY:
+                raise KeyError(f"unknown config key {opt}")
+            opt = _REGISTRY[opt]
+        for key in (opt.key, *opt.alt_keys):
+            if key in self._overrides:
+                return self._overrides[key]
+            env_key = "AURON_TPU_" + key.replace(".", "_").upper()
+            if env_key in os.environ:
+                return _parse(opt.dtype, os.environ[env_key])
+        return opt.default
+
+    def set(self, opt: "ConfigOption | str", value: Any) -> "AuronConf":
+        key = opt if isinstance(opt, str) else opt.key
+        if key not in _REGISTRY:
+            raise KeyError(f"unknown config key {key}")
+        reg = _REGISTRY[key]
+        if reg.validator is not None and not reg.validator(value):
+            raise ValueError(f"invalid value {value!r} for {key}")
+        with self._lock:
+            self._overrides[reg.key] = value
+        return self
+
+    def unset(self, opt: "ConfigOption | str") -> "AuronConf":
+        key = opt if isinstance(opt, str) else opt.key
+        with self._lock:
+            self._overrides.pop(key, None)
+        return self
+
+    def scoped(self, **kv) -> "_ScopedConf":
+        """Context manager that applies overrides and restores on exit."""
+        return _ScopedConf(self, kv)
+
+    @staticmethod
+    def describe_all() -> List[str]:
+        """Doc-gen (analog of SparkAuronConfigurationDocGenerator.java)."""
+        seen = set()
+        lines = []
+        for key, opt in sorted(_REGISTRY.items()):
+            if opt.key in seen or key != opt.key:
+                continue
+            seen.add(opt.key)
+            lines.append(
+                f"{opt.key} (default={opt.default!r}, type={opt.dtype.__name__}): {opt.doc}"
+            )
+        return lines
+
+
+class _ScopedConf:
+    def __init__(self, conf: AuronConf, kv: Dict[str, Any]):
+        self._conf = conf
+        self._kv = {k.replace("__", "."): v for k, v in kv.items()}
+        self._saved: Dict[str, Any] = {}
+
+    def __enter__(self):
+        for k, v in self._kv.items():
+            self._saved[k] = self._conf._overrides.get(k, _MISSING)
+            self._conf.set(k, v)
+        return self._conf
+
+    def __exit__(self, *exc):
+        for k, old in self._saved.items():
+            if old is _MISSING:
+                self._conf._overrides.pop(k, None)
+            else:
+                self._conf._overrides[k] = old
+        return False
+
+
+_MISSING = object()
+
+
+# ---------------------------------------------------------------------------
+# Option catalog (grows as features land; mirrors the *capability* coverage of
+# SparkAuronConfiguration.java without copying its keys verbatim).
+# ---------------------------------------------------------------------------
+
+BATCH_SIZE = ConfigOption(
+    "auron.batch.size", 1 << 20, int,
+    "Default row capacity of a column block (padded, static shape).")
+
+TARGET_BLOCK_BYTES = ConfigOption(
+    "auron.block.target.bytes", 64 << 20, int,
+    "Target in-HBM bytes per table block; drives dynamic capacity bucketing.")
+
+CAPACITY_ALIGN = ConfigOption(
+    "auron.block.capacity.align", 256, int,
+    "Block capacities are rounded up to a multiple of this (TPU lane-friendly).")
+
+JOIN_OUT_FACTOR = ConfigOption(
+    "auron.join.output.capacity.factor", 1.0, float,
+    "Default join output capacity = factor * (probe capacity). Overflow sets a "
+    "flag the host checks to re-run with a larger bucket.")
+
+AGG_PARTIAL_SKIP_ENABLE = ConfigOption(
+    "auron.agg.partial.skip.enable", True, bool,
+    "Skip partial aggregation when observed group cardinality ratio is high "
+    "(capability parity with Auron's PARTIAL_AGG_SKIPPING_*).")
+
+AGG_PARTIAL_SKIP_RATIO = ConfigOption(
+    "auron.agg.partial.skip.ratio", 0.8, float,
+    "Cardinality/rows ratio above which partial agg passes rows through.")
+
+AGG_PARTIAL_SKIP_MIN_ROWS = ConfigOption(
+    "auron.agg.partial.skip.min.rows", 1 << 16, int,
+    "Only consider partial-agg skipping after this many rows.")
+
+SORT_TOPK_SWITCH = ConfigOption(
+    "auron.sort.topk.limit.max", 1 << 16, int,
+    "Use top-k selection instead of full sort when fetch limit <= this.")
+
+EXCHANGE_CHUNK_ROWS = ConfigOption(
+    "auron.exchange.chunk.rows", 1 << 18, int,
+    "Rows per all_to_all chunk; chunks are double-buffered against compute.")
+
+EXCHANGE_CODEC = ConfigOption(
+    "auron.exchange.codec", "none", str,
+    "Compression codec for host-boundary exchange staging: none|zlib.")
+
+SHUFFLE_PARTITION_SEED = ConfigOption(
+    "auron.shuffle.hash.seed", 42, int,
+    "Murmur3 seed for hash partitioning (Spark-compatible seed 42).")
+
+SKEW_DETECT_ENABLE = ConfigOption(
+    "auron.skew.detect.enable", True, bool,
+    "Detect heavy-hitter keys at exchange time and split/replicate them.")
+
+SKEW_HEAVY_HITTER_FRACTION = ConfigOption(
+    "auron.skew.heavy.fraction", 0.2, float,
+    "A key owning more than this fraction of rows in a shard is a heavy hitter.")
+
+MEMORY_BUDGET_BYTES = ConfigOption(
+    "auron.memory.budget.bytes", 12 << 30, int,
+    "Per-chip HBM working budget; operators size chunks to stay under it "
+    "(replaces Auron's spill-first MemManager with multi-pass chunking).")
+
+CAST_STRING_TRIM = ConfigOption(
+    "auron.cast.string.trim.enable", True, bool,
+    "Trim whitespace when casting string->numeric (Spark parity).")
+
+METRICS_ENABLE = ConfigOption(
+    "auron.metrics.enable", True, bool,
+    "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
+
+PALLAS_ENABLE = ConfigOption(
+    "auron.pallas.enable", True, bool,
+    "Use Pallas kernels for hot ops on TPU backends (falls back to XLA on CPU).")
+
+# Global default session configuration.
+conf = AuronConf()

@@ -1,0 +1,139 @@
+"""Logical data types for the engine.
+
+The reference engine's type system is Arrow's (via DataFusion); ours is a small
+logical layer over JAX dtypes, because on TPU every column is a fixed-shape
+dense array. Variable-length strings are dictionary-encoded at scan time
+(SURVEY.md §7.4.5: TPC-DS join/agg keys are ints/dates/short strings, so
+dictionary ids carry the engine), with the dictionary kept host-side for
+decode at the result boundary. Decimals with precision <= 18 are scaled int64
+(Spark's long-backed decimals).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class DataType:
+    """A logical SQL type mapped onto a physical JAX dtype."""
+
+    name: str
+    # Physical storage dtype for the values array.
+    np_dtype: np.dtype
+    # For DECIMAL64: (precision, scale). For STRING: None (dict-encoded int32).
+    params: Optional[Tuple] = None
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.np_dtype)
+
+    @property
+    def is_numeric(self) -> bool:
+        return self.name in (
+            "int8", "int16", "int32", "int64", "float32", "float64", "decimal64")
+
+    @property
+    def is_integer(self) -> bool:
+        return self.name in ("int8", "int16", "int32", "int64")
+
+    @property
+    def is_float(self) -> bool:
+        return self.name in ("float32", "float64")
+
+    @property
+    def is_string(self) -> bool:
+        return self.name == "string"
+
+    @property
+    def byte_width(self) -> int:
+        return np.dtype(self.np_dtype).itemsize
+
+    def __repr__(self):
+        if self.params:
+            return f"{self.name}{self.params}"
+        return self.name
+
+
+BOOL = DataType("bool", np.dtype(np.bool_))
+INT8 = DataType("int8", np.dtype(np.int8))
+INT16 = DataType("int16", np.dtype(np.int16))
+INT32 = DataType("int32", np.dtype(np.int32))
+INT64 = DataType("int64", np.dtype(np.int64))
+FLOAT32 = DataType("float32", np.dtype(np.float32))
+FLOAT64 = DataType("float64", np.dtype(np.float64))
+# Days since 1970-01-01, Spark DateType.
+DATE32 = DataType("date32", np.dtype(np.int32))
+# Dictionary-encoded string: values are int32 codes into a host-side dictionary.
+STRING = DataType("string", np.dtype(np.int32))
+
+
+def DECIMAL64(precision: int = 18, scale: int = 2) -> DataType:
+    """Spark long-backed decimal (precision <= 18): scaled int64."""
+    if precision > 18:
+        raise NotImplementedError("decimal precision > 18 not supported yet")
+    return DataType("decimal64", np.dtype(np.int64), (precision, scale))
+
+
+_BY_NAME = {
+    "bool": BOOL, "int8": INT8, "int16": INT16, "int32": INT32,
+    "int64": INT64, "float32": FLOAT32, "float64": FLOAT64,
+    "date32": DATE32, "string": STRING,
+}
+
+
+def type_from_name(name: str, params: Optional[Tuple] = None) -> DataType:
+    if name == "decimal64":
+        return DECIMAL64(*params) if params else DECIMAL64()
+    return _BY_NAME[name]
+
+
+@dataclass(frozen=True)
+class Field:
+    name: str
+    dtype: DataType
+    nullable: bool = True
+
+    def __repr__(self):
+        n = "" if self.nullable else " NOT NULL"
+        return f"{self.name}: {self.dtype!r}{n}"
+
+
+@dataclass(frozen=True)
+class Schema:
+    fields: Tuple[Field, ...]
+
+    def __init__(self, fields):
+        object.__setattr__(self, "fields", tuple(fields))
+
+    @property
+    def names(self) -> List[str]:
+        return [f.name for f in self.fields]
+
+    def field(self, name: str) -> Field:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def index(self, name: str) -> int:
+        for i, f in enumerate(self.fields):
+            if f.name == name:
+                return i
+        raise KeyError(name)
+
+    def __contains__(self, name: str) -> bool:
+        return any(f.name == name for f in self.fields)
+
+    def __len__(self):
+        return len(self.fields)
+
+    def __iter__(self):
+        return iter(self.fields)
+
+    def __repr__(self):
+        return "Schema(" + ", ".join(repr(f) for f in self.fields) + ")"
