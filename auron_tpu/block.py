@@ -175,6 +175,15 @@ class TableBlock:
             s = df[name]
             npa = s.to_numpy()
             isna = s.isna().to_numpy()
+            if npa.dtype == object:
+                nonnull = [v for v, na in zip(npa, isna) if not na]
+                if nonnull and all(isinstance(v, (bool, np.bool_)) for v in nonnull):
+                    npa = np.array([bool(v) if not na else False
+                                    for v, na in zip(npa, isna)])
+                elif nonnull and all(
+                        isinstance(v, (int, float, np.number)) for v in nonnull):
+                    npa = np.array([float(v) if not na else 0.0
+                                    for v, na in zip(npa, isna)])
             if npa.dtype == object or str(npa.dtype).startswith(("str", "<U")) \
                     or (dtypes and name in dtypes and dtypes[name].is_string):
                 # dictionary-encode on host

@@ -1,0 +1,415 @@
+"""Vectorized expression evaluator with Spark SQL semantics.
+
+Null semantics (three-valued logic), TryCast behavior, divide-by-zero -> NULL,
+and type promotion match the reference's expression stack (SURVEY.md A.1,
+/root/reference/native-engine/datafusion-ext-exprs/). Every operation is pure
+jnp over [capacity] lanes, so XLA fuses whole projection/filter expressions
+into single VPU passes over the block.
+"""
+
+from __future__ import annotations
+
+import datetime
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu.block import Column, TableBlock
+from auron_tpu.dtypes import (BOOL, DATE32, DataType, FLOAT64, INT32, INT64,
+                              STRING)
+from auron_tpu.expr import nodes as N
+from auron_tpu.expr import strings as S
+from auron_tpu.expr.cast import cast_column
+
+_NUM_ORDER = {"bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
+              "float32": 5, "float64": 6}
+
+
+def evaluate(expr: N.Expr, block: TableBlock) -> Column:
+    """Evaluate an expression over a block -> Column (values may be scalar
+    0-d until materialized; use :func:`materialize` for [capacity] output)."""
+    if isinstance(expr, N.Alias):
+        return evaluate(expr.child, block)
+    if isinstance(expr, N.Column):
+        return block.columns[expr.name]
+    if isinstance(expr, N.Literal):
+        return _literal_column(expr)
+    if isinstance(expr, N.BinaryOp):
+        return _binary(expr, block)
+    if isinstance(expr, N.Not):
+        c = evaluate(expr.child, block)
+        return Column.of(jnp.logical_not(c.values.astype(jnp.bool_)), BOOL,
+                         c.validity)
+    if isinstance(expr, N.IsNull):
+        c = evaluate(expr.child, block)
+        if c.validity is None:
+            return Column.of(jnp.zeros_like(c.values, dtype=jnp.bool_), BOOL)
+        return Column.of(jnp.logical_not(c.validity), BOOL)
+    if isinstance(expr, N.Cast):
+        c = evaluate(expr.child, block)
+        return cast_column(c, expr.to, block.capacity)
+    if isinstance(expr, N.CaseWhen):
+        return _case_when(expr, block)
+    if isinstance(expr, N.InList):
+        return _in_list(expr, block)
+    if isinstance(expr, N.ScalarFunc):
+        from auron_tpu.expr.functions import dispatch_function
+        return dispatch_function(expr, block)
+    raise NotImplementedError(f"evaluate: {type(expr).__name__}")
+
+
+def materialize(col: Column, capacity: int) -> Column:
+    """Broadcast scalar-valued columns to full [capacity] arrays."""
+    v = col.values
+    if getattr(v, "ndim", 1) == 0 or (hasattr(v, "shape") and v.shape == ()):
+        v = jnp.broadcast_to(v, (capacity,))
+    val = col.validity
+    if val is not None and (getattr(val, "ndim", 1) == 0 or val.shape == ()):
+        val = jnp.broadcast_to(val, (capacity,))
+    return Column(v, val, col.dtype, col.dict_values)
+
+
+def project_block(block: TableBlock, exprs) -> TableBlock:
+    """ProjectExec analog: evaluate expressions into a new block (same mask).
+
+    XLA's CSE subsumes the reference's cached-expression evaluator
+    (common/cached_exprs_evaluator.rs): repeated subtrees trace to identical
+    jaxpr subgraphs and compile once.
+    """
+    cols = {}
+    for i, e in enumerate(exprs):
+        c = materialize(evaluate(e, block), block.capacity)
+        cols[output_name(e, i)] = c
+    return TableBlock(cols, block.row_mask)
+
+
+def filter_block(block: TableBlock, predicate: N.Expr) -> TableBlock:
+    """FilterExec analog: predicate ANDs into the row mask; NULL -> drop."""
+    c = evaluate(predicate, block)
+    keep = c.values.astype(jnp.bool_)
+    if c.validity is not None:
+        keep = keep & c.validity
+    if keep.ndim == 0:
+        keep = jnp.broadcast_to(keep, (block.capacity,))
+    return block.filter_mask(keep)
+
+
+def output_name(expr: N.Expr, i: int) -> str:
+    if isinstance(expr, N.Alias):
+        return expr.name
+    if isinstance(expr, N.Column):
+        return expr.name
+    return f"_col{i}"
+
+
+# ---------------------------------------------------------------------------
+
+
+def _literal_column(lit: N.Literal) -> Column:
+    v, dt = lit.value, lit.dtype
+    if v is None:
+        dt = dt or INT32
+        return Column.of(jnp.zeros((), dt.jnp_dtype),
+                         dt, jnp.zeros((), jnp.bool_))
+    if isinstance(v, str):
+        d = np.array([v], dtype=object)
+        return Column(jnp.zeros((), jnp.int32), None, STRING, d)
+    if isinstance(v, bool):
+        return Column.of(jnp.asarray(v, jnp.bool_), BOOL)
+    if isinstance(v, (datetime.date,)) and not isinstance(v, datetime.datetime):
+        days = (v - datetime.date(1970, 1, 1)).days
+        return Column.of(jnp.asarray(days, jnp.int32), DATE32)
+    if dt is not None:
+        return Column.of(jnp.asarray(v, dt.jnp_dtype), dt)
+    if isinstance(v, (int, np.integer)):
+        dt = INT32 if -2**31 <= int(v) < 2**31 else INT64
+        return Column.of(jnp.asarray(v, dt.jnp_dtype), dt)
+    if isinstance(v, (float, np.floating)):
+        return Column.of(jnp.asarray(v, jnp.float64), FLOAT64)
+    raise TypeError(f"cannot infer literal type for {v!r}")
+
+
+def _combine_validity(*cols) -> Optional[jnp.ndarray]:
+    out = None
+    for c in cols:
+        if c.validity is None:
+            continue
+        out = c.validity if out is None else (out & c.validity)
+    return out
+
+
+def _promote_pair(l: Column, r: Column, for_div: bool = False
+                  ) -> Tuple[Column, Column, DataType]:
+    lt, rt = l.dtype, r.dtype
+    if lt.is_string or rt.is_string:
+        raise TypeError("string arithmetic not supported")
+    if lt.name == "decimal64" or rt.name == "decimal64":
+        return _promote_decimal(l, r)
+    if lt.name == "date32" or rt.name == "date32":
+        # date +- int handled in functions (date_add); here require same type
+        return l, r, DATE32
+    target = lt if _NUM_ORDER[lt.name] >= _NUM_ORDER[rt.name] else rt
+    if for_div and not target.is_float:
+        target = FLOAT64
+    lc = l if lt.name == target.name else Column.of(
+        l.values.astype(target.jnp_dtype), target, l.validity)
+    rc = r if rt.name == target.name else Column.of(
+        r.values.astype(target.jnp_dtype), target, r.validity)
+    return lc, rc, target
+
+
+def _promote_decimal(l: Column, r: Column):
+    from auron_tpu.dtypes import DECIMAL64
+    # normalize non-decimal side to decimal with scale 0
+    if l.dtype.name != "decimal64":
+        l = Column.of(l.values.astype(jnp.int64), DECIMAL64(18, 0), l.validity)
+    if r.dtype.name != "decimal64":
+        r = Column.of(r.values.astype(jnp.int64), DECIMAL64(18, 0), r.validity)
+    return l, r, None  # op-specific result type resolved in _binary
+
+
+_CMP_OPS = {"Eq": jnp.equal, "NotEq": jnp.not_equal, "Lt": jnp.less,
+            "LtEq": jnp.less_equal, "Gt": jnp.greater,
+            "GtEq": jnp.greater_equal}
+
+
+def _binary(expr: N.BinaryOp, block: TableBlock) -> Column:
+    op = expr.op
+    l = evaluate(expr.left, block)
+    r = evaluate(expr.right, block)
+
+    if op in ("And", "Or"):
+        return _logical(op, l, r)
+
+    if op in _CMP_OPS:
+        return _compare(op, l, r)
+
+    if op in ("Plus", "Minus", "Multiply", "Divide", "Remainder"):
+        return _arith(op, l, r)
+
+    if op in ("BitAnd", "BitOr", "BitXor", "ShiftLeft", "ShiftRight"):
+        lc, rc, t = _promote_pair(l, r)
+        fn = {"BitAnd": jnp.bitwise_and, "BitOr": jnp.bitwise_or,
+              "BitXor": jnp.bitwise_xor, "ShiftLeft": jnp.left_shift,
+              "ShiftRight": jnp.right_shift}[op]
+        return Column.of(fn(lc.values, rc.values), t, _combine_validity(l, r))
+
+    raise NotImplementedError(f"binary op {op}")
+
+
+def _logical(op: str, l: Column, r: Column) -> Column:
+    """Three-valued AND/OR: a known-False AND / known-True OR dominates NULL."""
+    lv = l.values.astype(jnp.bool_)
+    rv = r.values.astype(jnp.bool_)
+    if l.validity is None and r.validity is None:
+        return Column.of(lv & rv if op == "And" else lv | rv, BOOL)
+    lok, rok = l.valid_at(), r.valid_at()
+    if op == "And":
+        # wherever valid, lv & rv is correct: a known False forces False even
+        # if the other lane holds garbage under an invalid slot
+        value = (lv | ~lok) & (rv | ~rok)
+        validity = (lok & rok) | (lok & ~lv) | (rok & ~rv)
+    else:
+        value = (lv & lok) | (rv & rok)
+        validity = (lok & rok) | (lok & lv) | (rok & rv)
+    return Column.of(value, BOOL, validity)
+
+
+def _compare(op: str, l: Column, r: Column) -> Column:
+    validity = _combine_validity(l, r)
+    if l.dtype.is_string or r.dtype.is_string:
+        return _compare_strings(op, l, r, validity)
+    if l.dtype.name == "decimal64" and r.dtype.name == "decimal64" \
+            and l.dtype.params[1] != r.dtype.params[1]:
+        # rescale to the larger scale for exact compare
+        s = max(l.dtype.params[1], r.dtype.params[1])
+        from auron_tpu.dtypes import DECIMAL64
+        l = cast_column(l, DECIMAL64(18, s), 0)
+        r = cast_column(r, DECIMAL64(18, s), 0)
+        lv, rv = l.values, r.values
+    else:
+        lc, rc, _ = _promote_pair(l, r)
+        lv, rv = lc.values, rc.values
+    return Column.of(_CMP_OPS[op](lv, rv), BOOL, validity)
+
+
+def _compare_strings(op: str, l: Column, r: Column, validity) -> Column:
+    if not (l.dtype.is_string and r.dtype.is_string):
+        # string vs date/number literal comparisons: cast string side
+        other = r if l.dtype.is_string else l
+        sc = l if l.dtype.is_string else r
+        casted = cast_column(sc, other.dtype, 0)
+        return _compare(op, casted if l.dtype.is_string else other,
+                        other if l.dtype.is_string else casted)
+    ld, rd = l.dict_values, r.dict_values
+    if op in ("Eq", "NotEq"):
+        if ld is rd:
+            lv, rv = l.values, r.values
+        elif len(rd) == 1:  # literal on the right
+            code = S.code_of_literal(ld, rd[0])
+            lv, rv = l.values, jnp.asarray(code, jnp.int32)
+        elif len(ld) == 1:
+            code = S.code_of_literal(rd, ld[0])
+            lv, rv = jnp.asarray(code, jnp.int32), r.values
+        else:
+            xlate = S.translate_codes(ld, rd)
+            lv = jnp.asarray(xlate)[jnp.clip(l.values, 0, len(ld) - 1)]
+            rv = r.values
+        return Column.of(_CMP_OPS[op](lv, rv), BOOL, validity)
+    # ordering: compare lexicographic ranks in a merged dictionary
+    merged = _merged_dict(ld, rd)
+    la = S.translate_codes(ld, merged)
+    ra = S.translate_codes(rd, merged)
+    rank = S.sort_rank_table(merged)
+    lv = jnp.asarray(rank[la])[jnp.clip(l.values, 0, len(ld) - 1)]
+    rv = jnp.asarray(rank[ra])[jnp.clip(r.values, 0, len(rd) - 1)]
+    return Column.of(_CMP_OPS[op](lv, rv), BOOL, validity)
+
+
+_MERGED_CACHE: dict = {}
+
+
+def _merged_dict(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    key = (id(a), id(b))
+    hit = _MERGED_CACHE.get(key)
+    if hit is None:
+        hit = np.unique(np.concatenate([a.astype(object), b.astype(object)]))
+        _MERGED_CACHE[key] = hit
+    return hit
+
+
+def _arith(op: str, l: Column, r: Column) -> Column:
+    validity = _combine_validity(l, r)
+    if l.dtype.name == "decimal64" or r.dtype.name == "decimal64":
+        return _arith_decimal(op, l, r, validity)
+    lc, rc, t = _promote_pair(l, r, for_div=(op == "Divide"))
+    lv, rv = lc.values, rc.values
+    if op == "Plus":
+        out = lv + rv
+    elif op == "Minus":
+        out = lv - rv
+    elif op == "Multiply":
+        out = lv * rv
+    elif op == "Divide":
+        zero = rv == 0
+        out = lv / jnp.where(zero, 1, rv)
+        validity = _and_mask(validity, ~zero)
+        out = jnp.where(zero, 0, out)
+    elif op == "Remainder":
+        zero = rv == 0
+        safe = jnp.where(zero, 1, rv)
+        if t.is_float:
+            out = jnp.where(zero, 0, jnp.fmod(lv, safe))
+        else:
+            out = jnp.where(zero, 0, _java_mod(lv, safe))
+        validity = _and_mask(validity, ~zero)
+    else:
+        raise NotImplementedError(op)
+    return Column.of(out, t, validity)
+
+
+def _java_mod(a, b):
+    """Truncated remainder (sign follows dividend) like Java/Spark %;
+    jnp's % is floored. r = a - trunc(a/b) * b."""
+    q = (jnp.abs(a) // jnp.abs(b)) * jnp.sign(a) * jnp.sign(b)
+    return a - q * b
+
+
+def _arith_decimal(op: str, l: Column, r: Column, validity) -> Column:
+    from auron_tpu.dtypes import DECIMAL64
+    l, r, _ = _promote_decimal(l, r)
+    s1, s2 = l.dtype.params[1], r.dtype.params[1]
+    if op in ("Plus", "Minus"):
+        s = max(s1, s2)
+        lv = l.values * np.int64(10 ** (s - s1))
+        rv = r.values * np.int64(10 ** (s - s2))
+        out = lv + rv if op == "Plus" else lv - rv
+        return Column.of(out, DECIMAL64(18, s), validity)
+    if op == "Multiply":
+        s = s1 + s2
+        if s > 18:
+            # fall back to float64 when scale would overflow long decimals
+            out = (l.values.astype(jnp.float64) / 10**s1) * \
+                  (r.values.astype(jnp.float64) / 10**s2)
+            return Column.of(out, FLOAT64, validity)
+        return Column.of(l.values * r.values, DECIMAL64(18, s), validity)
+    if op == "Divide":
+        zero = r.values == 0
+        out = (l.values.astype(jnp.float64) / 10**s1) / \
+              jnp.where(zero, 1.0, r.values.astype(jnp.float64) / 10**s2)
+        out = jnp.where(zero, 0.0, out)
+        return Column.of(out, FLOAT64, _and_mask(validity, ~zero))
+    raise NotImplementedError(f"decimal {op}")
+
+
+def _and_mask(validity, extra):
+    return extra if validity is None else (validity & extra)
+
+
+def _case_when(expr: N.CaseWhen, block: TableBlock) -> Column:
+    conds = []
+    vals = []
+    for c, v in expr.branches:
+        cc = evaluate(c, block)
+        # NULL condition counts as false
+        cond = cc.values.astype(jnp.bool_)
+        if cc.validity is not None:
+            cond = cond & cc.validity
+        conds.append(cond)
+        vals.append(evaluate(v, block))
+    other = evaluate(expr.otherwise, block) if expr.otherwise is not None \
+        else None
+    # promote all value branches to a common type
+    out_t = vals[0].dtype
+    pool = vals + ([other] if other is not None else [])
+    for v in pool[1:]:
+        if _NUM_ORDER.get(v.dtype.name, -1) > _NUM_ORDER.get(out_t.name, -1):
+            out_t = v.dtype
+    if out_t.is_string:
+        cast_pool, _merged = S.unify_string_columns(pool)
+    else:
+        cast_pool = [v if v.dtype.name == out_t.name else
+                     cast_column(v, out_t, block.capacity) for v in pool]
+    vals = cast_pool[:len(vals)]
+    other = cast_pool[-1] if other is not None else None
+
+    if other is None:
+        out = jnp.zeros((), out_t.jnp_dtype)
+        ok = jnp.zeros((), jnp.bool_)
+    else:
+        out, ok = other.values, other.valid_at() if other.validity is not None \
+            else jnp.ones((), jnp.bool_)
+    # build from last branch backwards so first match wins
+    for cond, v in zip(reversed(conds), reversed(vals)):
+        out = jnp.where(cond, v.values, out)
+        vok = v.valid_at() if v.validity is not None else jnp.ones((), jnp.bool_)
+        ok = jnp.where(cond, vok, ok)
+    cap = block.capacity
+    out = jnp.broadcast_to(out, (cap,)) if out.ndim == 0 else out
+    ok = jnp.broadcast_to(ok, (cap,)) if ok.ndim == 0 else ok
+    dict_values = vals[0].dict_values if out_t.is_string else None
+    return Column(out, ok, out_t, dict_values)
+
+
+def _in_list(expr: N.InList, block: TableBlock) -> Column:
+    c = evaluate(expr.child, block)
+    hit = None
+    has_null_item = False
+    for v in expr.values:
+        if v is None:
+            has_null_item = True
+            continue
+        eq = _compare("Eq", c, _literal_column(N.Literal(v)))
+        hit = eq.values if hit is None else (hit | eq.values)
+    if hit is None:
+        hit = jnp.zeros(block.capacity, jnp.bool_)
+    validity = c.validity
+    if has_null_item:
+        # value NOT IN list containing null -> NULL unless matched
+        known = hit if validity is None else (validity & hit)
+        validity = known
+    out = ~hit if expr.negated else hit
+    if expr.negated and has_null_item:
+        out = jnp.zeros_like(hit)
+    return Column.of(out, BOOL, validity)

@@ -1,0 +1,337 @@
+"""Scalar function registry.
+
+Covers the capability surface of the reference's function kernels
+(/root/reference/native-engine/datafusion-ext-functions/src/: spark_dates.rs,
+spark_strings.rs, spark_round.rs, spark_hash.rs, spark_null_if.rs,
+spark_isnan.rs, ...) re-expressed as fused jnp lane ops. Dates are civil-date
+integer arithmetic on days-since-epoch (no host round-trips); strings go
+through the dictionary machinery in strings.py.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu.block import Column, TableBlock
+from auron_tpu.dtypes import (BOOL, DATE32, DataType, FLOAT64, INT32, INT64,
+                              STRING)
+from auron_tpu.expr import nodes as N
+from auron_tpu.expr import strings as S
+
+_REGISTRY: Dict[str, Callable] = {}
+
+
+def register(name):
+    def deco(fn):
+        _REGISTRY[name] = fn
+        return fn
+    return deco
+
+
+def dispatch_function(expr: N.ScalarFunc, block: TableBlock) -> Column:
+    from auron_tpu.expr.eval import evaluate
+    fn = _REGISTRY.get(expr.name)
+    if fn is None:
+        raise NotImplementedError(f"scalar function {expr.name}")
+    args = [evaluate(a, block) for a in expr.args]
+    return fn(block, *args, *expr.params)
+
+
+# -- civil date arithmetic (Howard Hinnant's algorithms, integer-only) -------
+
+def _civil_from_days(days):
+    """days since 1970-01-01 -> (year, month, day), vectorized int32."""
+    z = days.astype(jnp.int64) + 719468
+    era = z // 146097
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + jnp.where(mp < 10, 3, -9)
+    y = y + (m <= 2)
+    return y.astype(jnp.int32), m.astype(jnp.int32), d.astype(jnp.int32)
+
+
+def _days_from_civil(y, m, d):
+    y = y.astype(jnp.int64) - (m <= 2)
+    era = jnp.where(y >= 0, y, y - 399) // 400
+    yoe = y - era * 400
+    mp = jnp.where(m > 2, m - 3, m + 9).astype(jnp.int64)
+    doy = (153 * mp + 2) // 5 + d.astype(jnp.int64) - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return (era * 146097 + doe - 719468).astype(jnp.int32)
+
+
+def _date_part(which):
+    def fn(block, c: Column) -> Column:
+        y, m, d = _civil_from_days(c.values)
+        out = {"year": y, "month": m, "day": d}[which]
+        return Column.of(out, INT32, c.validity)
+    return fn
+
+
+register("year")(_date_part("year"))
+register("month")(_date_part("month"))
+register("day")(_date_part("day"))
+register("dayofmonth")(_date_part("day"))
+
+
+@register("quarter")
+def _quarter(block, c: Column) -> Column:
+    _, m, _ = _civil_from_days(c.values)
+    return Column.of((m - 1) // 3 + 1, INT32, c.validity)
+
+
+@register("dayofweek")
+def _dayofweek(block, c: Column) -> Column:
+    # Spark: 1 = Sunday ... 7 = Saturday; epoch day 0 was a Thursday (=5)
+    dow = (c.values.astype(jnp.int64) + 4) % 7  # 0=Sunday
+    dow = jnp.where(dow < 0, dow + 7, dow)
+    return Column.of((dow + 1).astype(jnp.int32), INT32, c.validity)
+
+
+@register("dayofyear")
+def _dayofyear(block, c: Column) -> Column:
+    y, _, _ = _civil_from_days(c.values)
+    jan1 = _days_from_civil(y, jnp.ones_like(y), jnp.ones_like(y))
+    return Column.of((c.values - jan1 + 1).astype(jnp.int32), INT32, c.validity)
+
+
+@register("date_add")
+def _date_add(block, c: Column, n: Column) -> Column:
+    from auron_tpu.expr.eval import _combine_validity
+    out = (c.values.astype(jnp.int64) + n.values.astype(jnp.int64))
+    return Column.of(out.astype(jnp.int32), DATE32, _combine_validity(c, n))
+
+
+@register("date_sub")
+def _date_sub(block, c: Column, n: Column) -> Column:
+    from auron_tpu.expr.eval import _combine_validity
+    out = (c.values.astype(jnp.int64) - n.values.astype(jnp.int64))
+    return Column.of(out.astype(jnp.int32), DATE32, _combine_validity(c, n))
+
+
+@register("datediff")
+def _datediff(block, a: Column, b: Column) -> Column:
+    from auron_tpu.expr.eval import _combine_validity
+    return Column.of((a.values - b.values).astype(jnp.int32), INT32,
+                     _combine_validity(a, b))
+
+
+@register("last_day")
+def _last_day(block, c: Column) -> Column:
+    y, m, _ = _civil_from_days(c.values)
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, 1, m + 1)
+    first_next = _days_from_civil(ny, nm, jnp.ones_like(nm))
+    return Column.of((first_next - 1).astype(jnp.int32), DATE32, c.validity)
+
+
+# -- math --------------------------------------------------------------------
+
+@register("abs")
+def _abs(block, c: Column) -> Column:
+    return Column.of(jnp.abs(c.values), c.dtype, c.validity)
+
+
+@register("negative")
+def _neg(block, c: Column) -> Column:
+    return Column.of(-c.values, c.dtype, c.validity)
+
+
+@register("sqrt")
+def _sqrt(block, c: Column) -> Column:
+    v = c.values.astype(jnp.float64)
+    return Column.of(jnp.sqrt(v), FLOAT64, c.validity)
+
+
+@register("exp")
+def _exp(block, c: Column) -> Column:
+    return Column.of(jnp.exp(c.values.astype(jnp.float64)), FLOAT64, c.validity)
+
+
+@register("ln")
+def _ln(block, c: Column) -> Column:
+    v = c.values.astype(jnp.float64)
+    ok = v > 0
+    from auron_tpu.expr.eval import _and_mask
+    return Column.of(jnp.log(jnp.where(ok, v, 1.0)), FLOAT64,
+                     _and_mask(c.validity, ok))
+
+
+@register("pow")
+def _pow(block, a: Column, b: Column) -> Column:
+    from auron_tpu.expr.eval import _combine_validity
+    out = jnp.power(a.values.astype(jnp.float64), b.values.astype(jnp.float64))
+    return Column.of(out, FLOAT64, _combine_validity(a, b))
+
+
+@register("floor")
+def _floor(block, c: Column) -> Column:
+    if c.dtype.is_integer:
+        return Column.of(c.values.astype(jnp.int64), INT64, c.validity)
+    return Column.of(jnp.floor(c.values).astype(jnp.int64), INT64, c.validity)
+
+
+@register("ceil")
+def _ceil(block, c: Column) -> Column:
+    if c.dtype.is_integer:
+        return Column.of(c.values.astype(jnp.int64), INT64, c.validity)
+    return Column.of(jnp.ceil(c.values).astype(jnp.int64), INT64, c.validity)
+
+
+@register("round")
+def _round(block, c: Column, scale: int = 0) -> Column:
+    """Spark HALF_UP rounding (spark_round.rs behavior)."""
+    if c.dtype.name == "decimal64":
+        from auron_tpu.dtypes import DECIMAL64
+        from auron_tpu.expr.cast import cast_column
+        return cast_column(c, DECIMAL64(18, scale), 0)
+    if c.dtype.is_integer:
+        return c
+    m = 10.0 ** scale
+    v = c.values.astype(jnp.float64) * m
+    out = jnp.where(v >= 0, jnp.floor(v + 0.5), jnp.ceil(v - 0.5)) / m
+    return Column.of(out, FLOAT64, c.validity)
+
+
+@register("sign")
+def _sign(block, c: Column) -> Column:
+    return Column.of(jnp.sign(c.values).astype(jnp.float64), FLOAT64, c.validity)
+
+
+@register("isnan")
+def _isnan(block, c: Column) -> Column:
+    if not c.dtype.is_float:
+        return Column.of(jnp.zeros(block.capacity, jnp.bool_), BOOL)
+    v = jnp.isnan(c.values)
+    if c.validity is not None:
+        v = v & c.validity
+    return Column.of(v, BOOL)
+
+
+@register("greatest")
+def _greatest(block, *cols: Column) -> Column:
+    return _minmax_of(cols, jnp.maximum)
+
+
+@register("least")
+def _least(block, *cols: Column) -> Column:
+    return _minmax_of(cols, jnp.minimum)
+
+
+def _minmax_of(cols, op):
+    """Spark greatest/least skip NULLs; NULL only if all inputs NULL."""
+    out, ok = cols[0].values, cols[0].valid_at()
+    for c in cols[1:]:
+        v, cv = c.values, c.valid_at()
+        cand = op(out, v)
+        out = jnp.where(ok & cv, cand, jnp.where(cv & ~ok, v, out))
+        ok = ok | cv
+    all_valid = all(c.validity is None for c in cols)
+    return Column.of(out, cols[0].dtype, None if all_valid else ok)
+
+
+@register("coalesce")
+def _coalesce(block, *cols: Column) -> Column:
+    if cols[0].dtype.is_string:
+        cols, _ = S.unify_string_columns(list(cols))
+    out = cols[0].values
+    ok = cols[0].valid_at() if cols[0].validity is not None else None
+    for c in cols[1:]:
+        if ok is None:
+            break
+        out = jnp.where(ok, out, c.values)
+        ok = ok | (c.valid_at() if c.validity is not None else
+                   jnp.ones_like(ok))
+    return Column(out, ok, cols[0].dtype, cols[0].dict_values)
+
+
+@register("nullif")
+def _nullif(block, a: Column, b: Column) -> Column:
+    """NULL when a == b else a (spark_null_if.rs)."""
+    from auron_tpu.expr.eval import _compare
+    eq = _compare("Eq", a, b)
+    neq = ~(eq.values & eq.valid_at())
+    validity = neq if a.validity is None else (a.validity & neq)
+    return Column(a.values, validity, a.dtype, a.dict_values)
+
+
+# -- strings -----------------------------------------------------------------
+
+def _str_to_str(name, pyfn):
+    @register(name)
+    def fn(block, c: Column, *params) -> Column:
+        return S.map_to_new_dictionary(c, (name,) + params,
+                                       lambda s: pyfn(s, *params))
+    return fn
+
+
+_str_to_str("upper", lambda s: s.upper())
+_str_to_str("lower", lambda s: s.lower())
+_str_to_str("trim", lambda s: s.strip())
+_str_to_str("ltrim", lambda s: s.lstrip())
+_str_to_str("rtrim", lambda s: s.rstrip())
+_str_to_str("reverse", lambda s: s[::-1])
+_str_to_str("initcap", lambda s: " ".join(
+    w[:1].upper() + w[1:].lower() if w else w for w in s.split(" ")))
+
+
+@register("substring")
+def _substring(block, c: Column, pos: int, length: int = 1 << 30) -> Column:
+    # Spark substring: 1-based, pos 0 treated as 1, negative counts from end
+    def sub(s):
+        p = pos
+        if p > 0:
+            start = p - 1
+        elif p == 0:
+            start = 0
+        else:
+            start = max(len(s) + p, 0)
+        return s[start:start + max(length, 0)]
+    return S.map_to_new_dictionary(c, ("substring", pos, length), sub)
+
+
+@register("length")
+def _length(block, c: Column) -> Column:
+    return S.map_to_values(c, ("length",), lambda s: len(s), INT32)
+
+
+@register("concat_lit")
+def _concat_lit(block, c: Column, prefix: str = "", suffix: str = "") -> Column:
+    return S.map_to_new_dictionary(c, ("concat_lit", prefix, suffix),
+                                   lambda s: prefix + s + suffix)
+
+
+def _predicate(name):
+    @register(name)
+    def fn(block, c: Column, pattern: str) -> Column:
+        return S.string_predicate(c, name, pattern)
+    return fn
+
+
+for _k in ("like", "rlike", "startswith", "endswith", "contains"):
+    _predicate(_k)
+
+
+# -- hash --------------------------------------------------------------------
+
+@register("hash")
+def _hash(block, *cols: Column) -> Column:
+    from auron_tpu.ops import hashing as H
+    inputs = [H.column_hash_inputs(c) for c in cols]
+    out = H.hash_columns_murmur3(inputs, rows=block.capacity, seed=42)
+    return Column.of(out, INT32)
+
+
+@register("xxhash64")
+def _xxhash64(block, *cols: Column) -> Column:
+    from auron_tpu.ops import hashing as H
+    inputs = [H.column_hash_inputs(c) for c in cols]
+    out = H.hash_columns_xxhash64(inputs, rows=block.capacity, seed=42)
+    return Column.of(out, INT64)
