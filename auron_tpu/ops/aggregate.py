@@ -1,0 +1,270 @@
+"""Grouped aggregation kernels.
+
+Re-designs the reference's SIMD hash-agg table
+(/root/reference/native-engine/datafusion-ext-plans/src/agg/: agg_hash_map.rs
+open-addressing map, acc.rs columnar accumulators, agg_table.rs spill paths)
+for XLA's static-shape world. Two physical strategies:
+
+* ``groupby_direct``: when every key has a statically bounded integer domain
+  (dictionary codes, small ints, dates within a range), the group id IS the
+  (mixed-radix) key value and aggregation is one masked ``segment_sum`` over
+  dense accumulator arrays — the TPU speed path. Its distributed "final" is
+  an elementwise ``psum`` over the dense arrays: aggregation by collective,
+  no shuffle at all.
+* ``groupby_sorted``: the general path — lexicographic sort of encoded keys
+  (co-sorted row permutation), run-boundary detection, prefix-sum group ids,
+  masked segment reductions. Plays the role of agg_table.rs's sort-agg mode;
+  there is no spill tier because blocks are HBM-budgeted.
+
+Accumulator state is columnar (one dense array per agg), mirroring acc.rs's
+AccTable design translated to SoA arrays indexed by group id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu.block import Column, TableBlock
+from auron_tpu.dtypes import BOOL, DataType, FLOAT64, INT64
+from auron_tpu.ops.sort import orderable_values
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One aggregation: kind in {sum, count, count_star, min, max, avg,
+    first, first_ignores_null}. `merge` selects the PARTIAL_MERGE/FINAL
+    combine semantics (sum of partial sums, min of partial mins, ...)."""
+
+    out_name: str
+    kind: str
+    merge: bool = False
+
+
+def _masked(values, ok, fill):
+    return jnp.where(ok, values, jnp.asarray(fill, values.dtype))
+
+
+def _minmax_identity(dtype: DataType, is_min: bool):
+    if dtype.is_float:
+        return np.inf if is_min else -np.inf
+    info = np.iinfo(dtype.np_dtype)
+    return info.max if is_min else info.min
+
+
+def segment_aggregate(
+        gid, num_segments: int, live,
+        aggs: Sequence[Tuple[AggSpec, Optional[Column]]],
+        sorted_order: bool = False,
+) -> Dict[str, Column]:
+    """Core reduction: for each (spec, input column) produce dense accumulator
+    Columns of length num_segments. Rows with live=False contribute nothing.
+
+    Output validity: SUM/MIN/MAX/AVG are NULL for groups with no non-null
+    input; COUNT is 0. first/first_ignores_null follow Spark.
+    """
+    out: Dict[str, Column] = {}
+    gid = jnp.where(live, gid, 0)  # dead rows hit segment 0 with null weight
+    mode = "sorted" if sorted_order else None
+    for spec, col in aggs:
+        kind = spec.kind
+        if kind == "count_star":
+            cnt = jax.ops.segment_sum(
+                live.astype(jnp.int64), gid, num_segments,
+                indices_are_sorted=sorted_order)
+            out[spec.out_name] = Column.of(cnt, INT64)
+            continue
+        assert col is not None, kind
+        ok = live if col.validity is None else (live & col.validity)
+        if kind == "count":
+            if spec.merge:  # merging partial counts = summing them
+                s = jax.ops.segment_sum(_masked(col.values, ok, 0), gid,
+                                        num_segments,
+                                        indices_are_sorted=sorted_order)
+                out[spec.out_name] = Column.of(s.astype(jnp.int64), INT64)
+            else:
+                cnt = jax.ops.segment_sum(ok.astype(jnp.int64), gid,
+                                          num_segments,
+                                          indices_are_sorted=sorted_order)
+                out[spec.out_name] = Column.of(cnt, INT64)
+            continue
+        if kind == "sum":
+            acc_dtype = _sum_dtype(col.dtype)
+            vals = col.values.astype(acc_dtype.jnp_dtype)
+            s = jax.ops.segment_sum(_masked(vals, ok, 0), gid, num_segments,
+                                    indices_are_sorted=sorted_order)
+            nn = jax.ops.segment_sum(ok.astype(jnp.int32), gid, num_segments,
+                                     indices_are_sorted=sorted_order)
+            out[spec.out_name] = Column.of(s, acc_dtype, nn > 0)
+            continue
+        if kind in ("min", "max"):
+            is_min = kind == "min"
+            ident = _minmax_identity(col.dtype if not col.dtype.is_string
+                                     else _RANK_I32, is_min)
+            vals = orderable_values(col) if col.dtype.is_string else col.values
+            seg = jax.ops.segment_min if is_min else jax.ops.segment_max
+            m = seg(_masked(vals, ok, ident), gid, num_segments,
+                    indices_are_sorted=sorted_order)
+            nn = jax.ops.segment_sum(ok.astype(jnp.int32), gid, num_segments,
+                                     indices_are_sorted=sorted_order)
+            if col.dtype.is_string:
+                # translate winning rank back to a dictionary code
+                from auron_tpu.expr.strings import sort_rank_table
+                rank = sort_rank_table(col.dict_values)
+                inv = np.empty_like(rank)
+                inv[rank] = np.arange(len(rank), dtype=rank.dtype)
+                code = jnp.asarray(inv)[jnp.clip(m, 0, len(rank) - 1)]
+                out[spec.out_name] = Column(code, nn > 0, col.dtype,
+                                            col.dict_values)
+            else:
+                out[spec.out_name] = Column(m, nn > 0, col.dtype,
+                                            col.dict_values)
+            continue
+        if kind in ("first", "first_ignores_null"):
+            cap = gid.shape[0]
+            eligible = ok if kind == "first_ignores_null" else live
+            idx = jnp.where(eligible, jnp.arange(cap), cap)
+            first_idx = jax.ops.segment_min(idx, gid, num_segments,
+                                            indices_are_sorted=sorted_order)
+            have = first_idx < cap
+            safe = jnp.clip(first_idx, 0, cap - 1)
+            vals = jnp.take(col.values, safe)
+            validity = have
+            if col.validity is not None and kind == "first":
+                validity = have & jnp.take(col.validity, safe)
+            out[spec.out_name] = Column(vals, validity, col.dtype,
+                                        col.dict_values)
+            continue
+        raise NotImplementedError(f"agg kind {kind}")
+    del mode
+    return out
+
+
+class _RankI32:
+    is_float = False
+    np_dtype = np.dtype(np.int32)
+
+
+_RANK_I32 = _RankI32()
+
+
+def _sum_dtype(dt: DataType) -> DataType:
+    """Spark widens sums: integral -> long, float -> double, decimal keeps
+    scale (precision widens — we stay in int64)."""
+    if dt.name == "decimal64":
+        return dt
+    if dt.is_integer or dt.name == "bool":
+        return INT64
+    return FLOAT64
+
+
+def key_group_ids_sorted(block: TableBlock, key_names: Sequence[str]):
+    """General grouping: sort rows by encoded keys, detect run boundaries.
+
+    Returns (perm, gid, boundary_positions, num_groups, live_sorted) — all in
+    the sorted row domain.
+    """
+    cap = block.capacity
+    ops: List[jnp.ndarray] = [~block.row_mask]
+    for name in key_names:
+        c = block.columns[name]
+        if c.validity is not None:
+            ops.append(jnp.where(c.validity, jnp.int8(0), jnp.int8(1)))
+        ops.append(orderable_values(c))
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    sorted_all = jax.lax.sort(tuple(ops) + (iota,), dimension=0,
+                              is_stable=True, num_keys=len(ops))
+    perm = sorted_all[-1]
+    live_sorted = jnp.take(block.row_mask, perm)
+    # boundary: live row whose key tuple differs from previous row's
+    diff = jnp.zeros(cap, jnp.bool_)
+    for op_sorted in sorted_all[1:-1]:  # skip dead-mask op and iota
+        prev = jnp.concatenate([op_sorted[:1], op_sorted[:-1]])
+        diff = diff | (op_sorted != prev)
+    first = jnp.zeros(cap, jnp.bool_).at[0].set(True)
+    boundary = live_sorted & (first | diff)
+    gid = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    gid = jnp.maximum(gid, 0)
+    num_groups = jnp.sum(boundary.astype(jnp.int32))
+    return perm, gid, boundary, num_groups, live_sorted
+
+
+def groupby_sorted(block: TableBlock, key_names: Sequence[str],
+                   aggs: Sequence[Tuple[AggSpec, Optional[Column]]]
+                   ) -> TableBlock:
+    """GROUP BY via sort: output block capacity == input capacity."""
+    cap = block.capacity
+    perm, gid, boundary, num_groups, live_sorted = \
+        key_group_ids_sorted(block, key_names)
+    # gather agg inputs into sorted domain
+    aggs_sorted = []
+    for spec, col in aggs:
+        if col is None:
+            aggs_sorted.append((spec, None))
+        else:
+            v = jnp.take(col.values, perm)
+            val = None if col.validity is None else jnp.take(col.validity, perm)
+            aggs_sorted.append((spec, Column(v, val, col.dtype, col.dict_values)))
+    acc = segment_aggregate(gid, cap, live_sorted, aggs_sorted,
+                            sorted_order=True)
+    # group representative rows: positions of boundaries, compacted
+    positions = jnp.nonzero(boundary, size=cap, fill_value=0)[0]
+    out_cols: Dict[str, Column] = {}
+    for name in key_names:
+        c = block.columns[name]
+        sv = jnp.take(c.values, perm)
+        v = jnp.take(sv, positions)
+        validity = None
+        if c.validity is not None:
+            validity = jnp.take(jnp.take(c.validity, perm), positions)
+        out_cols[name] = Column(v, validity, c.dtype, c.dict_values)
+    out_cols.update(acc)
+    mask = jnp.arange(cap) < num_groups
+    return TableBlock(out_cols, mask)
+
+
+def groupby_direct(block: TableBlock, key_names: Sequence[str],
+                   aggs: Sequence[Tuple[AggSpec, Optional[Column]]],
+                   domain_sizes: Sequence[int],
+                   emit_keys: bool = True) -> TableBlock:
+    """GROUP BY with statically bounded key domains (dict codes / small ints).
+
+    Group id = mixed-radix combination of key values, with one extra slot per
+    key for NULL. Output block has capacity prod(domain+1) — keys in domain
+    order, making the distributed FINAL a pure psum over the dense arrays.
+    """
+    radices = [int(d) + 1 for d in domain_sizes]  # +1 -> NULL slot at d
+    num_segments = 1
+    for r in radices:
+        num_segments *= r
+    gid = jnp.zeros(block.capacity, jnp.int64)
+    for name, d in zip(key_names, domain_sizes):
+        c = block.columns[name]
+        v = jnp.clip(c.values.astype(jnp.int64), 0, d - 1)
+        if c.validity is not None:
+            v = jnp.where(c.validity, v, d)
+        gid = gid * (d + 1) + v
+    acc = segment_aggregate(gid.astype(jnp.int32), num_segments,
+                            block.row_mask, aggs)
+    seen = jax.ops.segment_sum(block.row_mask.astype(jnp.int32),
+                               jnp.where(block.row_mask, gid, 0).astype(jnp.int32),
+                               num_segments)
+    out_cols: Dict[str, Column] = {}
+    if emit_keys:
+        idx = jnp.arange(num_segments, dtype=jnp.int64)
+        for name, d in zip(key_names, domain_sizes):
+            radix_below = 1
+            for dd in domain_sizes[key_names.index(name) + 1:]:
+                radix_below *= int(dd) + 1
+            code = (idx // radix_below) % (d + 1)
+            c = block.columns[name]
+            validity = code < d
+            out_cols[name] = Column(
+                jnp.clip(code, 0, d - 1).astype(c.values.dtype),
+                validity, c.dtype, c.dict_values)
+    out_cols.update(acc)
+    return TableBlock(out_cols, seen > 0)
