@@ -1,0 +1,344 @@
+"""Equi-join kernels — sorted-probe join over HBM-resident blocks.
+
+Replaces the reference's SIMD hash-map joins
+(/root/reference/native-engine/datafusion-ext-plans/src/joins/join_hash_map.rs
+8-wide group probing, broadcast_join_exec.rs joiner matrix, sort_merge_join_exec.rs
+streaming merge) with ONE TPU-native algorithm: the build side is compacted and
+sorted by its encoded key tuple, and every probe row finds its match range
+``[lo, hi)`` with a vectorized lexicographic binary search (log2(cap) fully
+vectorized compare passes — no data-dependent control flow, no scatter
+collisions, everything static-shape). Match ranges expand into a
+capacity-bounded output block via prefix sums, the standard XLA join-expansion
+trick. The same kernel therefore serves BroadcastHashJoin, ShuffledHashJoin
+and SortMergeJoin plan nodes (the reference's SMJ-fallback distinction
+disappears: sorted probing IS the merge join, and it never degrades on
+oversized builds because there is no hash table to blow up).
+
+Join-type matrix (reference joiner files joins/bhj/{full,semi}_join.rs,
+joins/smj/{full,semi,existence}_join.rs): Inner, Left, Right, Full, LeftSemi,
+LeftAnti (incl. null-aware NOT IN semantics, auron.proto:502), RightSemi,
+RightAnti, Existence. Join filters (inequality conditions) are applied on the
+expanded candidate pairs, then outer-row recovery is recomputed — matching
+the reference's post-filter join semantics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu import config
+from auron_tpu.block import Column, TableBlock, round_capacity
+from auron_tpu.dtypes import BOOL
+from auron_tpu.expr.strings import unify_string_columns
+from auron_tpu.ops.selection import take_block
+from auron_tpu.ops.sort import orderable_values
+
+INNER = "inner"
+LEFT = "left"
+RIGHT = "right"
+FULL = "full"
+LEFT_SEMI = "left_semi"
+LEFT_ANTI = "left_anti"
+RIGHT_SEMI = "right_semi"
+RIGHT_ANTI = "right_anti"
+EXISTENCE = "existence"
+
+_PROBE_SIDE_TYPES = {INNER, LEFT, LEFT_SEMI, LEFT_ANTI, EXISTENCE}
+
+
+@dataclass(frozen=True)
+class JoinSpec:
+    """Equi-join description: key column names on each side.
+
+    ``join_type`` uses left/right relative to (probe=left, build=right)
+    framing at this layer; the plan layer maps Spark build-side choices onto
+    it. ``null_aware`` applies NOT IN semantics to LEFT_ANTI.
+    ``existence_col`` names the appended bool column for EXISTENCE joins.
+    """
+
+    left_keys: Tuple[str, ...]
+    right_keys: Tuple[str, ...]
+    join_type: str = INNER
+    null_aware: bool = False
+    existence_col: str = "exists#"
+
+
+def _encoded_keys(left: TableBlock, right: TableBlock,
+                  spec: JoinSpec) -> Tuple[List, List, jnp.ndarray, jnp.ndarray]:
+    """Per key column: comparable int encodings with unified dictionaries.
+
+    Returns (left_ops, right_ops, left_keys_valid, right_keys_valid).
+    """
+    l_ops, r_ops = [], []
+    l_valid = left.row_mask
+    r_valid = right.row_mask
+    for ln, rn in zip(spec.left_keys, spec.right_keys):
+        lc, rc = left.columns[ln], right.columns[rn]
+        if lc.dtype.is_string or rc.dtype.is_string:
+            (lc, rc), _ = unify_string_columns([lc, rc])
+        l_ops.append(orderable_values(lc).astype(jnp.int64))
+        r_ops.append(orderable_values(rc).astype(jnp.int64))
+        if lc.validity is not None:
+            l_valid = l_valid & lc.validity
+        if rc.validity is not None:
+            r_valid = r_valid & rc.validity
+    return l_ops, r_ops, l_valid, r_valid
+
+
+def _lex_search(build_ops: Sequence[jnp.ndarray], n_build: int,
+                probe_ops: Sequence[jnp.ndarray], side: str):
+    """Vectorized lexicographic searchsorted.
+
+    ``build_ops`` are sorted ascending (lexicographic, joinable rows first up
+    to traced count n_build). Returns per-probe-row insertion points.
+    """
+    m = probe_ops[0].shape[0]
+    cap = build_ops[0].shape[0]
+    lo = jnp.zeros(m, jnp.int32)
+    hi = jnp.broadcast_to(jnp.asarray(n_build, jnp.int32), (m,))
+    steps = max(int(np.ceil(np.log2(max(cap, 2)))) + 1, 1)
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        safe = jnp.clip(mid, 0, cap - 1)
+        lt = jnp.zeros(m, jnp.bool_)
+        eq = jnp.ones(m, jnp.bool_)
+        for b_op, p_op in zip(build_ops, probe_ops):
+            bv = jnp.take(b_op, safe)
+            lt = lt | (eq & (bv < p_op))
+            eq = eq & (bv == p_op)
+        go_right = (lt | eq) if side == "right" else lt
+        cont = lo < hi
+        lo = jnp.where(cont & go_right, mid + 1, lo)
+        hi = jnp.where(cont & ~go_right, mid, hi)
+    return lo
+
+
+def _run_starts(offsets_at: jnp.ndarray, total: jnp.ndarray, out_cap: int):
+    """For output slot j, the candidate-pair index -> owning probe row.
+
+    offsets_at[p] = exclusive prefix sum of per-probe output counts. Row p
+    owns slots [offsets_at[p], offsets_at[p+1]). Inverse mapping via a
+    searchsorted over the (sorted, ascending) offsets.
+    """
+    j = jnp.arange(out_cap, dtype=offsets_at.dtype)
+    owner = jnp.searchsorted(offsets_at, j, side="right") - 1
+    live = j < total
+    return owner, live
+
+
+def _null_build_columns(build: TableBlock, gather_idx, valid) -> Dict[str, Column]:
+    cols = {}
+    for name, c in build.columns.items():
+        vals = jnp.take(c.values, gather_idx, axis=0)
+        v = valid if c.validity is None else \
+            (valid & jnp.take(c.validity, gather_idx, axis=0))
+        cols[name] = Column(vals, v, c.dtype, c.dict_values)
+    return cols
+
+
+def join_blocks(left: TableBlock, right: TableBlock, spec: JoinSpec,
+                out_capacity: Optional[int] = None,
+                filter_fn=None) -> TableBlock:
+    """Execute the join. ``left`` is the probe side, ``right`` the build side.
+
+    ``filter_fn(block) -> bool array`` evaluates an extra (non-equi) join
+    condition over the joined candidate block; pairs failing it are treated
+    as non-matches (outer semantics recomputed afterwards).
+    """
+    jt = spec.join_type
+    l_ops, r_ops, l_valid, r_valid = _encoded_keys(left, right, spec)
+    build_cap = right.capacity
+    probe_cap = left.capacity
+
+    # ---- build: stable sort joinable rows first, by key tuple -------------
+    joinable = r_valid  # live & all keys non-null
+    sort_ops = [~joinable] + [jnp.where(joinable, op, 0) for op in r_ops]
+    iota_b = jnp.arange(build_cap, dtype=jnp.int32)
+    *_, build_perm = jax.lax.sort(
+        tuple(sort_ops) + (iota_b,), dimension=0, is_stable=True,
+        num_keys=len(sort_ops))
+    n_build = jnp.sum(joinable.astype(jnp.int32))
+    sorted_ops = [jnp.take(jnp.where(joinable, op, 0), build_perm)
+                  for op in r_ops]
+
+    # ---- probe: match ranges ---------------------------------------------
+    lo = _lex_search(sorted_ops, n_build, l_ops, "left")
+    hi = _lex_search(sorted_ops, n_build, l_ops, "right")
+    matches = jnp.where(l_valid, hi - lo, 0)
+
+    if filter_fn is None and jt in (LEFT_SEMI, LEFT_ANTI, EXISTENCE):
+        return _probe_only(left, matches, l_valid, right.row_mask, joinable,
+                           spec)
+
+    # ---- expansion: candidate pairs --------------------------------------
+    left_outerish = jt in (LEFT, FULL)
+    # left-outer rows with no match still occupy one output slot
+    eff = jnp.where(left.row_mask,
+                    jnp.maximum(matches, 1) if (left_outerish and filter_fn is None)
+                    else matches, 0)
+    if filter_fn is not None and (left_outerish or jt in
+                                  (LEFT_SEMI, LEFT_ANTI, EXISTENCE)):
+        eff = jnp.where(left.row_mask, matches, 0)  # recover outer rows later
+    offsets = jnp.cumsum(eff) - eff  # exclusive prefix sum
+    total = jnp.sum(eff)
+    if out_capacity is None:
+        factor = config.conf.get(config.JOIN_OUT_FACTOR)
+        out_capacity = round_capacity(int(probe_cap * factor))
+    owner, pair_live = _run_starts(offsets, total, out_capacity)
+    owner = jnp.clip(owner, 0, probe_cap - 1)
+    within = jnp.arange(out_capacity, dtype=jnp.int32) - \
+        jnp.take(offsets, owner).astype(jnp.int32)
+    has_match = jnp.take(matches, owner) > 0
+    b_sorted_pos = jnp.take(lo, owner) + within
+    b_row = jnp.take(build_perm, jnp.clip(b_sorted_pos, 0, build_cap - 1))
+
+    l_gidx = owner
+    out_cols = {}
+    for name, c in left.columns.items():
+        vals = jnp.take(c.values, l_gidx, axis=0)
+        v = None if c.validity is None else jnp.take(c.validity, l_gidx, axis=0)
+        out_cols[name] = Column(vals, v, c.dtype, c.dict_values)
+    build_valid_row = pair_live & has_match
+    out_cols.update(_null_build_columns(right, b_row, build_valid_row))
+    pair_block = TableBlock(out_cols, pair_live)
+
+    # ---- join filter ------------------------------------------------------
+    if filter_fn is not None:
+        keep = filter_fn(pair_block)
+        pair_matched = pair_live & has_match & keep
+        # per-probe-row surviving match count (segment sum over owners)
+        surv = jax.ops.segment_sum(
+            pair_matched.astype(jnp.int32),
+            jnp.where(pair_live, l_gidx, 0), probe_cap)
+        if jt in (LEFT_SEMI, LEFT_ANTI, EXISTENCE):
+            return _probe_only(left, surv, l_valid, right.row_mask, joinable,
+                               spec)
+        pair_block = pair_block.with_mask(pair_matched)
+        matched_probe = surv > 0
+    else:
+        pair_matched = pair_live & has_match
+        matched_probe = matches > 0
+        if jt in (INNER, RIGHT, RIGHT_SEMI, RIGHT_ANTI):
+            pair_block = pair_block.with_mask(pair_matched)
+        # LEFT/FULL keep the padded no-match slots (build side nulled)
+
+    if jt in (LEFT, FULL) and filter_fn is not None:
+        # recover unmatched probe rows: append region of probe_cap slots
+        pair_block = _append_unmatched_probe(pair_block, left, right,
+                                             matched_probe)
+    if jt in (RIGHT, FULL, RIGHT_SEMI, RIGHT_ANTI):
+        # matched flags on build rows: scatter from surviving pairs
+        b_matched = jax.ops.segment_max(
+            pair_matched.astype(jnp.int32),
+            jnp.where(pair_matched, b_row, 0), build_cap) > 0
+        if jt == RIGHT_SEMI:
+            return right.with_mask(right.row_mask & b_matched)
+        if jt == RIGHT_ANTI:
+            return right.with_mask(right.row_mask & ~b_matched)
+        pair_block = _append_unmatched_build(pair_block, left, right,
+                                             b_matched)
+    return pair_block
+
+
+def _probe_only(left: TableBlock, match_counts, l_valid, right_live,
+                right_joinable, spec: JoinSpec) -> TableBlock:
+    """Semi/anti/existence outputs: probe block + mask/flag, zero movement."""
+    jt = spec.join_type
+    matched = match_counts > 0
+    if jt == LEFT_SEMI:
+        return left.with_mask(left.row_mask & matched)
+    if jt == LEFT_ANTI:
+        keep = left.row_mask & ~matched
+        if spec.null_aware:
+            # NOT IN semantics: a probe row survives only if its key is
+            # non-NULL, it matched nothing, AND the build side holds no
+            # live row with a NULL key (x NOT IN (..., NULL) is never true).
+            build_has_null = jnp.sum(
+                (right_live & ~right_joinable).astype(jnp.int32)) > 0
+            keep = keep & l_valid & jnp.broadcast_to(~build_has_null,
+                                                     keep.shape)
+        return left.with_mask(keep)
+    # EXISTENCE: left block + bool column
+    flag = Column.of(matched, BOOL)
+    return left.with_columns({spec.existence_col: flag})
+
+
+def join_match_counts(left: TableBlock, right: TableBlock, spec: JoinSpec):
+    """Match counts per probe row (used by null-aware anti + planners)."""
+    l_ops, r_ops, l_valid, r_valid = _encoded_keys(left, right, spec)
+    build_cap = right.capacity
+    joinable = r_valid
+    sort_ops = [~joinable] + [jnp.where(joinable, op, 0) for op in r_ops]
+    iota_b = jnp.arange(build_cap, dtype=jnp.int32)
+    *_, build_perm = jax.lax.sort(
+        tuple(sort_ops) + (iota_b,), dimension=0, is_stable=True,
+        num_keys=len(sort_ops))
+    n_build = jnp.sum(joinable.astype(jnp.int32))
+    sorted_ops = [jnp.take(jnp.where(joinable, op, 0), build_perm)
+                  for op in r_ops]
+    lo = _lex_search(sorted_ops, n_build, l_ops, "left")
+    hi = _lex_search(sorted_ops, n_build, l_ops, "right")
+    return jnp.where(l_valid, hi - lo, 0)
+
+
+def _append_unmatched_probe(pair_block: TableBlock, left: TableBlock,
+                            right: TableBlock, matched_probe) -> TableBlock:
+    """Concatenate probe rows that matched nothing (build columns NULL)."""
+    extra_live = left.row_mask & ~matched_probe
+    cols = {}
+    for name, c in left.columns.items():
+        cols[name] = c
+    idx = jnp.arange(left.capacity, dtype=jnp.int32)
+    cols.update(_null_build_columns(
+        right, jnp.zeros(left.capacity, jnp.int32),
+        jnp.zeros(left.capacity, jnp.bool_)))
+    del idx
+    extra = TableBlock(cols, extra_live)
+    return concat_blocks([pair_block, extra])
+
+
+def _append_unmatched_build(pair_block: TableBlock, left: TableBlock,
+                            right: TableBlock, b_matched) -> TableBlock:
+    extra_live = right.row_mask & ~b_matched
+    cols = {}
+    for name, c in left.columns.items():
+        vals = jnp.zeros((right.capacity,) + c.values.shape[1:],
+                         c.values.dtype)
+        cols[name] = Column(vals, jnp.zeros(right.capacity, jnp.bool_),
+                            c.dtype, c.dict_values)
+    for name, c in right.columns.items():
+        cols[name] = c
+    extra = TableBlock(cols, extra_live)
+    return concat_blocks([pair_block, extra])
+
+
+def concat_blocks(blocks: Sequence[TableBlock]) -> TableBlock:
+    """Concatenate blocks along the row axis (schemas must match).
+
+    The CoalesceBatches analog (reference execution_context.rs:146-233) —
+    output capacity is the sum of inputs; callers compact when it pays.
+    """
+    names = blocks[0].names
+    cols = {}
+    for name in names:
+        ref = blocks[0].columns[name]
+        scols = [b.columns[name] for b in blocks]
+        if ref.dtype.is_string:
+            scols, _ = unify_string_columns(scols)
+        have_validity = any(c.validity is not None for c in scols)
+        vals = jnp.concatenate([c.values for c in scols])
+        validity = None
+        if have_validity:
+            validity = jnp.concatenate([
+                c.validity if c.validity is not None
+                else jnp.ones(c.values.shape[0], jnp.bool_) for c in scols])
+        cols[name] = Column(vals, validity, ref.dtype,
+                            scols[0].dict_values if ref.dtype.is_string
+                            else ref.dict_values)
+    mask = jnp.concatenate([b.row_mask for b in blocks])
+    return TableBlock(cols, mask)
