@@ -172,6 +172,11 @@ EXCHANGE_CHUNK_ROWS = ConfigOption(
     "auron.exchange.chunk.rows", 1 << 18, int,
     "Rows per all_to_all chunk; chunks are double-buffered against compute.")
 
+EXCHANGE_PAIR_SLACK = ConfigOption(
+    "auron.exchange.pair.slack", 2.0, float,
+    "all_to_all staging capacity per (src,dst) pair = slack * capacity/n. "
+    "Covers moderate skew; heavy keys are pre-split by the skew handler.")
+
 EXCHANGE_CODEC = ConfigOption(
     "auron.exchange.codec", "none", str,
     "Compression codec for host-boundary exchange staging: none|zlib.")

@@ -1,0 +1,56 @@
+"""Generate (explode / posexplode) — row expansion over array columns.
+
+Reference: generate_exec.rs:550 + generate/mod.rs. Arrays on TPU are
+fixed-width planes: a list column ``name`` is carried as two block columns,
+``name#vals`` (2-D values, shape [capacity, max_len]) and ``name#len``
+(int32 per-row lengths). Explode expands rows with the same prefix-sum
+expansion used by the join kernel: per-row output count = length (or
+max(length,1) for OUTER), owner lookup via searchsorted.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from auron_tpu import config
+from auron_tpu.block import Column, TableBlock, round_capacity
+from auron_tpu.dtypes import INT32
+
+
+def generate_block(block: TableBlock, node) -> TableBlock:
+    vals_col = block.columns[f"{node.column}#vals"]
+    len_col = block.columns[f"{node.column}#len"]
+    cap, max_len = vals_col.values.shape
+    lengths = jnp.clip(len_col.values.astype(jnp.int32), 0, max_len)
+    if len_col.validity is not None:
+        lengths = jnp.where(len_col.validity, lengths, 0)
+
+    eff = jnp.where(block.row_mask,
+                    jnp.maximum(lengths, 1) if node.outer else lengths, 0)
+    offsets = jnp.cumsum(eff) - eff
+    total = jnp.sum(eff)
+    out_cap = node.out_capacity or round_capacity(cap * max(1, max_len // 2))
+
+    j = jnp.arange(out_cap, dtype=offsets.dtype)
+    owner = jnp.clip(jnp.searchsorted(offsets, j, side="right") - 1, 0, cap - 1)
+    live = j < total
+    within = (j - jnp.take(offsets, owner)).astype(jnp.int32)
+    has_elem = within < jnp.take(lengths, owner)
+
+    cols = {}
+    for name, c in block.columns.items():
+        if name in (f"{node.column}#vals", f"{node.column}#len"):
+            continue
+        v = jnp.take(c.values, owner, axis=0)
+        validity = None if c.validity is None else jnp.take(c.validity, owner)
+        cols[name] = Column(v, validity, c.dtype, c.dict_values)
+    elem = vals_col.values[owner, jnp.clip(within, 0, max_len - 1)]
+    elem_valid = live & has_elem
+    if vals_col.validity is not None and vals_col.validity.ndim == 2:
+        elem_valid = elem_valid & vals_col.validity[
+            owner, jnp.clip(within, 0, max_len - 1)]
+    if node.kind == "posexplode":
+        cols[node.pos_name] = Column.of(within, INT32, elem_valid)
+    cols[node.out_name] = Column(elem, elem_valid, vals_col.dtype,
+                                 vals_col.dict_values)
+    return TableBlock(cols, live)

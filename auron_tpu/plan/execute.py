@@ -1,0 +1,368 @@
+"""Plan executor: physical plan tree -> pure JAX block pipelines.
+
+The analog of the reference's PhysicalPlanner + per-task runtime
+(/root/reference/native-engine/auron-planner/src/planner.rs:122,
+auron/src/rt.rs:76-205), minus the JNI/tokio machinery: a plan executes as a
+Python walk that builds one traced computation over all partitions, so a
+whole query stage jits into a single XLA program (the executor itself is
+traceable — `jax.jit(lambda *blocks: execute_plan(...))` works because all
+control flow is static in the plan).
+
+Data model: a plan node produces ``List[TableBlock]`` — one block per
+partition (the analog of one native runtime per Spark partition task,
+rt.rs:76-139). Exchange nodes re-route rows between partitions.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from auron_tpu import config
+from auron_tpu.block import Column, TableBlock
+from auron_tpu.dtypes import INT64
+from auron_tpu.expr import nodes as E
+from auron_tpu.expr.eval import (evaluate, filter_block, materialize,
+                                 project_block)
+from auron_tpu.ops import join as J
+from auron_tpu.ops.aggregate import AggSpec, groupby_direct, groupby_sorted
+from auron_tpu.ops.selection import compact, head_limit
+from auron_tpu.ops.sort import sort_block
+from auron_tpu.ops.window import window_block
+from auron_tpu.parallel import partition as P
+from auron_tpu.plan import nodes as PN
+
+
+class Session:
+    """Holds registered tables + config + metrics; one per driver process
+    (analog of the per-executor SessionContext, reference exec.rs:50-101)."""
+
+    def __init__(self, conf: Optional[config.AuronConf] = None):
+        self.tables: Dict[str, List[TableBlock]] = {}
+        self.conf = conf or config.conf
+        self.metrics: Dict[str, Dict[str, float]] = {}
+
+    def register(self, name: str, blocks) -> "Session":
+        if isinstance(blocks, TableBlock):
+            blocks = [blocks]
+        self.tables[name] = list(blocks)
+        return self
+
+    def register_pandas(self, name: str, df, num_partitions: int = 1,
+                        dtypes=None) -> "Session":
+        parts = np.array_split(np.arange(len(df)), num_partitions)
+        blocks = [TableBlock.from_pandas(df.iloc[idx], dtypes=dtypes)
+                  for idx in parts if True]
+        self.tables[name] = blocks
+        return self
+
+    def sql_result(self, plan: PN.PlanNode):
+        """Execute and gather to one pandas DataFrame (output boundary)."""
+        blocks = execute_plan(plan, self)
+        import pandas as pd
+        return pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
+
+
+def execute_plan(plan: PN.PlanNode, session: Session) -> List[TableBlock]:
+    """Evaluate the plan bottom-up; traceable (jit the caller for fusion)."""
+    return _exec(plan, session)
+
+
+def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
+    t0 = time.perf_counter()
+    out = _dispatch(node, s)
+    if s.conf.get(config.METRICS_ENABLE):
+        key = f"{type(node).__name__}@{id(node):x}"
+        m = s.metrics.setdefault(key, {"calls": 0, "wall_s": 0.0})
+        m["calls"] += 1
+        m["wall_s"] += time.perf_counter() - t0
+        m["partitions"] = len(out)
+    return out
+
+
+def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
+    if isinstance(node, PN.MemoryScan):
+        blocks = s.tables[node.table]
+        if node.projection:
+            blocks = [b.project(list(node.projection)) for b in blocks]
+        return blocks
+    if isinstance(node, PN.ParquetScan):
+        from auron_tpu.io.parquet import read_parquet_blocks
+        return read_parquet_blocks(node)
+    if isinstance(node, PN.Filter):
+        return [filter_block(b, node.predicate)
+                for b in _exec(node.child, s)]
+    if isinstance(node, PN.Project):
+        exprs = [E.Alias(e, name) for name, e in node.exprs]
+        return [project_block(b, exprs) for b in _exec(node.child, s)]
+    if isinstance(node, PN.Agg):
+        return [_agg_block(b, node) for b in _exec(node.child, s)]
+    if isinstance(node, PN.Sort):
+        return [sort_block(b, list(node.keys), limit=node.fetch)
+                for b in _exec(node.child, s)]
+    if isinstance(node, PN.Limit):
+        return [head_limit(b, node.limit, node.offset)
+                for b in _exec(node.child, s)]
+    if isinstance(node, PN.Join):
+        return _join(node, s)
+    if isinstance(node, PN.Exchange):
+        blocks = _exec(node.child, s)
+        return P.repartition(blocks, node.partitioning)
+    if isinstance(node, PN.Union):
+        out: List[TableBlock] = []
+        for c in node.children_nodes:
+            out.extend(_exec(c, s))
+        return out
+    if isinstance(node, PN.Expand):
+        outs = []
+        for b in _exec(node.child, s):
+            pieces = [project_block(b, [E.Alias(e, n) for n, e in proj])
+                      for proj in node.projections]
+            outs.append(J.concat_blocks(pieces))
+        return outs
+    if isinstance(node, PN.Window):
+        return [window_block(b, list(node.partition_by), list(node.order_by),
+                             list(node.funcs), node.group_limit,
+                             node.output_window_cols)
+                for b in _exec(node.child, s)]
+    if isinstance(node, PN.Generate):
+        from auron_tpu.ops.generate import generate_block
+        return [generate_block(b, node) for b in _exec(node.child, s)]
+    if isinstance(node, PN.Rename):
+        mapping = dict(node.mapping)
+        return [b.rename(mapping) for b in _exec(node.child, s)]
+    if isinstance(node, PN.Empty):
+        from auron_tpu.block import round_capacity
+        cap = round_capacity(1)
+        cols = {}
+        for f in node.schema_like:
+            cols[f.name] = Column(
+                jnp.zeros(cap, f.dtype.jnp_dtype), None, f.dtype, None)
+        empty = TableBlock(cols, jnp.zeros(cap, jnp.bool_))
+        return [empty] * node.num_partitions
+    if isinstance(node, PN.Debug):
+        blocks = _exec(node.child, s)
+        for i, b in enumerate(blocks):
+            jax.debug.print("[debug {t}] partition {i}: rows={r}",
+                            t=node.tag, i=i, r=b.num_rows())
+        return blocks
+    if isinstance(node, PN.Coalesce):
+        blocks = _exec(node.child, s)
+        n = node.num_partitions
+        groups = [blocks[i::n] for i in range(n)]
+        return [J.concat_blocks(g) if len(g) > 1 else g[0]
+                for g in groups if g]
+    raise NotImplementedError(f"plan node {type(node).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+_SWAP = {J.INNER: J.INNER, J.LEFT: J.RIGHT, J.RIGHT: J.LEFT, J.FULL: J.FULL,
+         J.LEFT_SEMI: J.RIGHT_SEMI, J.LEFT_ANTI: J.RIGHT_ANTI,
+         J.RIGHT_SEMI: J.LEFT_SEMI, J.RIGHT_ANTI: J.LEFT_ANTI}
+
+
+def _join(node: PN.Join, s: Session) -> List[TableBlock]:
+    left = _exec(node.left, s)
+    right = _exec(node.right, s)
+    filter_fn = None
+    if node.condition is not None:
+        cond = node.condition
+
+        def filter_fn(block, _c=cond):
+            c = evaluate(_c, block)
+            keep = materialize(c, block.capacity)
+            ok = keep.values.astype(jnp.bool_)
+            if keep.validity is not None:
+                ok = ok & keep.validity
+            return ok
+
+    if node.build == "left":
+        # swap so the kernel's build side is the collected/broadcast side
+        spec = J.JoinSpec(node.right_keys, node.left_keys,
+                          _SWAP[node.join_type], node.null_aware,
+                          node.existence_col)
+        probe, build = right, left
+    else:
+        spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
+                          node.null_aware, node.existence_col)
+        probe, build = left, right
+
+    if node.strategy == "broadcast":
+        # replicate the build table against every probe partition
+        # (BroadcastHashJoin; reference broadcast_join_exec.rs:592-609 caches
+        # the built map per executor — here the jit cache plays that role)
+        bblock = build[0] if len(build) == 1 else J.concat_blocks(build)
+        return [J.join_blocks(p, bblock, spec, node.out_capacity, filter_fn)
+                for p in probe]
+    # partitioned (shuffled hash / sort-merge): partition-wise zip
+    if len(probe) != len(build):
+        raise ValueError(
+            f"partitioned join needs equal partition counts, got "
+            f"{len(probe)} vs {len(build)} — insert Exchange nodes")
+    return [J.join_blocks(p, b, spec, node.out_capacity, filter_fn)
+            for p, b in zip(probe, build)]
+
+
+# ---------------------------------------------------------------------------
+# Aggregation: partial/final state-column protocol
+# ---------------------------------------------------------------------------
+
+def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
+    key_names = [n for n, _ in node.keys]
+    if node.mode == "final":
+        work = block  # keys/state columns already materialized by partial
+    else:
+        exprs = [E.Alias(e, n) for n, e in node.keys]
+        key_block = project_block(block, exprs)
+        cols = dict(block.columns)
+        cols.update(key_block.columns)
+        work = TableBlock(cols, block.row_mask)
+
+    specs: List[Tuple[AggSpec, Optional[Column]]] = []
+    post: List[Tuple[str, str]] = []  # (kind, name) post-processing steps
+    drop: List[str] = []
+    for call in node.calls:
+        specs_i, post_i, drop_i = _call_specs(call, node.mode, work)
+        specs.extend(specs_i)
+        post.extend(post_i)
+        drop.extend(drop_i)
+
+    out = _run_groupby(work, key_names, specs)
+
+    # post-process (avg division), drop internal state columns
+    cols = dict(out.columns)
+    for kind, name in post:
+        if kind == "avg_div":
+            snm, cnm = f"{name}#s", f"{name}#c"
+            sc, cc = cols[snm], cols[cnm]
+            cnt = cc.values.astype(jnp.float64)
+            vals = sc.values.astype(jnp.float64) / jnp.maximum(cnt, 1.0)
+            validity = cc.values > 0
+            if sc.validity is not None:
+                validity = validity & sc.validity
+            from auron_tpu.dtypes import FLOAT64
+            cols[name] = Column.of(vals, FLOAT64, validity)
+    for d in drop:
+        cols.pop(d, None)
+    # order: keys first, then call outputs
+    ordered = {k: cols[k] for k in key_names}
+    for call in node.calls:
+        if node.mode == "partial":
+            for n in _partial_names(call):
+                ordered[n] = cols[n]
+        else:
+            ordered[call.name] = cols[call.name]
+    return TableBlock(ordered, out.row_mask)
+
+
+def _partial_names(call: PN.AggCall) -> List[str]:
+    if call.kind == "avg":
+        return [f"{call.name}#s", f"{call.name}#c"]
+    return [call.name]
+
+
+def _input_column(call: PN.AggCall, block: TableBlock) -> Optional[Column]:
+    if call.expr is None:
+        col = None
+    else:
+        col = materialize(evaluate(call.expr, block), block.capacity)
+    if call.filter is not None:
+        f = materialize(evaluate(call.filter, block), block.capacity)
+        ok = f.values.astype(jnp.bool_)
+        if f.validity is not None:
+            ok = ok & f.validity
+        if col is None:  # count_star with FILTER -> count over filter flags
+            col = Column.of(jnp.ones(block.capacity, jnp.int64), INT64, ok)
+        else:
+            v = ok if col.validity is None else (col.validity & ok)
+            col = Column(col.values, v, col.dtype, col.dict_values)
+    return col
+
+
+def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
+    """Map an AggCall to low-level AggSpecs for the given mode."""
+    specs: List[Tuple[AggSpec, Optional[Column]]] = []
+    post: List[Tuple[str, str]] = []
+    drop: List[str] = []
+    k = call.kind
+    if mode in ("single", "partial"):
+        col = _input_column(call, block)
+        if k == "count_star" and col is not None:
+            k = "count"  # FILTER rewrote it to a counted column
+        if k == "avg":
+            specs.append((AggSpec(f"{call.name}#s", "sum"), col))
+            specs.append((AggSpec(f"{call.name}#c", "count"), col))
+            if mode == "single":
+                post.append(("avg_div", call.name))
+                drop += [f"{call.name}#s", f"{call.name}#c"]
+        else:
+            specs.append((AggSpec(call.name, k), col))
+    else:  # final: inputs are partial state columns
+        if k == "avg":
+            specs.append((AggSpec(f"{call.name}#s", "sum"),
+                          block.columns[f"{call.name}#s"]))
+            specs.append((AggSpec(f"{call.name}#c", "count", merge=True),
+                          block.columns[f"{call.name}#c"]))
+            post.append(("avg_div", call.name))
+            drop += [f"{call.name}#s", f"{call.name}#c"]
+        elif k in ("count", "count_star"):
+            specs.append((AggSpec(call.name, "count", merge=True),
+                          block.columns[call.name]))
+        elif k in ("sum", "min", "max", "first", "first_ignores_null"):
+            specs.append((AggSpec(call.name, "sum" if k == "sum" else k),
+                          block.columns[call.name]))
+        else:
+            raise NotImplementedError(f"final merge for {k}")
+    return specs, post, drop
+
+
+def _run_groupby(block: TableBlock, key_names: List[str], specs):
+    """Choose the physical grouping strategy (agg_table.rs's HASH vs SORT
+    modes re-imagined): all-dictionary keys with a small combined domain use
+    the dense `groupby_direct` speed path; otherwise sort-based grouping."""
+    domains = []
+    direct_ok = bool(key_names)
+    for kn in key_names:
+        c = block.columns[kn]
+        if c.dtype.is_string and c.dict_values is not None:
+            domains.append(len(c.dict_values))
+        elif c.dtype.name == "bool":
+            domains.append(2)
+        else:
+            direct_ok = False
+            break
+    if direct_ok:
+        total = 1
+        for d in domains:
+            total *= d + 1
+        if total <= max(4 * block.capacity, 1 << 16):
+            return groupby_direct(block, key_names, specs, domains)
+    if not key_names:
+        return _global_agg(block, specs)
+    return groupby_sorted(block, key_names, specs)
+
+
+def _global_agg(block: TableBlock, specs) -> TableBlock:
+    """Aggregation without GROUP BY: one output row."""
+    from auron_tpu.ops.aggregate import segment_aggregate
+    gid = jnp.zeros(block.capacity, jnp.int32)
+    acc = segment_aggregate(gid, 1, block.row_mask, specs)
+    cap = 8
+    cols = {}
+    for name, c in acc.items():
+        vals = jnp.zeros((cap,) + c.values.shape[1:], c.values.dtype)
+        vals = vals.at[0].set(c.values[0])
+        validity = None
+        if c.validity is not None:
+            v = jnp.zeros(cap, jnp.bool_).at[0].set(c.validity[0])
+            validity = v
+        cols[name] = Column(vals, validity, c.dtype, c.dict_values)
+    mask = jnp.zeros(cap, jnp.bool_).at[0].set(True)
+    return TableBlock(cols, mask)
