@@ -46,19 +46,27 @@ def default_pair_capacity(capacity: int, n_dest: int, slack: float = 2.0
 
 def all_to_all_exchange(block: TableBlock, part, axis_name: str,
                         pair_capacity: Optional[int] = None) -> TableBlock:
-    """Inside shard_map: route rows to the device == their partition id.
+    """Inside shard_map: route rows to the device == their partition id."""
+    return all_to_all_exchange_ids(block, partition_ids(block, part),
+                                   axis_name, pair_capacity)
 
-    Returns the local output block (capacity = n_dest * pair_capacity).
-    Rows that exceed ``pair_capacity`` for one (src,dst) pair are dropped —
-    sized so this cannot happen for the workloads we run; the skew handler
-    pre-splits heavy keys (see parallel/skew.py) and tests assert counts.
+
+def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
+                            pair_capacity: Optional[int] = None
+                            ) -> TableBlock:
+    """Exchange with caller-provided destination ids (skew handler path).
+
+    ``ids`` >= n or a dead row mean "drop". Returns the local output block
+    (capacity = n_dest * pair_capacity). Rows exceeding ``pair_capacity``
+    for one (src,dst) pair are dropped — sized so this cannot happen for the
+    workloads we run; the skew handler pre-splits heavy keys
+    (parallel/skew.py) and tests assert counts.
     """
     n = jax.lax.axis_size(axis_name)
     cap = block.capacity
     C = pair_capacity or default_pair_capacity(
         cap, n, config.conf.get(config.EXCHANGE_PAIR_SLACK))
 
-    ids = partition_ids(block, part)
     ids = jnp.where(block.row_mask, ids, n)  # dead rows -> sentinel bucket
 
     # partition-sort rows by destination (stable)
@@ -89,8 +97,9 @@ def all_to_all_exchange(block: TableBlock, part, axis_name: str,
         if c.validity is not None:
             validity = stage_and_swap(c.validity).reshape(n * C)
         out_cols[name] = Column(vals, validity, c.dtype, c.dict_values)
-    out_mask = stage_and_swap(slot_live & block.row_mask[src_row]
-                              ).reshape(n * C)
+    staged_mask = slot_live & jnp.take(block.row_mask, src_row)
+    out_mask = jax.lax.all_to_all(staged_mask, axis_name, split_axis=0,
+                                  concat_axis=0, tiled=True).reshape(n * C)
     return TableBlock(out_cols, out_mask)
 
 

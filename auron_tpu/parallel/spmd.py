@@ -182,6 +182,19 @@ class SpmdExecutor:
             probe, build = left, right
         if node.strategy == "broadcast":
             build = all_gather_block(build, self.axis)
+        elif node.strategy == "skewed":
+            # children arrive UN-exchanged; the skew handler routes both
+            # sides itself (heavy probe keys salted, heavy build rows
+            # replicated — see parallel/skew.py). Probe-side join types only.
+            if spec.join_type not in (J.INNER, J.LEFT, J.LEFT_SEMI,
+                                      J.LEFT_ANTI, J.EXISTENCE):
+                raise ValueError(
+                    "skewed join supports probe-side join types only")
+            from auron_tpu.parallel.skew import skewed_join_exchange
+            n = jax.lax.axis_size(self.axis)
+            probe, build = skewed_join_exchange(
+                probe, build, list(spec.left_keys), list(spec.right_keys),
+                self.axis, n)
         return J.join_blocks(probe, build, spec, node.out_capacity, filter_fn)
 
 

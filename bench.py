@@ -1,0 +1,101 @@
+"""Headline benchmark: TPC-DS q03-style join+agg rows/s/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Mirrors the reference's benchmark methodology (native engine vs the vanilla
+JVM engine on the same query, README.md:100-106 => 2.02x): ``vs_baseline``
+is the speedup of this engine over the vanilla in-process engine (pandas)
+running the identical query on the same host — the same "accelerator vs
+baseline engine" ratio Auron reports against Spark.
+
+Workload (BASELINE.json configs #2/#3 blend): fact 8M rows x dim 100k
+broadcast hash join + filter + GROUP BY(16) partial/final aggregate + sort.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def _build(n_fact, n_dim):
+    import pandas as pd
+    rng = np.random.default_rng(0)
+    fact = pd.DataFrame({
+        "k": rng.integers(0, n_dim, n_fact).astype(np.int64),
+        "v": rng.normal(size=n_fact),
+        "w": rng.integers(0, 1000, n_fact).astype(np.int64),
+    })
+    dim = pd.DataFrame({
+        "k2": np.arange(n_dim, dtype=np.int64),
+        "grp": (np.arange(n_dim) % 16).astype(np.int64),
+    })
+    return fact, dim
+
+
+def _pandas_query(fact, dim):
+    f = fact[fact["v"] > -1.0].merge(dim, left_on="k", right_on="k2")
+    out = f.groupby("grp").agg(s=("v", "sum"), c=("v", "size"),
+                               m=("w", "max")).reset_index()
+    return out.sort_values("grp").reset_index(drop=True)
+
+
+def main():
+    import jax
+    from auron_tpu.block import TableBlock, round_capacity
+    from auron_tpu.expr.nodes import col, lit
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.parallel.partition import SinglePartitioning
+    from auron_tpu.plan import (Agg, AggCall, Exchange, Filter, Join,
+                                MemoryScan, Session, Sort, execute_plan)
+
+    n_fact, n_dim = 8_000_000, 100_000
+    fact, dim = _build(n_fact, n_dim)
+
+    cap_f = round_capacity(n_fact)
+    fact_b = TableBlock.from_pandas(fact, capacity=cap_f)
+    dim_b = TableBlock.from_pandas(dim, capacity=round_capacity(n_dim))
+
+    joined = Join(Filter(MemoryScan("fact"), col("v") > lit(-1.0)),
+                  MemoryScan("dim"), ("k",), ("k2",), strategy="broadcast",
+                  out_capacity=cap_f)
+    agg = Agg(joined, keys=(("grp", col("grp")),),
+              calls=(AggCall("s", "sum", col("v")),
+                     AggCall("c", "count_star"),
+                     AggCall("m", "max", col("w"))),
+              mode="single")
+    plan = Sort(agg, (SortKey("grp"),))
+
+    def step(fact_block, dim_block):
+        s = Session()
+        s.register("fact", fact_block)
+        s.register("dim", dim_block)
+        return execute_plan(plan, s)[0]
+
+    jitted = jax.jit(step)
+    out = jitted(fact_b, dim_b)  # compile + warmup
+    jax.block_until_ready(jax.tree.leaves(out))
+
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = jitted(fact_b, dim_b)
+        jax.block_until_ready(jax.tree.leaves(out))
+        times.append(time.perf_counter() - t0)
+    t_engine = float(np.median(times))
+
+    t0 = time.perf_counter()
+    _pandas_query(fact, dim)
+    t_vanilla = time.perf_counter() - t0
+
+    rows_per_s = n_fact / t_engine
+    print(json.dumps({
+        "metric": "q3_join_agg_rows_per_s_per_chip",
+        "value": round(rows_per_s, 1),
+        "unit": "rows/s/chip",
+        "vs_baseline": round(t_vanilla / t_engine, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

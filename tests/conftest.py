@@ -29,3 +29,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+def sorted_rows(df, ndigits=6):
+    """Order-insensitive row multiset for differential comparison.
+
+    Normalizes -0.0 to 0.0 (sign of zero is not SQL-significant; Spark has
+    normalize_nan_and_zero for the same reason) and rounds floats.
+    """
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = []
+    for t in df.itertuples(index=False):
+        row = []
+        for v in t:
+            if v is None or (isinstance(v, float) and np.isnan(v)):
+                row.append(None)
+            elif isinstance(v, float):
+                row.append(round(v, ndigits) + 0.0)
+            else:
+                row.append(v)
+        out.append(tuple(row))
+    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))

@@ -27,14 +27,7 @@ def _result(plan, session):
     return session.sql_result(plan)
 
 
-def _rows(df):
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = []
-    for t in df.itertuples(index=False):
-        out.append(tuple(
-            None if (isinstance(v, float) and np.isnan(v)) or v is None
-            else round(v, 6) if isinstance(v, float) else v for v in t))
-    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+from conftest import sorted_rows as _rows  # noqa: E402
 
 
 @pytest.fixture

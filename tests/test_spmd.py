@@ -1,0 +1,108 @@
+"""SPMD mesh execution == single-host execution.
+
+The reference tests distribution via Spark local mode (multiple partitions,
+one JVM; SURVEY.md §4). We test via an 8-virtual-device CPU mesh: the same
+plan runs through the partition-list executor and through shard_map with
+real all_to_all/all_gather collectives, and rows must match exactly.
+"""
+
+import jax
+import numpy as np
+import pandas as pd
+import pytest
+from jax.sharding import Mesh
+
+from auron_tpu.expr.nodes import col, lit
+from auron_tpu.ops.sort import SortKey
+from auron_tpu.parallel.partition import HashPartitioning, SinglePartitioning
+from auron_tpu.parallel.spmd import run_plan_spmd, unstack_result
+from auron_tpu.plan import (Agg, AggCall, Exchange, Filter, Join, MemoryScan,
+                            Project, Session, Sort)
+
+
+def _mesh():
+    devs = np.array(jax.devices()[:8])
+    return Mesh(devs, ("p",))
+
+
+from conftest import sorted_rows as _rows  # noqa: E402
+
+
+@pytest.fixture
+def data(rng):
+    n = 4000
+    fact = pd.DataFrame({
+        "k": rng.integers(0, 100, n),
+        "v": rng.normal(size=n).round(3),
+        "w": rng.integers(0, 50, n),
+    })
+    dim = pd.DataFrame({"k2": np.arange(100), "grp": np.arange(100) % 9})
+    return fact, dim
+
+
+def _tables(fact, dim, n_parts=8):
+    from auron_tpu.block import TableBlock
+    cap = 1024
+    parts = np.array_split(np.arange(len(fact)), n_parts)
+    fact_blocks = [TableBlock.from_pandas(fact.iloc[i], capacity=cap)
+                   for i in parts]
+    dim_blocks = [TableBlock.from_pandas(dim, capacity=256)]
+    return {"fact": fact_blocks, "dim": dim_blocks}
+
+
+def test_spmd_exchange_agg(data):
+    fact, dim = data
+    tables = _tables(fact, dim)
+    partial = Agg(MemoryScan("fact"), keys=(("k", col("k")),),
+                  calls=(AggCall("s", "sum", col("v")),
+                         AggCall("c", "count_star")), mode="partial")
+    plan = Agg(Exchange(partial, HashPartitioning(("k",), 8)),
+               keys=(("k", col("k")),),
+               calls=(AggCall("s", "sum", col("v")),
+                      AggCall("c", "count_star")), mode="final")
+    stacked = run_plan_spmd(plan, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.groupby("k").agg(s=("v", "sum"), c=("v", "size")).reset_index()
+    assert _rows(out) == _rows(want)
+
+
+def test_spmd_broadcast_join(data):
+    fact, dim = data
+    # dim must be spread over mesh shards; register as single partition and
+    # let pad_partitions create empty shards — all_gather rebuilds the table
+    tables = _tables(fact, dim)
+    plan = Join(Filter(MemoryScan("fact"), col("v") > lit(0.0)),
+                MemoryScan("dim"), ("k",), ("k2",), strategy="broadcast",
+                out_capacity=2048)
+    stacked = run_plan_spmd(plan, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact[fact["v"] > 0].merge(dim, left_on="k", right_on="k2")
+    assert _rows(out) == _rows(want)
+
+
+def test_spmd_partitioned_join(data):
+    fact, dim = data
+    tables = _tables(fact, dim)
+    left = Exchange(MemoryScan("fact"), HashPartitioning(("k",), 8))
+    right = Exchange(MemoryScan("dim"), HashPartitioning(("k2",), 8))
+    plan = Join(left, right, ("k",), ("k2",), join_type="left",
+                strategy="partitioned", out_capacity=8192)
+    stacked = run_plan_spmd(plan, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.merge(dim, left_on="k", right_on="k2", how="left")
+    assert _rows(out) == _rows(want)
+
+
+def test_spmd_gather_sort(data):
+    fact, dim = data
+    tables = _tables(fact, dim)
+    plan = Sort(Exchange(MemoryScan("fact"), SinglePartitioning()),
+                (SortKey("w"), SortKey("k")), fetch=25)
+    stacked = run_plan_spmd(plan, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.sort_values(["w", "k"], kind="stable").head(25)
+    np.testing.assert_array_equal(out["w"].to_numpy(), want["w"].to_numpy())
