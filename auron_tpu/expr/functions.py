@@ -335,3 +335,11 @@ def _xxhash64(block, *cols: Column) -> Column:
     inputs = [H.column_hash_inputs(c) for c in cols]
     out = H.hash_columns_xxhash64(inputs, rows=block.capacity, seed=42)
     return Column.of(out, INT64)
+
+
+@register("might_contain")
+def _might_contain(block, c: Column, resource_key: str) -> Column:
+    """Bloom-filter runtime-filter probe (reference
+    bloom_filter_might_contain.rs:223, filter keyed by a session resource)."""
+    from auron_tpu.ops.bloom import get_resource, might_contain
+    return might_contain(get_resource(resource_key), c)

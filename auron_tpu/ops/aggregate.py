@@ -37,12 +37,15 @@ from auron_tpu.ops.sort import orderable_values
 @dataclass(frozen=True)
 class AggSpec:
     """One aggregation: kind in {sum, count, count_star, min, max, avg,
-    first, first_ignores_null}. `merge` selects the PARTIAL_MERGE/FINAL
-    combine semantics (sum of partial sums, min of partial mins, ...)."""
+    first, first_ignores_null, collect_list, collect_set}. `merge` selects
+    the PARTIAL_MERGE/FINAL combine semantics (sum of partial sums, min of
+    partial mins, ...). ``max_len`` bounds collect_* output arrays (static
+    shape; overflow elements are dropped)."""
 
     out_name: str
     kind: str
     merge: bool = False
+    max_len: int = 64
 
 
 def _masked(values, ok, fill):
@@ -124,6 +127,16 @@ def segment_aggregate(
                 out[spec.out_name] = Column(m, nn > 0, col.dtype,
                                             col.dict_values)
             continue
+        if kind in ("collect_list", "collect_set"):
+            # reference agg/collect.rs: list/set accumulation. Output is the
+            # engine's fixed-width array representation (#vals [g, max_len]
+            # + #len), the same planes Generate/explode consumes.
+            vals2d, lens = _collect_into(gid, num_segments, ok, col,
+                                         kind == "collect_set", spec.max_len)
+            out[f"{spec.out_name}#vals"] = Column(vals2d, None, col.dtype,
+                                                  col.dict_values)
+            out[f"{spec.out_name}#len"] = Column.of(lens, INT64)
+            continue
         if kind in ("first", "first_ignores_null"):
             cap = gid.shape[0]
             eligible = ok if kind == "first_ignores_null" else live
@@ -142,6 +155,50 @@ def segment_aggregate(
         raise NotImplementedError(f"agg kind {kind}")
     del mode
     return out
+
+
+def _collect_into(gid, num_segments: int, ok, col: Column, distinct: bool,
+                  max_len: int):
+    """Scatter eligible values into [num_segments, max_len] planes.
+
+    For collect_set, rows are first sorted by (gid, value) and only run
+    starts kept (order within a set is unspecified in Spark, so the sorted
+    order is fine; collect_list preserves encounter order via stable gid
+    sort, matching Spark's per-partition order guarantee)."""
+    cap = gid.shape[0]
+    values = col.values
+    if distinct:
+        iota = jnp.arange(cap, dtype=jnp.int32)
+        sort_in = (jnp.where(ok, gid, num_segments),
+                   jnp.where(ok, orderable_values(col), 0), iota)
+        *_, perm = jax.lax.sort(sort_in, dimension=0, is_stable=True,
+                                num_keys=2)
+        gid = jnp.take(gid, perm)
+        ok_s = jnp.take(ok, perm)
+        vals_s = jnp.take(values, perm)
+        ordv = jnp.take(sort_in[1], perm)
+        prev_g = jnp.concatenate([gid[:1] - 1, gid[:-1]])
+        prev_v = jnp.concatenate([ordv[:1] - 1, ordv[:-1]])
+        ok = ok_s & ((gid != prev_g) | (ordv != prev_v))
+        values = vals_s
+    # position of each eligible row within its segment
+    seg_start = jnp.concatenate(
+        [jnp.ones(1, jnp.bool_), gid[1:] != gid[:-1]])
+    def combine(a, b):
+        a_sum, a_start = a
+        b_sum, b_start = b
+        return jnp.where(b_start, b_sum, a_sum + b_sum), a_start | b_start
+    run, _ = jax.lax.associative_scan(
+        combine, (ok.astype(jnp.int64), seg_start))
+    pos = run - 1  # 0-based among eligible rows
+    write = ok & (pos < max_len)
+    out = jnp.zeros((num_segments, max_len), values.dtype)
+    sg = jnp.where(write, gid, num_segments)  # out-of-range -> dropped
+    out = out.at[sg, jnp.clip(pos, 0, max_len - 1).astype(jnp.int32)].set(
+        values, mode="drop")
+    lens = jax.ops.segment_sum(write.astype(jnp.int64), gid, num_segments)
+    lens = jnp.minimum(lens, max_len)
+    return out, lens
 
 
 class _RankI32:

@@ -1,0 +1,235 @@
+"""Frame: a DataFrame-style builder that plans physical trees.
+
+The analog of the reference's driver-side conversion layer
+(/root/reference/spark-extension/.../AuronConverters.scala +
+AuronConvertStrategy.scala): it decides WHERE exchanges go and WHICH join
+strategy runs, so callers write logical pipelines and get physical plans
+with the partial/final agg split, broadcast-vs-partitioned joins and
+gather/sort placement done correctly.
+
+    f = session.table("fact")
+    out = (f.filter(col("v") > lit(0))
+            .join(session.table("dim"), left_on=("k",), right_on=("k2",))
+            .groupby("grp").agg(s=("sum", col("v")), c=("count_star", None))
+            .sort(SortKey("grp"))
+            .collect())
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+from auron_tpu.expr.nodes import Expr, col as col_
+from auron_tpu.ops.sort import SortKey
+from auron_tpu.parallel.partition import (HashPartitioning,
+                                          RangePartitioning,
+                                          RoundRobinPartitioning,
+                                          SinglePartitioning,
+                                          sample_range_bounds)
+from auron_tpu.plan import nodes as PN
+from auron_tpu.plan.execute import Session, execute_plan
+
+BROADCAST_ROW_THRESHOLD = 1 << 20  # build sides below this broadcast
+
+
+class Frame:
+    def __init__(self, session: Session, plan: PN.PlanNode,
+                 num_partitions: int):
+        self.session = session
+        self.plan = plan
+        self.num_partitions = num_partitions
+
+    # -- transforms ---------------------------------------------------------
+    def filter(self, predicate: Expr) -> "Frame":
+        return Frame(self.session, PN.Filter(self.plan, predicate),
+                     self.num_partitions)
+
+    def select(self, *names: str, **exprs: Expr) -> "Frame":
+        items = tuple((n, col_(n)) for n in names) + tuple(exprs.items())
+        return Frame(self.session, PN.Project(self.plan, items),
+                     self.num_partitions)
+
+    def with_columns(self, **exprs: Expr) -> "Frame":
+        keep = tuple((n, col_(n)) for n in self._names())
+        new = tuple(exprs.items())
+        names_new = {n for n, _ in new}
+        keep = tuple(x for x in keep if x[0] not in names_new)
+        return Frame(self.session, PN.Project(self.plan, keep + new),
+                     self.num_partitions)
+
+    def rename(self, **mapping: str) -> "Frame":
+        return Frame(self.session, PN.Rename(self.plan, tuple(mapping.items())),
+                     self.num_partitions)
+
+    def _names(self):
+        # best-effort schema walk for with_columns; scans carry the truth
+        node = self.plan
+        while True:
+            if isinstance(node, PN.MemoryScan):
+                return self.session.tables[node.table][0].names
+            if isinstance(node, PN.Project):
+                return [n for n, _ in node.exprs]
+            if isinstance(node, PN.Rename):
+                m = dict(node.mapping)
+                node_names = Frame(self.session, node.child,
+                                   self.num_partitions)._names()
+                return [m.get(n, n) for n in node_names]
+            kids = node.children
+            if not kids:
+                raise ValueError("cannot infer column names")
+            node = kids[0]
+
+    # -- joins --------------------------------------------------------------
+    def join(self, other: "Frame", left_on: Sequence[str],
+             right_on: Sequence[str], how: str = "inner",
+             strategy: Optional[str] = None, condition: Optional[Expr] = None,
+             out_capacity: Optional[int] = None, skewed: bool = False
+             ) -> "Frame":
+        if strategy is None:
+            strategy = "broadcast" if other._estimated_rows() is not None \
+                and other._estimated_rows() <= BROADCAST_ROW_THRESHOLD \
+                else "partitioned"
+        if skewed:
+            strategy = "skewed"
+        left_plan, right_plan = self.plan, other.plan
+        n = self.num_partitions
+        if strategy == "partitioned":
+            n = max(self.num_partitions, other.num_partitions)
+            left_plan = PN.Exchange(left_plan,
+                                    HashPartitioning(tuple(left_on), n))
+            right_plan = PN.Exchange(right_plan,
+                                     HashPartitioning(tuple(right_on), n))
+        plan = PN.Join(left_plan, right_plan, tuple(left_on), tuple(right_on),
+                       join_type=how, strategy=strategy, condition=condition,
+                       out_capacity=out_capacity)
+        return Frame(self.session, plan, n)
+
+    def _estimated_rows(self) -> Optional[int]:
+        node = self.plan
+        while True:
+            if isinstance(node, PN.MemoryScan):
+                import numpy as np
+                return sum(int(np.asarray(b.row_mask).sum())
+                           for b in self.session.tables[node.table])
+            kids = node.children
+            if len(kids) != 1:
+                return None
+            node = kids[0]
+
+    # -- aggregation --------------------------------------------------------
+    def groupby(self, *keys) -> "GroupedFrame":
+        key_items = tuple(
+            (k, col_(k)) if isinstance(k, str) else k for k in keys)
+        return GroupedFrame(self, key_items)
+
+    def distinct(self) -> "Frame":
+        keys = tuple((n, col_(n)) for n in self._names())
+        return self.groupby(*keys).agg()
+
+    # -- ordering / limiting ------------------------------------------------
+    def sort(self, *keys: SortKey, limit: Optional[int] = None,
+             strategy: str = "single") -> "Frame":
+        """Global ORDER BY. strategy 'single' gathers (small results, the
+        common post-agg case); 'range' samples splitters for big sorts."""
+        if self.num_partitions == 1:
+            plan = PN.Sort(self.plan, tuple(keys), fetch=limit)
+            return Frame(self.session, plan, 1)
+        if strategy == "range":
+            blocks = execute_plan(self.plan, self.session)
+            bounds = sample_range_bounds(blocks, keys, self.num_partitions)
+            ex = PN.Exchange(self.plan, RangePartitioning(
+                tuple(keys), self.num_partitions, bounds))
+            plan = PN.Sort(ex, tuple(keys), fetch=limit)
+            return Frame(self.session, plan, self.num_partitions)
+        if limit is not None:
+            # TakeOrdered: per-partition top-k, gather, final top-k
+            # (reference NativeTakeOrderedBase.scala:204)
+            local = PN.Sort(self.plan, tuple(keys), fetch=limit)
+            ex = PN.Exchange(local, SinglePartitioning())
+            plan = PN.Sort(ex, tuple(keys), fetch=limit)
+            return Frame(self.session, plan, 1)
+        ex = PN.Exchange(self.plan, SinglePartitioning())
+        return Frame(self.session, PN.Sort(ex, tuple(keys)), 1)
+
+    def limit(self, n: int, offset: int = 0) -> "Frame":
+        if self.num_partitions > 1:
+            local = PN.Limit(self.plan, n + offset)
+            ex = PN.Exchange(local, SinglePartitioning())
+            return Frame(self.session, PN.Limit(ex, n, offset), 1)
+        return Frame(self.session, PN.Limit(self.plan, n, offset), 1)
+
+    def union(self, other: "Frame") -> "Frame":
+        return Frame(self.session, PN.Union((self.plan, other.plan)),
+                     self.num_partitions + other.num_partitions)
+
+    def repartition(self, n: int, *hash_keys: str) -> "Frame":
+        part = HashPartitioning(tuple(hash_keys), n) if hash_keys \
+            else RoundRobinPartitioning(n)
+        return Frame(self.session, PN.Exchange(self.plan, part), n)
+
+    def coalesce(self, n: int = 1) -> "Frame":
+        return Frame(self.session, PN.Coalesce(self.plan, n), n)
+
+    # -- window -------------------------------------------------------------
+    def window(self, partition_by: Sequence[str], order_by: Sequence[SortKey],
+               funcs, group_limit: Optional[int] = None) -> "Frame":
+        # window needs co-partitioned input: hash-exchange on partition keys
+        plan = self.plan
+        n = self.num_partitions
+        if n > 1 and partition_by:
+            plan = PN.Exchange(plan, HashPartitioning(tuple(partition_by), n))
+        elif n > 1:
+            plan = PN.Exchange(plan, SinglePartitioning())
+            n = 1
+        plan = PN.Window(plan, tuple(partition_by), tuple(order_by),
+                         tuple(funcs), group_limit)
+        return Frame(self.session, plan, n)
+
+    # -- execution ----------------------------------------------------------
+    def blocks(self):
+        return execute_plan(self.plan, self.session)
+
+    def collect(self):
+        return self.session.sql_result(self.plan)
+
+    def explain(self) -> str:
+        return self.plan.pretty()
+
+
+class GroupedFrame:
+    def __init__(self, frame: Frame, keys):
+        self.frame = frame
+        self.keys = keys
+
+    def agg(self, **calls) -> Frame:
+        """calls: name=(kind, expr) or name=(kind, expr, filter_expr)."""
+        agg_calls = []
+        for name, spec in calls.items():
+            kind, expr, *rest = spec if isinstance(spec, tuple) else (spec, None)
+            filt = rest[0] if rest else None
+            agg_calls.append(PN.AggCall(name, kind, expr, filt))
+        f = self.frame
+        if f.num_partitions == 1:
+            plan = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="single")
+            return Frame(f.session, plan, 1)
+        collects = any(c.kind in ("collect_list", "collect_set")
+                       for c in agg_calls)
+        if collects:
+            ex = PN.Exchange(f.plan, SinglePartitioning())
+            plan = PN.Agg(ex, self.keys, tuple(agg_calls), mode="single")
+            return Frame(f.session, plan, 1)
+        partial = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="partial")
+        key_names = tuple(n for n, _ in self.keys)
+        ex = PN.Exchange(partial,
+                         HashPartitioning(key_names, f.num_partitions))
+        final = PN.Agg(ex, self.keys, tuple(agg_calls), mode="final")
+        return Frame(f.session, final, f.num_partitions)
+
+
+def table(session: Session, name: str) -> Frame:
+    return Frame(session, PN.MemoryScan(name),
+                 len(session.tables[name]))
+
+
+# convenience: monkey-patch-free session accessor
+Session.table = lambda self, name: table(self, name)  # type: ignore

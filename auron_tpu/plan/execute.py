@@ -254,7 +254,8 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
     # order: keys first, then call outputs
     ordered = {k: cols[k] for k in key_names}
     for call in node.calls:
-        if node.mode == "partial":
+        if node.mode == "partial" or call.kind in ("collect_list",
+                                                   "collect_set"):
             for n in _partial_names(call):
                 ordered[n] = cols[n]
         else:
@@ -265,6 +266,8 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
 def _partial_names(call: PN.AggCall) -> List[str]:
     if call.kind == "avg":
         return [f"{call.name}#s", f"{call.name}#c"]
+    if call.kind in ("collect_list", "collect_set"):
+        return [f"{call.name}#vals", f"{call.name}#len"]
     return [call.name]
 
 
@@ -292,11 +295,18 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
     post: List[Tuple[str, str]] = []
     drop: List[str] = []
     k = call.kind
+    if k in ("collect_list", "collect_set") and mode != "single":
+        raise NotImplementedError(
+            "collect_list/collect_set require mode='single' (gather rows to "
+            "one partition first); partial/final array merge is a later "
+            "milestone")
     if mode in ("single", "partial"):
         col = _input_column(call, block)
         if k == "count_star" and col is not None:
             k = "count"  # FILTER rewrote it to a counted column
-        if k == "avg":
+        if k in ("collect_list", "collect_set"):
+            specs.append((AggSpec(call.name, k, max_len=call.max_len), col))
+        elif k == "avg":
             specs.append((AggSpec(f"{call.name}#s", "sum"), col))
             specs.append((AggSpec(f"{call.name}#c", "count"), col))
             if mode == "single":
@@ -328,7 +338,8 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs):
     modes re-imagined): all-dictionary keys with a small combined domain use
     the dense `groupby_direct` speed path; otherwise sort-based grouping."""
     domains = []
-    direct_ok = bool(key_names)
+    direct_ok = bool(key_names) and not any(
+        s.kind in ("collect_list", "collect_set") for s, _ in specs)
     for kn in key_names:
         c = block.columns[kn]
         if c.dtype.is_string and c.dict_values is not None:

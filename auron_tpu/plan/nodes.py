@@ -99,6 +99,7 @@ class AggCall:
     kind: str
     expr: Optional[Expr] = None
     filter: Optional[Expr] = None
+    max_len: int = 64  # collect_list/collect_set array bound
 
 
 @_ident

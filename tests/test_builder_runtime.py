@@ -1,0 +1,113 @@
+"""Frame builder (auto exchange placement) + runtime metrics/memory."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import auron_tpu.plan.builder  # noqa: F401  (installs Session.table)
+from auron_tpu.expr.nodes import col, lit
+from auron_tpu.ops.sort import SortKey
+from auron_tpu.plan import Session
+from auron_tpu.runtime.memory import MemoryBudget, row_bytes, suggested_capacity
+from auron_tpu.runtime.metrics import block_bytes, timed_run
+
+from conftest import sorted_rows
+
+
+@pytest.fixture
+def sess(rng):
+    n = 3000
+    fact = pd.DataFrame({
+        "k": rng.integers(0, 60, n),
+        "v": rng.normal(size=n).round(3),
+        "w": rng.integers(0, 500, n),
+    })
+    dim = pd.DataFrame({"k2": np.arange(60), "grp": np.arange(60) % 6})
+    s = Session()
+    s.register_pandas("fact", fact, num_partitions=4)
+    s.register_pandas("dim", dim)
+    s._fact, s._dim = fact, dim
+    return s
+
+
+def test_builder_full_query(sess):
+    out = (sess.table("fact")
+           .filter(col("v") > lit(0.0))
+           .join(sess.table("dim"), ("k",), ("k2",))
+           .groupby("grp")
+           .agg(s=("sum", col("v")), c=("count_star", None),
+                m=("max", col("w")))
+           .sort(SortKey("grp"))
+           .collect())
+    f = sess._fact[sess._fact["v"] > 0].merge(sess._dim, left_on="k",
+                                              right_on="k2")
+    want = f.groupby("grp").agg(s=("v", "sum"), c=("v", "size"),
+                                m=("w", "max")).reset_index()
+    assert sorted_rows(out) == sorted_rows(want)
+
+
+def test_builder_partitioned_join_auto(sess):
+    # force partitioned by lowering the broadcast threshold
+    import auron_tpu.plan.builder as B
+    old = B.BROADCAST_ROW_THRESHOLD
+    B.BROADCAST_ROW_THRESHOLD = 10
+    try:
+        frame = sess.table("fact").join(sess.table("dim"), ("k",), ("k2",),
+                                        how="left", out_capacity=4096)
+        assert "Exchange" in frame.explain()
+        out = frame.collect()
+    finally:
+        B.BROADCAST_ROW_THRESHOLD = old
+    want = sess._fact.merge(sess._dim, left_on="k", right_on="k2", how="left")
+    assert sorted_rows(out) == sorted_rows(want)
+
+
+def test_builder_topk_and_limit(sess):
+    out = sess.table("fact").sort(SortKey("w"), limit=7).collect()
+    want = sess._fact.nsmallest(7, "w")
+    assert list(out["w"]) == list(want["w"])
+    out = sess.table("fact").limit(5).collect()
+    assert len(out) == 5
+
+
+def test_builder_distinct(sess):
+    out = sess.table("fact").select("k").distinct().collect()
+    assert sorted(out["k"]) == sorted(sess._fact["k"].unique())
+
+
+def test_builder_window(sess):
+    from auron_tpu.ops.window import WindowFunc
+    out = (sess.table("fact")
+           .window(("k",), (SortKey("w"), SortKey("v")),
+                   (WindowFunc("rn", "row_number"),), group_limit=2)
+           .collect())
+    assert (out.groupby("k").size() <= 2).all()
+    assert len(out) == sess._fact.groupby("k").size().clip(upper=2).sum()
+
+
+def test_memory_budget(sess):
+    blocks = sess.tables["fact"]
+    rb = row_bytes(blocks[0].schema)
+    assert rb > 8
+    cap = suggested_capacity(1 << 20, rb)
+    assert cap * rb <= 1 << 20
+    mb = MemoryBudget(budget_bytes=1 << 24)
+    used = mb.register_table("fact", blocks)
+    assert used == sum(block_bytes(b) for b in blocks)
+    assert mb.headroom < 1 << 24
+    assert mb.suggest_partitions(10_000_000, rb) >= 1
+
+
+def test_timed_run_roofline(sess):
+    import jax
+    blocks = sess.tables["fact"]
+
+    @jax.jit
+    def f(b):
+        return b.filter_mask(b["v"].values > 0)
+
+    out, m = timed_run("filter", f, blocks[0],
+                       bytes_touched=block_bytes(blocks[0]))
+    assert m.wall_s > 0
+    assert 0 <= m.roofline_fraction
+    assert "stage filter" in m.report()
