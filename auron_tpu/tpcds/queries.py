@@ -1,0 +1,165 @@
+"""TPC-DS queries hand-converted to Frame pipelines + pandas oracles.
+
+The reference never parses SQL either — Spark plans, Auron converts
+operators (/root/reference/spark-extension/.../AuronConverters.scala). Here
+the conversion target is the Frame builder. Each query ships with a pandas
+oracle; the runner diffs rows (QueryResultComparator.scala:39-106 analog,
+double tolerance + sorted-row comparison).
+
+Query sources: /root/reference/dev/auron-it/src/main/resources/tpcds-queries/
+q3.sql (join+agg+topk), q1.sql (two-level agg + decorrelated avg subquery +
+multi-join), q7-style (multi-dim join + avg aggregates).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Tuple
+
+import numpy as np
+import pandas as pd
+
+from auron_tpu.expr.nodes import col, lit
+from auron_tpu.ops.sort import SortKey
+from auron_tpu.plan import Session
+from auron_tpu.plan.builder import Frame
+
+
+# ---------------------------------------------------------------------------
+# q3: brand revenue for manufacturer 128 in November, top 100.
+# ---------------------------------------------------------------------------
+
+def q3(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_moy") == lit(11))
+    it = s.table("item").filter(col("i_manufact_id") == lit(128))
+    ss = s.table("store_sales")
+    joined = (ss.join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+                .join(it, ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("d_year", "i_brand", "i_brand_id")
+            .agg(sum_agg=("sum", col("ss_ext_sales_price")))
+            .sort(SortKey("d_year"), SortKey("sum_agg", ascending=False),
+                  SortKey("i_brand_id"), limit=100))
+
+
+def q3_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_moy"] == 11]
+    it = t["item"][t["item"]["i_manufact_id"] == 128]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["d_year", "i_brand", "i_brand_id"]).agg(
+        sum_agg=("ss_ext_sales_price", "sum")).reset_index()
+    g = g.sort_values(["d_year", "sum_agg", "i_brand_id"],
+                      ascending=[True, False, True], kind="stable").head(100)
+    return g[["d_year", "i_brand", "i_brand_id", "sum_agg"]]
+
+
+# ---------------------------------------------------------------------------
+# q1: customers returning more than 1.2x their store's average (year 2000),
+# in TN stores. The correlated subquery decorrelates into a per-store avg
+# aggregate joined back — exactly how Spark plans it.
+# ---------------------------------------------------------------------------
+
+def q1(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    ctr = (s.table("store_returns")
+           .join(dt, ("sr_returned_date_sk",), ("d_date_sk",))
+           .groupby("sr_customer_sk", "sr_store_sk")
+           .agg(ctr_total_return=("sum", col("sr_return_amt"))))
+    avg_by_store = (ctr.groupby("sr_store_sk")
+                    .agg(avg_return=("avg", col("ctr_total_return")))
+                    .rename(sr_store_sk="avg_store_sk"))
+    tn_stores = s.table("store").filter(col("s_state") == lit("TN"))
+    out = (ctr.join(avg_by_store, ("sr_store_sk",), ("avg_store_sk",))
+           .filter(col("ctr_total_return") >
+                   col("avg_return") * lit(1.2))
+           .join(tn_stores, ("sr_store_sk",), ("s_store_sk",))
+           .join(s.table("customer"), ("sr_customer_sk",),
+                 ("c_customer_sk",))
+           .select("c_customer_id")
+           .sort(SortKey("c_customer_id"), limit=100))
+    return out
+
+
+def q1_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    sr = t["store_returns"].merge(dt, left_on="sr_returned_date_sk",
+                                  right_on="d_date_sk")
+    ctr = sr.groupby(["sr_customer_sk", "sr_store_sk"]).agg(
+        ctr_total_return=("sr_return_amt", "sum")).reset_index()
+    avg = ctr.groupby("sr_store_sk").agg(
+        avg_return=("ctr_total_return", "mean")).reset_index()
+    j = ctr.merge(avg, on="sr_store_sk")
+    j = j[j["ctr_total_return"] > j["avg_return"] * 1.2]
+    tn = t["store"][t["store"]["s_state"] == "TN"]
+    j = j.merge(tn, left_on="sr_store_sk", right_on="s_store_sk")
+    j = j.merge(t["customer"], left_on="sr_customer_sk",
+                right_on="c_customer_sk")
+    return j[["c_customer_id"]].sort_values("c_customer_id",
+                                            kind="stable").head(100)
+
+
+# ---------------------------------------------------------------------------
+# q7-style: average quantity / price per item over a dated slice.
+# ---------------------------------------------------------------------------
+
+def q7(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_year") == lit(1999))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("i_brand")
+            .agg(agg1=("avg", col("ss_quantity")),
+                 agg2=("avg", col("ss_ext_sales_price")),
+                 agg3=("sum", col("ss_net_profit")),
+                 cnt=("count_star", None))
+            .sort(SortKey("i_brand"), limit=100))
+
+
+def q7_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 1999]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby("i_brand").agg(
+        agg1=("ss_quantity", "mean"),
+        agg2=("ss_ext_sales_price", "mean"),
+        agg3=("ss_net_profit", "sum"),
+        cnt=("ss_quantity", "size")).reset_index()
+    return g.sort_values("i_brand", kind="stable").head(100)[
+        ["i_brand", "agg1", "agg2", "agg3", "cnt"]]
+
+
+# ---------------------------------------------------------------------------
+# q42-style: yearly category revenue (groupby 2 keys, desc sort).
+# ---------------------------------------------------------------------------
+
+def q42(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_moy") == lit(12))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("d_year", "i_category")
+            .agg(rev=("sum", col("ss_ext_sales_price")))
+            .sort(SortKey("rev", ascending=False), SortKey("d_year"),
+                  SortKey("i_category"), limit=100))
+
+
+def q42_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_moy"] == 12]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["d_year", "i_category"]).agg(
+        rev=("ss_ext_sales_price", "sum")).reset_index()
+    return g.sort_values(["rev", "d_year", "i_category"],
+                         ascending=[False, True, True],
+                         kind="stable").head(100)[
+        ["d_year", "i_category", "rev"]]
+
+
+QUERIES: Dict[str, Tuple[Callable, Callable]] = {
+    "q1": (q1, q1_oracle),
+    "q3": (q3, q3_oracle),
+    "q7": (q7, q7_oracle),
+    "q42": (q42, q42_oracle),
+}
