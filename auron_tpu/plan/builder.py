@@ -186,6 +186,18 @@ class Frame:
         return Frame(self.session, plan, n)
 
     # -- execution ----------------------------------------------------------
+    def scalar(self):
+        """Execute and return the single scalar value (decorrelated scalar
+        subqueries: the reference wraps them as SparkScalarSubqueryWrapper,
+        spark_scalar_subquery_wrapper.rs:141; here the subplan runs eagerly
+        and the value embeds as a literal in the outer plan)."""
+        df = self.collect()
+        if len(df) != 1 or len(df.columns) != 1:
+            raise ValueError(
+                f"scalar subquery returned {df.shape}, expected (1, 1)")
+        v = df.iloc[0, 0]
+        return None if v is None else (v.item() if hasattr(v, "item") else v)
+
     def blocks(self):
         return execute_plan(self.plan, self.session)
 

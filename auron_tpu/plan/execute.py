@@ -234,7 +234,11 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
         post.extend(post_i)
         drop.extend(drop_i)
 
-    out = _run_groupby(work, key_names, specs)
+    skip_ok = (node.mode == "partial"
+               and config.conf.get(config.AGG_PARTIAL_SKIP_ENABLE)
+               and all(s.kind in ("sum", "count", "count_star", "min", "max")
+                       for s, _ in specs))
+    out = _run_groupby(work, key_names, specs, allow_skip=skip_ok)
 
     # post-process (avg division), drop internal state columns
     cols = dict(out.columns)
@@ -333,10 +337,18 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
     return specs, post, drop
 
 
-def _run_groupby(block: TableBlock, key_names: List[str], specs):
+def _run_groupby(block: TableBlock, key_names: List[str], specs,
+                 allow_skip: bool = False):
     """Choose the physical grouping strategy (agg_table.rs's HASH vs SORT
     modes re-imagined): all-dictionary keys with a small combined domain use
-    the dense `groupby_direct` speed path; otherwise sort-based grouping."""
+    the dense `groupby_direct` speed path; otherwise sort-based grouping.
+
+    ``allow_skip`` enables adaptive partial-agg skipping (the reference's
+    PARTIAL_AGG_SKIPPING, agg_table.rs:448): a cheap hash-bucket cardinality
+    sketch estimates group count; when groups/rows exceeds the configured
+    ratio a `lax.cond` takes a pass-through branch (each row is its own
+    group) and the expensive sort never executes at runtime.
+    """
     domains = []
     direct_ok = bool(key_names) and not any(
         s.kind in ("collect_list", "collect_set") for s, _ in specs)
@@ -357,7 +369,94 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs):
             return groupby_direct(block, key_names, specs, domains)
     if not key_names:
         return _global_agg(block, specs)
+    if allow_skip and block.capacity >= config.conf.get(
+            config.AGG_PARTIAL_SKIP_MIN_ROWS):
+        return _groupby_or_skip(block, key_names, specs)
     return groupby_sorted(block, key_names, specs)
+
+
+def _cardinality_sketch(block: TableBlock, key_names: List[str]):
+    """Distinct-count estimate via hash-bucket occupancy (one scatter-max +
+    sum — far cheaper than grouping)."""
+    from auron_tpu.ops.hashing import column_hash_inputs, hash_columns_murmur3
+    B = 1 << 16
+    h = hash_columns_murmur3(
+        [column_hash_inputs(block.columns[k]) for k in key_names],
+        block.capacity)
+    bucket = (jax.lax.bitcast_convert_type(h, jnp.uint32)
+              & np.uint32(B - 1)).astype(jnp.int32)
+    hit = jax.ops.segment_max(block.row_mask.astype(jnp.int32),
+                              jnp.where(block.row_mask, bucket, 0), B)
+    occ = jnp.sum(hit).astype(jnp.float64)
+    # linear-counting collision correction: est = -B ln(1 - occ/B)
+    frac = jnp.clip(occ / B, 0.0, 1.0 - 1e-6)
+    return -B * jnp.log1p(-frac)
+
+
+def _passthrough_partial(block: TableBlock, key_names: List[str],
+                         specs) -> TableBlock:
+    """Partial-agg pass-through: every live row is its own group, state
+    columns are the raw values in accumulator layout (structure-identical to
+    the grouped branch so lax.cond can select between them)."""
+    from auron_tpu.ops.aggregate import _sum_dtype
+    cap = block.capacity
+    out_cols: Dict[str, Column] = {}
+    for name in key_names:
+        out_cols[name] = block.columns[name]
+    for spec, c in specs:
+        k = spec.kind
+        if k == "count_star":
+            out_cols[spec.out_name] = Column.of(
+                block.row_mask.astype(jnp.int64), INT64)
+            continue
+        ok = block.row_mask if c.validity is None \
+            else (block.row_mask & c.validity)
+        if k == "count":
+            out_cols[spec.out_name] = Column.of(ok.astype(jnp.int64), INT64)
+        elif k == "sum":
+            dt = _sum_dtype(c.dtype)
+            vals = jnp.where(ok, c.values.astype(dt.jnp_dtype), 0)
+            out_cols[spec.out_name] = Column.of(vals, dt, ok)
+        else:  # min/max: the value itself
+            from auron_tpu.ops.aggregate import _minmax_identity
+            out_cols[spec.out_name] = Column(c.values, ok, c.dtype,
+                                             c.dict_values)
+        del k
+    return TableBlock(out_cols, block.row_mask)
+
+
+def _groupby_or_skip(block: TableBlock, key_names: List[str], specs):
+    grouped_fn = lambda: _normalize_validity(  # noqa: E731
+        groupby_sorted(block, key_names, specs), specs, key_names, block)
+    skip_fn = lambda: _normalize_validity(  # noqa: E731
+        _passthrough_partial(block, key_names, specs), specs, key_names,
+        block)
+    est_groups = _cardinality_sketch(block, key_names)
+    rows = jnp.sum(block.row_mask.astype(jnp.int64)).astype(jnp.float64)
+    ratio = config.conf.get(config.AGG_PARTIAL_SKIP_RATIO)
+    skip = est_groups >= rows * ratio
+    return jax.lax.cond(skip, skip_fn, grouped_fn)
+
+
+def _normalize_validity(out: TableBlock, specs, key_names, src: TableBlock
+                        ) -> TableBlock:
+    """Force identical pytree structure between branches: every non-count
+    state/key column carries an explicit validity array."""
+    cols = {}
+    for name, c in out.columns.items():
+        if c.validity is None and not name.endswith("#c") and \
+                not _is_count_col(name, specs):
+            c = Column(c.values, jnp.ones(c.values.shape[0], jnp.bool_),
+                       c.dtype, c.dict_values)
+        cols[name] = c
+    return TableBlock(cols, out.row_mask)
+
+
+def _is_count_col(name: str, specs) -> bool:
+    for spec, _ in specs:
+        if spec.out_name == name and spec.kind in ("count", "count_star"):
+            return True
+    return False
 
 
 def _global_agg(block: TableBlock, specs) -> TableBlock:
