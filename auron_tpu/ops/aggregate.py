@@ -287,21 +287,28 @@ def groupby_sorted(block: TableBlock, key_names: Sequence[str],
 def groupby_direct(block: TableBlock, key_names: Sequence[str],
                    aggs: Sequence[Tuple[AggSpec, Optional[Column]]],
                    domain_sizes: Sequence[int],
-                   emit_keys: bool = True) -> TableBlock:
+                   emit_keys: bool = True,
+                   offsets: Optional[Sequence[int]] = None) -> TableBlock:
     """GROUP BY with statically bounded key domains (dict codes / small ints).
 
     Group id = mixed-radix combination of key values, with one extra slot per
     key for NULL. Output block has capacity prod(domain+1) — keys in domain
     order, making the distributed FINAL a pure psum over the dense arrays.
+
+    ``offsets`` shifts integer keys into [0, domain) (planner domain hints:
+    key value range [lo, lo+domain) with lo = offsets[i]); the caller is
+    responsible for validating the range (plan/execute.py checks eagerly
+    when values are concrete).
     """
     radices = [int(d) + 1 for d in domain_sizes]  # +1 -> NULL slot at d
     num_segments = 1
     for r in radices:
         num_segments *= r
+    offsets = list(offsets) if offsets is not None else [0] * len(key_names)
     gid = jnp.zeros(block.capacity, jnp.int64)
-    for name, d in zip(key_names, domain_sizes):
+    for name, d, lo in zip(key_names, domain_sizes, offsets):
         c = block.columns[name]
-        v = jnp.clip(c.values.astype(jnp.int64), 0, d - 1)
+        v = jnp.clip(c.values.astype(jnp.int64) - lo, 0, d - 1)
         if c.validity is not None:
             v = jnp.where(c.validity, v, d)
         gid = gid * (d + 1) + v
@@ -313,15 +320,16 @@ def groupby_direct(block: TableBlock, key_names: Sequence[str],
     out_cols: Dict[str, Column] = {}
     if emit_keys:
         idx = jnp.arange(num_segments, dtype=jnp.int64)
-        for name, d in zip(key_names, domain_sizes):
+        for ki, (name, d, lo) in enumerate(
+                zip(key_names, domain_sizes, offsets)):
             radix_below = 1
-            for dd in domain_sizes[key_names.index(name) + 1:]:
+            for dd in domain_sizes[ki + 1:]:
                 radix_below *= int(dd) + 1
             code = (idx // radix_below) % (d + 1)
             c = block.columns[name]
             validity = code < d
             out_cols[name] = Column(
-                jnp.clip(code, 0, d - 1).astype(c.values.dtype),
+                (jnp.clip(code, 0, d - 1) + lo).astype(c.values.dtype),
                 validity, c.dtype, c.dict_values)
     out_cols.update(acc)
     return TableBlock(out_cols, seen > 0)

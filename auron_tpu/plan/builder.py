@@ -213,28 +213,36 @@ class GroupedFrame:
         self.frame = frame
         self.keys = keys
 
-    def agg(self, **calls) -> Frame:
-        """calls: name=(kind, expr) or name=(kind, expr, filter_expr)."""
+    def agg(self, domains: Optional[Dict[str, Tuple[int, int]]] = None,
+            **calls) -> Frame:
+        """calls: name=(kind, expr) or name=(kind, expr, filter_expr).
+        ``domains``: optional {key: (lo, hi)} int-range hints enabling the
+        dense direct-aggregation path (validated eagerly, trusted in jit)."""
         agg_calls = []
         for name, spec in calls.items():
             kind, expr, *rest = spec if isinstance(spec, tuple) else (spec, None)
             filt = rest[0] if rest else None
             agg_calls.append(PN.AggCall(name, kind, expr, filt))
+        dom = tuple((domains or {}).items())
         f = self.frame
         if f.num_partitions == 1:
-            plan = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="single")
+            plan = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="single",
+                          domains=dom)
             return Frame(f.session, plan, 1)
         collects = any(c.kind in ("collect_list", "collect_set")
                        for c in agg_calls)
         if collects:
             ex = PN.Exchange(f.plan, SinglePartitioning())
-            plan = PN.Agg(ex, self.keys, tuple(agg_calls), mode="single")
+            plan = PN.Agg(ex, self.keys, tuple(agg_calls), mode="single",
+                          domains=dom)
             return Frame(f.session, plan, 1)
-        partial = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="partial")
+        partial = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="partial",
+                         domains=dom)
         key_names = tuple(n for n, _ in self.keys)
         ex = PN.Exchange(partial,
                          HashPartitioning(key_names, f.num_partitions))
-        final = PN.Agg(ex, self.keys, tuple(agg_calls), mode="final")
+        final = PN.Agg(ex, self.keys, tuple(agg_calls), mode="final",
+                       domains=dom)
         return Frame(f.session, final, f.num_partitions)
 
 

@@ -238,7 +238,8 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
                and config.conf.get(config.AGG_PARTIAL_SKIP_ENABLE)
                and all(s.kind in ("sum", "count", "count_star", "min", "max")
                        for s, _ in specs))
-    out = _run_groupby(work, key_names, specs, allow_skip=skip_ok)
+    out = _run_groupby(work, key_names, specs, allow_skip=skip_ok,
+                       domain_hints=dict(node.domains))
 
     # post-process (avg division), drop internal state columns
     cols = dict(out.columns)
@@ -338,7 +339,8 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
 
 
 def _run_groupby(block: TableBlock, key_names: List[str], specs,
-                 allow_skip: bool = False):
+                 allow_skip: bool = False,
+                 domain_hints: Optional[Dict[str, Tuple[int, int]]] = None):
     """Choose the physical grouping strategy (agg_table.rs's HASH vs SORT
     modes re-imagined): all-dictionary keys with a small combined domain use
     the dense `groupby_direct` speed path; otherwise sort-based grouping.
@@ -349,15 +351,26 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs,
     ratio a `lax.cond` takes a pass-through branch (each row is its own
     group) and the expensive sort never executes at runtime.
     """
+    domain_hints = domain_hints or {}
     domains = []
+    offsets = []
     direct_ok = bool(key_names) and not any(
         s.kind in ("collect_list", "collect_set") for s, _ in specs)
     for kn in key_names:
         c = block.columns[kn]
         if c.dtype.is_string and c.dict_values is not None:
             domains.append(len(c.dict_values))
+            offsets.append(0)
         elif c.dtype.name == "bool":
             domains.append(2)
+            offsets.append(0)
+        elif kn in domain_hints and c.dtype.is_integer:
+            lo, hi = domain_hints[kn]
+            if not _hint_valid(c, block.row_mask, lo, hi):
+                direct_ok = False
+                break
+            domains.append(int(hi - lo))
+            offsets.append(int(lo))
         else:
             direct_ok = False
             break
@@ -366,13 +379,31 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs,
         for d in domains:
             total *= d + 1
         if total <= max(4 * block.capacity, 1 << 16):
-            return groupby_direct(block, key_names, specs, domains)
+            return groupby_direct(block, key_names, specs, domains,
+                                  offsets=offsets)
     if not key_names:
         return _global_agg(block, specs)
     if allow_skip and block.capacity >= config.conf.get(
             config.AGG_PARTIAL_SKIP_MIN_ROWS):
         return _groupby_or_skip(block, key_names, specs)
     return groupby_sorted(block, key_names, specs)
+
+
+def _hint_valid(c: Column, row_mask, lo: int, hi: int) -> bool:
+    """Validate a domain hint eagerly when values are concrete; trust it
+    under tracing (the hint is a catalog contract, e.g. surrogate key range
+    of a dimension table)."""
+    import jax.core
+    if isinstance(c.values, jax.core.Tracer) or \
+            isinstance(row_mask, jax.core.Tracer):
+        return True
+    sel = np.asarray(row_mask)
+    if c.validity is not None:
+        sel = sel & np.asarray(c.validity)
+    vals = np.asarray(c.values)[sel]
+    if vals.size == 0:
+        return True
+    return bool(vals.min() >= lo and vals.max() < hi)
 
 
 def _cardinality_sketch(block: TableBlock, key_names: List[str]):

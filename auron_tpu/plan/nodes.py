@@ -116,6 +116,12 @@ class Agg(PlanNode):
     keys: Tuple[Tuple[str, Expr], ...]
     calls: Tuple[AggCall, ...]
     mode: str = "single"
+    # planner domain hints: key name -> (lo, hi) half-open int range. Keys
+    # covered by hints use the dense direct-aggregation path (segment_sum
+    # over a mixed-radix group id) instead of sort-based grouping — the TPU
+    # speed path for surrogate-key GROUP BYs. Ranges are validated eagerly
+    # when data is concrete; trusted under jit (catalog contract).
+    domains: Tuple[Tuple[str, Tuple[int, int]], ...] = ()
 
 
 @_ident

@@ -35,7 +35,8 @@ def q3(s: Session) -> Frame:
     joined = (ss.join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
                 .join(it, ("ss_item_sk",), ("i_item_sk",)))
     return (joined.groupby("d_year", "i_brand", "i_brand_id")
-            .agg(sum_agg=("sum", col("ss_ext_sales_price")))
+            .agg(domains={"d_year": (1998, 2005), "i_brand_id": (1, 61)},
+                 sum_agg=("sum", col("ss_ext_sales_price")))
             .sort(SortKey("d_year"), SortKey("sum_agg", ascending=False),
                   SortKey("i_brand_id"), limit=100))
 
@@ -139,7 +140,8 @@ def q42(s: Session) -> Frame:
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
               .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
     return (joined.groupby("d_year", "i_category")
-            .agg(rev=("sum", col("ss_ext_sales_price")))
+            .agg(domains={"d_year": (1998, 2005)},
+                 rev=("sum", col("ss_ext_sales_price")))
             .sort(SortKey("rev", ascending=False), SortKey("d_year"),
                   SortKey("i_category"), limit=100))
 

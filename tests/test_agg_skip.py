@@ -51,3 +51,26 @@ def test_partial_skip_both_branches(rng, cardinality):
     with config.conf.scoped(**{"auron.agg.partial.skip.enable": False}):
         got2 = _run(df)
     assert sorted_rows(got2) == sorted_rows(want)
+
+
+def test_domain_hints_direct_path(rng):
+    """Int-key direct aggregation with domain hints == sorted-path result;
+    violated hints fall back to the sorted path (eager validation)."""
+    import auron_tpu.plan.builder  # noqa: F401
+    n = 2000
+    df = pd.DataFrame({"y": rng.integers(1998, 2004, n),
+                       "v": rng.normal(size=n).round(3)})
+    s = Session().register_pandas("t", df, num_partitions=2)
+    want = df.groupby("y").agg(sm=("v", "sum"), c=("v", "size")).reset_index()
+
+    got = (s.table("t").groupby("y")
+           .agg(domains={"y": (1998, 2005)},
+                sm=("sum", col("v")), c=("count_star", None)).collect())
+    assert sorted_rows(got) == sorted_rows(want)
+
+    # hint too narrow -> eager validation rejects it, sorted path used,
+    # result still exact
+    got = (s.table("t").groupby("y")
+           .agg(domains={"y": (1998, 2000)},
+                sm=("sum", col("v")), c=("count_star", None)).collect())
+    assert sorted_rows(got) == sorted_rows(want)
