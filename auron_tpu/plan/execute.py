@@ -199,6 +199,7 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         # (BroadcastHashJoin; reference broadcast_join_exec.rs:592-609 caches
         # the built map per executor — here the jit cache plays that role)
         bblock = build[0] if len(build) == 1 else J.concat_blocks(build)
+        spec = _with_build_domain(spec, bblock)
         return [J.join_blocks(p, bblock, spec, node.out_capacity, filter_fn)
                 for p in probe]
     # partitioned (shuffled hash / sort-merge): partition-wise zip
@@ -206,8 +207,35 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         raise ValueError(
             f"partitioned join needs equal partition counts, got "
             f"{len(probe)} vs {len(build)} — insert Exchange nodes")
-    return [J.join_blocks(p, b, spec, node.out_capacity, filter_fn)
+    return [J.join_blocks(p, b, _with_build_domain(spec, b),
+                          node.out_capacity, filter_fn)
             for p, b in zip(probe, build)]
+
+
+def _with_build_domain(spec: J.JoinSpec, build: TableBlock) -> J.JoinSpec:
+    """AQE-style eager stat: when the (single) build key is a concrete int
+    column with a dense value range, enable the dense-lookup probe
+    (JoinSpec.build_domain). No-op under tracing or for wide ranges."""
+    import dataclasses
+    import jax.core
+    if spec.build_domain is not None or len(spec.right_keys) != 1:
+        return spec
+    c = build.columns.get(spec.right_keys[0])
+    if c is None or not c.dtype.is_integer:
+        return spec
+    if isinstance(c.values, jax.core.Tracer) or \
+            isinstance(build.row_mask, jax.core.Tracer):
+        return spec
+    sel = np.asarray(build.row_mask)
+    if c.validity is not None:
+        sel = sel & np.asarray(c.validity)
+    vals = np.asarray(c.values)[sel]
+    if vals.size == 0:
+        return spec
+    lo, hi = int(vals.min()), int(vals.max()) + 1
+    if hi - lo > max(4 * build.capacity, 1 << 22):
+        return spec
+    return dataclasses.replace(spec, build_domain=(lo, hi))
 
 
 # ---------------------------------------------------------------------------

@@ -73,14 +73,28 @@ def main():
         return execute_plan(plan, s)[0]
 
     jitted = jax.jit(step)
+
+    import jax.numpy as jnp
+
+    @jax.jit
+    def _sync_reduce(out):
+        return sum(jnp.sum(l[:8].astype(jnp.float32))
+                   for l in jax.tree.leaves(out))
+
+    def sync(out):
+        # force device completion via a host transfer: on the remote-TPU
+        # tunnel backend, block_until_ready returns before execution
+        # finishes, so fetch a scalar that depends on every output leaf.
+        float(_sync_reduce(out))
+
     out = jitted(fact_b, dim_b)  # compile + warmup
-    jax.block_until_ready(jax.tree.leaves(out))
+    sync(out)
 
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
         out = jitted(fact_b, dim_b)
-        jax.block_until_ready(jax.tree.leaves(out))
+        sync(out)
         times.append(time.perf_counter() - t0)
     t_engine = float(np.median(times))
 
