@@ -90,8 +90,14 @@ def _encoded_keys(left: TableBlock, right: TableBlock,
         lc, rc = left.columns[ln], right.columns[rn]
         if lc.dtype.is_string or rc.dtype.is_string:
             (lc, rc), _ = unify_string_columns([lc, rc])
-        l_ops.append(orderable_values(lc).astype(jnp.int64))
-        r_ops.append(orderable_values(rc).astype(jnp.int64))
+        lv, rv = orderable_values(lc), orderable_values(rc)
+        # keep the narrowest common int type: int64 is software-emulated on
+        # TPU, so int32 keys (all TPC-DS surrogate keys) stay int32
+        common = jnp.promote_types(lv.dtype, rv.dtype)
+        if common == jnp.bool_:
+            common = jnp.dtype(jnp.int8)
+        l_ops.append(lv.astype(common))
+        r_ops.append(rv.astype(common))
         if lc.validity is not None:
             l_valid = l_valid & lc.validity
         if rc.validity is not None:

@@ -42,31 +42,31 @@ def generate(sf: float = 1.0, seed: int = 0,
     n = scale_rows(sf)
 
     date_dim = pd.DataFrame({
-        "d_date_sk": np.arange(n["date_dim"], dtype=np.int64),
+        "d_date_sk": np.arange(n["date_dim"], dtype=np.int32),
         "d_year": 1998 + (np.arange(n["date_dim"]) // 365),
         "d_moy": 1 + (np.arange(n["date_dim"]) // 30) % 12,
         "d_dom": 1 + np.arange(n["date_dim"]) % 30,
     })
 
     item = pd.DataFrame({
-        "i_item_sk": np.arange(n["item"], dtype=np.int64),
-        "i_brand_id": rng.integers(1, 61, n["item"]).astype(np.int64),
-        "i_manufact_id": rng.integers(1, 200, n["item"]).astype(np.int64),
+        "i_item_sk": np.arange(n["item"], dtype=np.int32),
+        "i_brand_id": rng.integers(1, 61, n["item"]).astype(np.int32),
+        "i_manufact_id": rng.integers(1, 200, n["item"]).astype(np.int32),
         "i_current_price": (rng.random(n["item"]) * 100).round(2),
         "i_category": rng.choice(CATEGORIES, n["item"]),
     })
     item["i_brand"] = [BRANDS[b - 1] for b in item["i_brand_id"]]
 
     store = pd.DataFrame({
-        "s_store_sk": np.arange(n["store"], dtype=np.int64),
+        "s_store_sk": np.arange(n["store"], dtype=np.int32),
         "s_state": rng.choice(STATES, n["store"]),
     })
 
     customer = pd.DataFrame({
-        "c_customer_sk": np.arange(n["customer"], dtype=np.int64),
+        "c_customer_sk": np.arange(n["customer"], dtype=np.int32),
         "c_customer_id": [f"CUST{i:010d}" for i in range(n["customer"])],
         "c_birth_year": rng.integers(1930, 2000,
-                                     n["customer"]).astype(np.int64),
+                                     n["customer"]).astype(np.int32),
     })
 
     ns = n["store_sales"]
@@ -78,12 +78,12 @@ def generate(sf: float = 1.0, seed: int = 0,
         item_fk = rng.integers(0, n["item"], ns)
     store_sales = pd.DataFrame({
         "ss_sold_date_sk": rng.integers(0, n["date_dim"],
-                                        ns).astype(np.int64),
-        "ss_item_sk": item_fk.astype(np.int64),
+                                        ns).astype(np.int32),
+        "ss_item_sk": item_fk.astype(np.int32),
         "ss_customer_sk": rng.integers(0, n["customer"],
-                                       ns).astype(np.int64),
-        "ss_store_sk": rng.integers(0, n["store"], ns).astype(np.int64),
-        "ss_quantity": rng.integers(1, 100, ns).astype(np.int64),
+                                       ns).astype(np.int32),
+        "ss_store_sk": rng.integers(0, n["store"], ns).astype(np.int32),
+        "ss_quantity": rng.integers(1, 100, ns).astype(np.int32),
         "ss_ext_sales_price": (rng.random(ns) * 1000).round(2),
         "ss_net_profit": (rng.normal(0, 50, ns)).round(2),
     })
@@ -91,10 +91,10 @@ def generate(sf: float = 1.0, seed: int = 0,
     nr = n["store_returns"]
     store_returns = pd.DataFrame({
         "sr_returned_date_sk": rng.integers(0, n["date_dim"],
-                                            nr).astype(np.int64),
+                                            nr).astype(np.int32),
         "sr_customer_sk": rng.integers(0, n["customer"],
-                                       nr).astype(np.int64),
-        "sr_store_sk": rng.integers(0, n["store"], nr).astype(np.int64),
+                                       nr).astype(np.int32),
+        "sr_store_sk": rng.integers(0, n["store"], nr).astype(np.int32),
         "sr_return_amt": (rng.random(nr) * 500).round(2),
     })
 

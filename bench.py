@@ -22,13 +22,13 @@ def _build(n_fact, n_dim):
     import pandas as pd
     rng = np.random.default_rng(0)
     fact = pd.DataFrame({
-        "k": rng.integers(0, n_dim, n_fact).astype(np.int64),
+        "k": rng.integers(0, n_dim, n_fact).astype(np.int32),
         "v": rng.normal(size=n_fact),
-        "w": rng.integers(0, 1000, n_fact).astype(np.int64),
+        "w": rng.integers(0, 1000, n_fact).astype(np.int32),
     })
     dim = pd.DataFrame({
-        "k2": np.arange(n_dim, dtype=np.int64),
-        "grp": (np.arange(n_dim) % 16).astype(np.int64),
+        "k2": np.arange(n_dim, dtype=np.int32),
+        "grp": (np.arange(n_dim) % 16).astype(np.int32),
     })
     return fact, dim
 
