@@ -343,3 +343,136 @@ def _might_contain(block, c: Column, resource_key: str) -> Column:
     bloom_filter_might_contain.rs:223, filter keyed by a session resource)."""
     from auron_tpu.ops.bloom import get_resource, might_contain
     return might_contain(get_resource(resource_key), c)
+
+
+# -- more Spark string kernels (reference datafusion-ext-functions/src/
+# spark_strings.rs, spark_initcap.rs, spark_crypto.rs — dictionary-level
+# host transforms; device work is one gather per column) --------------------
+
+_str_to_str("lpad", lambda s, n, p=" ": s.rjust(n, p[0] if p else " ")[:max(n, len(s))] if len(s) < n else s[:n])
+_str_to_str("rpad", lambda s, n, p=" ": s.ljust(n, p[0] if p else " ")[:n] if len(s) < n else s[:n])
+_str_to_str("replace", lambda s, find, repl="": s.replace(find, repl))
+_str_to_str("repeat", lambda s, n: s * max(int(n), 0))
+_str_to_str("translate", lambda s, src, dst: s.translate(
+    {ord(a): (dst[i] if i < len(dst) else None)
+     for i, a in enumerate(src)}))
+_str_to_str("split_part", lambda s, sep, idx: (
+    (s.split(sep) + [""] * 99)[idx - 1] if idx > 0 else ""))
+
+
+def _crypto(name, fn):
+    @register(name)
+    def f(block, c: Column, *params) -> Column:
+        return S.map_to_new_dictionary(c, (name,) + params,
+                                       lambda s: fn(s, *params))
+    return f
+
+
+def _md5(s):
+    import hashlib
+    return hashlib.md5(s.encode("utf-8")).hexdigest()
+
+
+def _sha1(s):
+    import hashlib
+    return hashlib.sha1(s.encode("utf-8")).hexdigest()
+
+
+def _sha2(s, bits=256):
+    import hashlib
+    h = {224: hashlib.sha224, 256: hashlib.sha256,
+         384: hashlib.sha384, 512: hashlib.sha512}[int(bits) or 256]
+    return h(s.encode("utf-8")).hexdigest()
+
+
+_crypto("md5", lambda s: _md5(s))
+_crypto("sha1", lambda s: _sha1(s))
+_crypto("sha2", lambda s, bits=256: _sha2(s, bits))
+
+
+@register("ascii")
+def _ascii(block, c: Column) -> Column:
+    return S.map_to_values(c, ("ascii",),
+                           lambda s: ord(s[0]) if s else 0, INT32)
+
+
+@register("locate")
+def _locate(block, c: Column, sub: str, pos: int = 1) -> Column:
+    # Spark locate: 1-based; 0 when not found
+    return S.map_to_values(
+        c, ("locate", sub, pos),
+        lambda s: s.find(sub, max(pos - 1, 0)) + 1, INT32)
+
+
+@register("instr")
+def _instr(block, c: Column, sub: str) -> Column:
+    return S.map_to_values(c, ("instr", sub),
+                           lambda s: s.find(sub) + 1, INT32)
+
+
+# -- more math (reference routes ~70 DataFusion built-ins) -------------------
+
+def _math1(name, jfn):
+    @register(name)
+    def fn(block, c: Column) -> Column:
+        v = jfn(c.values.astype(jnp.float64))
+        return Column.of(v, FLOAT64, c.validity)
+    return fn
+
+
+_math1("log10", jnp.log10)
+_math1("log2", jnp.log2)
+_math1("sin", jnp.sin)
+_math1("cos", jnp.cos)
+_math1("tan", jnp.tan)
+_math1("asin", jnp.arcsin)
+_math1("acos", jnp.arccos)
+_math1("atan", jnp.arctan)
+_math1("sinh", jnp.sinh)
+_math1("cosh", jnp.cosh)
+_math1("tanh", jnp.tanh)
+_math1("cbrt", jnp.cbrt)
+_math1("degrees", jnp.degrees)
+_math1("radians", jnp.radians)
+_math1("expm1", jnp.expm1)
+_math1("log1p", jnp.log1p)
+
+
+@register("bround")
+def _bround(block, c: Column, scale: int = 0) -> Column:
+    """Banker's (half-even) rounding — spark_bround.rs semantics."""
+    f = 10.0 ** scale
+    v = c.values.astype(jnp.float64) * f
+    r = jnp.round(v)  # jnp.round IS half-even
+    out = r / f
+    if c.dtype.is_integer and scale >= 0:
+        return Column.of(out.astype(c.dtype.jnp_dtype), c.dtype, c.validity)
+    return Column.of(out, FLOAT64, c.validity)
+
+
+@register("normalize_nan_and_zero")
+def _normalize_nan_and_zero(block, c: Column) -> Column:
+    """spark_normalize_nan_and_zero.rs: canonical NaN, -0.0 -> +0.0."""
+    v = c.values
+    v = jnp.where(jnp.isnan(v), jnp.asarray(float("nan"), v.dtype), v)
+    v = jnp.where(v == 0, jnp.asarray(0.0, v.dtype), v)
+    return Column.of(v, c.dtype, c.validity)
+
+
+@register("nvl")
+def _nvl(block, a: Column, b: Column) -> Column:
+    return _coalesce(block, a, b)
+
+
+@register("if")
+def _if(block, cond: Column, a: Column, b: Column) -> Column:
+    ok = cond.values.astype(jnp.bool_)
+    if cond.validity is not None:
+        ok = ok & cond.validity
+    vals = jnp.where(ok, a.values, b.values.astype(a.values.dtype))
+    validity = None
+    av = a.validity if a.validity is not None else jnp.ones_like(ok)
+    bv = b.validity if b.validity is not None else jnp.ones_like(ok)
+    if a.validity is not None or b.validity is not None:
+        validity = jnp.where(ok, av, bv)
+    return Column(vals, validity, a.dtype, a.dict_values)

@@ -127,6 +127,24 @@ def segment_aggregate(
                 out[spec.out_name] = Column(m, nn > 0, col.dtype,
                                             col.dict_values)
             continue
+        if kind in ("count_distinct", "approx_count_distinct"):
+            # exact distinct count via (gid, value) sort + run starts —
+            # beats approximation where the reference routes to DataFusion's
+            # approx_distinct; exact answers are always within the allowed
+            # error bound.
+            iota2 = jnp.arange(gid.shape[0], dtype=jnp.int32)
+            sort_in = (jnp.where(ok, gid, num_segments),
+                       jnp.where(ok, orderable_values(col), 0), iota2)
+            g_s, v_s, _ = jax.lax.sort(sort_in, dimension=0, is_stable=True,
+                                       num_keys=2)
+            ok_s = g_s < num_segments
+            prev_g = jnp.concatenate([g_s[:1] - 1, g_s[:-1]])
+            prev_v = jnp.concatenate([v_s[:1] - 1, v_s[:-1]])
+            start = ok_s & ((g_s != prev_g) | (v_s != prev_v))
+            cnt = jax.ops.segment_sum(start.astype(jnp.int64),
+                                      jnp.where(ok_s, g_s, 0), num_segments)
+            out[spec.out_name] = Column.of(cnt, INT64)
+            continue
         if kind in ("collect_list", "collect_set"):
             # reference agg/collect.rs: list/set accumulation. Output is the
             # engine's fixed-width array representation (#vals [g, max_len]

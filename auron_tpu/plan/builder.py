@@ -229,7 +229,8 @@ class GroupedFrame:
             plan = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="single",
                           domains=dom)
             return Frame(f.session, plan, 1)
-        collects = any(c.kind in ("collect_list", "collect_set")
+        collects = any(c.kind in ("collect_list", "collect_set",
+                                  "count_distinct", "approx_count_distinct")
                        for c in agg_calls)
         if collects:
             ex = PN.Exchange(f.plan, SinglePartitioning())

@@ -328,11 +328,11 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
     post: List[Tuple[str, str]] = []
     drop: List[str] = []
     k = call.kind
-    if k in ("collect_list", "collect_set") and mode != "single":
+    if k in ("collect_list", "collect_set", "count_distinct",
+             "approx_count_distinct") and mode != "single":
         raise NotImplementedError(
-            "collect_list/collect_set require mode='single' (gather rows to "
-            "one partition first); partial/final array merge is a later "
-            "milestone")
+            f"{k} requires mode='single' (gather rows to one partition "
+            "first); partial/final set merge is a later milestone")
     if mode in ("single", "partial"):
         col = _input_column(call, block)
         if k == "count_star" and col is not None:
