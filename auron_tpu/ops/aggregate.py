@@ -73,35 +73,56 @@ def segment_aggregate(
     out: Dict[str, Column] = {}
     gid = jnp.where(live, gid, 0)  # dead rows hit segment 0 with null weight
     mode = "sorted" if sorted_order else None
+
+    # MXU fast path: scatter-free one-hot aggregation (pallas_kernels.py).
+    # XLA's scatter-based segment_sum serializes on TPU (~16x slower,
+    # measured at 8M rows); matmul/select blocks replace it when the
+    # segment count is bounded.
+    from auron_tpu.ops import pallas_kernels as PK
+    use_mxu = PK.use_mxu_segments(num_segments, gid.shape[0])
+    gid32 = gid.astype(jnp.int32)
+
+    def _seg_count(flags):
+        if use_mxu:
+            return PK.onehot_segment_count(flags, gid32, num_segments)
+        return jax.ops.segment_sum(flags.astype(jnp.int64), gid,
+                                   num_segments,
+                                   indices_are_sorted=sorted_order)
+
+    def _seg_sum(vals):
+        if use_mxu:
+            return PK.onehot_segment_sum(vals, gid32, num_segments)
+        return jax.ops.segment_sum(vals, gid, num_segments,
+                                   indices_are_sorted=sorted_order)
+
+    def _seg_minmax(vals, ident, is_min):
+        if use_mxu:
+            return PK.onehot_segment_minmax(vals, gid32, num_segments,
+                                            ident, is_min)
+        seg = jax.ops.segment_min if is_min else jax.ops.segment_max
+        return seg(vals, gid, num_segments, indices_are_sorted=sorted_order)
+
     for spec, col in aggs:
         kind = spec.kind
         if kind == "count_star":
-            cnt = jax.ops.segment_sum(
-                live.astype(jnp.int64), gid, num_segments,
-                indices_are_sorted=sorted_order)
+            cnt = _seg_count(live).astype(jnp.int64)
             out[spec.out_name] = Column.of(cnt, INT64)
             continue
         assert col is not None, kind
         ok = live if col.validity is None else (live & col.validity)
         if kind == "count":
             if spec.merge:  # merging partial counts = summing them
-                s = jax.ops.segment_sum(_masked(col.values, ok, 0), gid,
-                                        num_segments,
-                                        indices_are_sorted=sorted_order)
+                s = _seg_sum(_masked(col.values, ok, 0))
                 out[spec.out_name] = Column.of(s.astype(jnp.int64), INT64)
             else:
-                cnt = jax.ops.segment_sum(ok.astype(jnp.int64), gid,
-                                          num_segments,
-                                          indices_are_sorted=sorted_order)
+                cnt = _seg_count(ok).astype(jnp.int64)
                 out[spec.out_name] = Column.of(cnt, INT64)
             continue
         if kind == "sum":
             acc_dtype = _sum_dtype(col.dtype)
             vals = col.values.astype(acc_dtype.jnp_dtype)
-            s = jax.ops.segment_sum(_masked(vals, ok, 0), gid, num_segments,
-                                    indices_are_sorted=sorted_order)
-            nn = jax.ops.segment_sum(ok.astype(jnp.int32), gid, num_segments,
-                                     indices_are_sorted=sorted_order)
+            s = _seg_sum(_masked(vals, ok, 0)).astype(acc_dtype.jnp_dtype)
+            nn = _seg_count(ok)
             out[spec.out_name] = Column.of(s, acc_dtype, nn > 0)
             continue
         if kind in ("min", "max"):
@@ -109,11 +130,8 @@ def segment_aggregate(
             ident = _minmax_identity(col.dtype if not col.dtype.is_string
                                      else _RANK_I32, is_min)
             vals = orderable_values(col) if col.dtype.is_string else col.values
-            seg = jax.ops.segment_min if is_min else jax.ops.segment_max
-            m = seg(_masked(vals, ok, ident), gid, num_segments,
-                    indices_are_sorted=sorted_order)
-            nn = jax.ops.segment_sum(ok.astype(jnp.int32), gid, num_segments,
-                                     indices_are_sorted=sorted_order)
+            m = _seg_minmax(_masked(vals, ok, ident), ident, is_min)
+            nn = _seg_count(ok)
             if col.dtype.is_string:
                 # translate winning rank back to a dictionary code
                 from auron_tpu.expr.strings import sort_rank_table
@@ -159,8 +177,7 @@ def segment_aggregate(
             cap = gid.shape[0]
             eligible = ok if kind == "first_ignores_null" else live
             idx = jnp.where(eligible, jnp.arange(cap), cap)
-            first_idx = jax.ops.segment_min(idx, gid, num_segments,
-                                            indices_are_sorted=sorted_order)
+            first_idx = _seg_minmax(idx, cap, True)
             have = first_idx < cap
             safe = jnp.clip(first_idx, 0, cap - 1)
             vals = jnp.take(col.values, safe)
