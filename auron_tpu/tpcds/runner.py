@@ -19,22 +19,49 @@ from auron_tpu.tpcds.datagen import generate
 from auron_tpu.tpcds.queries import QUERIES
 
 
-def rows_key(df: pd.DataFrame, ndigits: int = 4) -> List[tuple]:
-    df = df.reindex(sorted(df.columns), axis=1)
-    out = []
-    for t in df.itertuples(index=False):
-        row = []
-        for v in t:
-            if v is None or (isinstance(v, float) and np.isnan(v)):
-                row.append(None)
-            elif isinstance(v, (float, np.floating)):
-                row.append(round(float(v), ndigits) + 0.0)
-            elif isinstance(v, np.integer):
-                row.append(int(v))
-            else:
-                row.append(v)
-        out.append(tuple(row))
-    return sorted(out, key=lambda r: tuple((x is None, str(x)) for x in r))
+def frames_match(got: pd.DataFrame, want: pd.DataFrame,
+                 rtol: float = 1e-5, atol_scale: float = 1e-9) -> bool:
+    """Row-multiset equality with double tolerance on float columns — the
+    reference QueryResultComparator.scala:39-106 methodology: sort rows
+    deterministically (non-float columns first, coarsely-rounded floats as
+    tiebreak), then compare floats pairwise with epsilon, everything else
+    exactly."""
+    if len(got) != len(want):
+        return False
+    cols = sorted(want.columns)
+    if sorted(got.columns) != cols:
+        return False
+    got = got.reindex(cols, axis=1)
+    want = want.reindex(cols, axis=1)
+    float_cols = [c for c in cols
+                  if np.issubdtype(np.asarray(want[c]).dtype, np.floating)]
+    other = [c for c in cols if c not in float_cols]
+
+    def canon(df):
+        key = df.copy()
+        for c in float_cols:
+            key[c] = np.round(np.asarray(df[c], dtype=np.float64), 3)
+        order = key.sort_values(by=other + float_cols,
+                                kind="stable").index
+        return df.loc[order].reset_index(drop=True)
+
+    g, w = canon(got), canon(want)
+    for c in other:
+        ga = g[c].astype(object).where(g[c].notna(), None)
+        wa = w[c].astype(object).where(w[c].notna(), None)
+        if not (ga.to_numpy() == wa.to_numpy()).all():
+            return False
+    for c in float_cols:
+        ga = np.asarray(g[c], dtype=np.float64)
+        wa = np.asarray(w[c], dtype=np.float64)
+        if not (np.isnan(ga) == np.isnan(wa)).all():
+            return False
+        sel = ~np.isnan(wa)
+        scale = np.abs(wa[sel]).max(initial=1.0)
+        if not np.allclose(ga[sel], wa[sel], rtol=rtol,
+                           atol=atol_scale * scale + 1e-12):
+            return False
+    return True
 
 
 def make_session(tables: Dict[str, pd.DataFrame],
@@ -57,7 +84,7 @@ def run_query(name: str, session: Session,
     t0 = time.perf_counter()
     want = oracle(tables)
     t_oracle = time.perf_counter() - t0
-    match = rows_key(got) == rows_key(want)
+    match = frames_match(got, want)
     return {"query": name, "match": match, "rows": len(got),
             "engine_s": round(t_engine, 4), "oracle_s": round(t_oracle, 4),
             "speedup": round(t_oracle / t_engine, 3) if t_engine > 0 else 0}

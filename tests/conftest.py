@@ -45,7 +45,9 @@ def sorted_rows(df, ndigits=6):
             if v is None or (isinstance(v, float) and np.isnan(v)):
                 row.append(None)
             elif isinstance(v, float):
-                row.append(round(v, ndigits) + 0.0)
+                # relative rounding (significant digits): large aggregates
+                # must compare under double tolerance, not absolute decimals
+                row.append(float(f"%.{ndigits}g" % v) + 0.0)
             else:
                 row.append(v)
         out.append(tuple(row))
