@@ -399,6 +399,15 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs,
                 break
             domains.append(int(hi - lo))
             offsets.append(int(lo))
+        elif c.dtype.is_integer:
+            # AQE-style eager stat: concrete int keys with a small value
+            # range take the dense path without any hint
+            rng = _eager_int_range(c, block.row_mask)
+            if rng is None or rng[1] - rng[0] > (1 << 13):
+                direct_ok = False
+                break
+            domains.append(int(rng[1] - rng[0]))
+            offsets.append(int(rng[0]))
         else:
             direct_ok = False
             break
@@ -415,6 +424,21 @@ def _run_groupby(block: TableBlock, key_names: List[str], specs,
             config.AGG_PARTIAL_SKIP_MIN_ROWS):
         return _groupby_or_skip(block, key_names, specs)
     return groupby_sorted(block, key_names, specs)
+
+
+def _eager_int_range(c: Column, row_mask):
+    """(min, max+1) of live values when concrete; None under tracing."""
+    import jax.core
+    if isinstance(c.values, jax.core.Tracer) or \
+            isinstance(row_mask, jax.core.Tracer):
+        return None
+    sel = np.asarray(row_mask)
+    if c.validity is not None:
+        sel = sel & np.asarray(c.validity)
+    vals = np.asarray(c.values)[sel]
+    if vals.size == 0:
+        return None
+    return int(vals.min()), int(vals.max()) + 1
 
 
 def _hint_valid(c: Column, row_mask, lo: int, hi: int) -> bool:
