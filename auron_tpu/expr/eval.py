@@ -46,6 +46,8 @@ def evaluate(expr: N.Expr, block: TableBlock) -> Column:
         if c.validity is None:
             return Column.of(jnp.zeros_like(c.values, dtype=jnp.bool_), BOOL)
         return Column.of(jnp.logical_not(c.validity), BOOL)
+    if isinstance(expr, N.PyUDF):
+        return _py_udf(expr, block)
     if isinstance(expr, N.Cast):
         c = evaluate(expr.child, block)
         return cast_column(c, expr.to, block.capacity)
@@ -413,3 +415,44 @@ def _in_list(expr: N.InList, block: TableBlock) -> Column:
     if expr.negated and has_null_item:
         out = jnp.zeros_like(hit)
     return Column.of(out, BOOL, validity)
+
+
+def _py_udf(expr: "N.PyUDF", block: TableBlock) -> Column:
+    """Host round-trip UDF (see nodes.PyUDF). NULL handling: output is NULL
+    where any argument is NULL (Spark's default null-intolerant UDF path)."""
+    import jax
+    cap = block.capacity
+    cols = [materialize(evaluate(a, block), cap) for a in expr.args]
+    if expr.dtype.is_string:
+        raise NotImplementedError("PyUDF cannot produce string columns "
+                                  "(dictionary is data-dependent)")
+
+    decoders = []
+    for c in cols:
+        if c.dtype.is_string:
+            dv = c.dict_values
+            decoders.append(("str", dv))
+        else:
+            decoders.append(("raw", None))
+
+    fn = expr.fn
+
+    def host_call(*arrays):
+        decoded = []
+        for (kind, dv), arr in zip(decoders, arrays):
+            arr = np.asarray(arr)
+            if kind == "str":
+                codes = np.clip(arr, 0, len(dv) - 1)
+                decoded.append(dv[codes])
+            else:
+                decoded.append(arr)
+        out = np.asarray(fn(*decoded))
+        return out.astype(expr.dtype.np_dtype, copy=False)
+
+    result = jax.pure_callback(
+        host_call,
+        jax.ShapeDtypeStruct((cap,), expr.dtype.np_dtype),
+        *[c.values for c in cols],
+        vmap_method="sequential")
+    validity = _combine_validity(*cols)
+    return Column.of(result, expr.dtype, validity)

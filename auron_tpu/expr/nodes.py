@@ -249,3 +249,34 @@ def case(*branches, otherwise=None) -> CaseWhen:
 
 def func(name: str, *args, params: Tuple[Any, ...] = ()) -> ScalarFunc:
     return ScalarFunc(name, tuple(_wrap(a) for a in args), tuple(params))
+
+
+@_ident_eq
+@dataclass(frozen=True, eq=False)
+class PyUDF(Expr):
+    """Host-python UDF escape hatch.
+
+    The reference guarantees conversion never fails at expression
+    granularity: anything unsupported becomes a serialized Spark UDF
+    evaluated in the JVM over an FFI round-trip
+    (NativeConverters.scala:1213-1247, spark_udf_wrapper.rs). The TPU analog
+    is a `jax.pure_callback`: the traced program ships argument columns to
+    the host, runs the python function on numpy arrays, and streams the
+    result column back — usable inside jit, at host-roundtrip cost.
+
+    ``fn(*np_arrays) -> np_array`` of length capacity; string arguments
+    arrive decoded as object arrays; output must be a non-string dtype
+    (data-dependent dictionaries cannot be built under tracing).
+    """
+
+    name: str
+    fn: Any
+    args: Tuple[Expr, ...]
+    dtype: "DataType"
+
+    def children(self):
+        return self.args
+
+
+def py_udf(name: str, fn, dtype, *args) -> PyUDF:
+    return PyUDF(name, fn, tuple(_wrap(a) for a in args), dtype)

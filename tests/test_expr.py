@@ -216,3 +216,28 @@ def test_coalesce_strings_across_dictionaries():
     b = mkblock(s=["a", None, "c"])
     r = out(b, func("coalesce", col("s"), lit("missing")))
     assert r.tolist() == ["a", "missing", "c"]
+
+
+def test_py_udf_host_callback():
+    """UDF fallback: python fn over columns, usable inside jit."""
+    import jax
+    import pandas as pd
+    from auron_tpu.block import TableBlock
+    from auron_tpu.dtypes import FLOAT64, INT32
+    from auron_tpu.expr.eval import evaluate, materialize
+    from auron_tpu.expr.nodes import col, py_udf
+
+    df = pd.DataFrame({"a": [1.0, 2.0, 3.0, None],
+                       "s": ["x", "yy", "zzz", "w"]})
+    b = TableBlock.from_pandas(df)
+    u = py_udf("plus_len", lambda a, s: a + [len(x) for x in s],
+               FLOAT64, col("a"), col("s"))
+
+    @jax.jit
+    def run(b):
+        return materialize(evaluate(u, b), b.capacity)
+
+    out = run(b)
+    got = np.asarray(out.values)[np.asarray(b.row_mask)]
+    np.testing.assert_allclose(got[:3], [2.0, 4.0, 6.0])
+    assert not bool(np.asarray(out.validity)[3])  # NULL arg -> NULL out
