@@ -220,12 +220,17 @@ def _run_starts(offsets_at: jnp.ndarray, eff: jnp.ndarray,
 
 
 def _null_build_columns(build: TableBlock, gather_idx, valid) -> Dict[str, Column]:
+    from auron_tpu.ops.selection import batched_take
+    arrays = {}
+    for name, c in build.columns.items():
+        arrays[(name, "v")] = c.values
+        if c.validity is not None:
+            arrays[(name, "n")] = c.validity
+    taken = batched_take(arrays, gather_idx)
     cols = {}
     for name, c in build.columns.items():
-        vals = jnp.take(c.values, gather_idx, axis=0)
-        v = valid if c.validity is None else \
-            (valid & jnp.take(c.validity, gather_idx, axis=0))
-        cols[name] = Column(vals, v, c.dtype, c.dict_values)
+        v = valid if c.validity is None else (valid & taken[(name, "n")])
+        cols[name] = Column(taken[(name, "v")], v, c.dtype, c.dict_values)
     return cols
 
 
@@ -267,18 +272,29 @@ def join_blocks(left: TableBlock, right: TableBlock, spec: JoinSpec,
         out_capacity = round_capacity(int(probe_cap * factor))
     owner, pair_live = _run_starts(offsets, eff, total, out_capacity)
     owner = jnp.clip(owner, 0, probe_cap - 1)
-    within = jnp.arange(out_capacity, dtype=jnp.int32) - \
-        jnp.take(offsets, owner).astype(jnp.int32)
-    has_match = jnp.take(matches, owner) > 0
-    b_sorted_pos = jnp.take(lo, owner) + within
+
+    # ONE batched gather by `owner` covers expansion metadata (offsets /
+    # match counts / range starts) AND every probe column+validity — TPU
+    # gathers cost per-index, so batching here is the join's biggest win.
+    from auron_tpu.ops.selection import batched_take
+    arrays = {"#off": offsets.astype(jnp.int32),
+              "#match": matches.astype(jnp.int32),
+              "#lo": lo.astype(jnp.int32)}
+    for name, c in left.columns.items():
+        arrays[(name, "v")] = c.values
+        if c.validity is not None:
+            arrays[(name, "n")] = c.validity
+    taken = batched_take(arrays, owner)
+    within = jnp.arange(out_capacity, dtype=jnp.int32) - taken["#off"]
+    has_match = taken["#match"] > 0
+    b_sorted_pos = taken["#lo"] + within
     b_row = jnp.take(build_perm, jnp.clip(b_sorted_pos, 0, build_cap - 1))
 
     l_gidx = owner
     out_cols = {}
     for name, c in left.columns.items():
-        vals = jnp.take(c.values, l_gidx, axis=0)
-        v = None if c.validity is None else jnp.take(c.validity, l_gidx, axis=0)
-        out_cols[name] = Column(vals, v, c.dtype, c.dict_values)
+        out_cols[name] = Column(taken[(name, "v")], taken.get((name, "n")),
+                                c.dtype, c.dict_values)
     build_valid_row = pair_live & has_match
     out_cols.update(_null_build_columns(right, b_row, build_valid_row))
     pair_block = TableBlock(out_cols, pair_live)

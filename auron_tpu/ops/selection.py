@@ -25,6 +25,27 @@ def compaction_indices(mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return idx, n
 
 
+def batched_take(arrays: dict, indices) -> dict:
+    """Gather many row-aligned arrays by the same indices, stacking
+    same-dtype 1-D arrays into single 2-D gathers (TPU gather cost is per
+    index, not per byte — batching is ~4.5x on wide blocks)."""
+    by_dtype: dict = {}
+    for key, arr in arrays.items():
+        dkey = str(arr.dtype) if arr.ndim == 1 else f"2d:{key}"
+        by_dtype.setdefault(dkey, []).append(key)
+    out = {}
+    for dkey, keys in by_dtype.items():
+        if len(keys) == 1 or dkey.startswith("2d:"):
+            for k in keys:
+                out[k] = jnp.take(arrays[k], indices, axis=0)
+        else:
+            stacked = jnp.stack([arrays[k] for k in keys], axis=1)
+            got = jnp.take(stacked, indices, axis=0)
+            for j, k in enumerate(keys):
+                out[k] = got[:, j]
+    return out
+
+
 def take_block(block: TableBlock, indices, out_mask) -> TableBlock:
     """Gather rows of every column by `indices`; new row mask = out_mask.
 
@@ -33,39 +54,16 @@ def take_block(block: TableBlock, indices, out_mask) -> TableBlock:
     8 columns in one 2-D gather = 1.8x one column, vs 8x for separate
     gathers), so batching is a ~4.5x win on wide blocks.
     """
-    plan = []  # (dtype key, [(name, kind)]) in insertion order
     arrays = {}
     for name, c in block.columns.items():
-        if c.values.ndim == 1:
-            arrays[(name, "v")] = c.values
-            plan.append((str(c.values.dtype), (name, "v")))
-        else:  # 2-D array planes gather alone
-            arrays[(name, "v2")] = c.values
-            plan.append((f"2d:{name}", (name, "v2")))
+        arrays[(name, "v")] = c.values
         if c.validity is not None:
             arrays[(name, "n")] = c.validity
-            plan.append(("bool", (name, "n")))
-
-    by_dtype: dict = {}
-    for dkey, item in plan:
-        by_dtype.setdefault(dkey, []).append(item)
-
-    taken = {}
-    for dkey, items in by_dtype.items():
-        if len(items) == 1 or dkey.startswith("2d:"):
-            for item in items:
-                taken[item] = jnp.take(arrays[item], indices, axis=0)
-        else:
-            stacked = jnp.stack([arrays[i] for i in items], axis=1)
-            got = jnp.take(stacked, indices, axis=0)
-            for j, item in enumerate(items):
-                taken[item] = got[:, j]
-
+    taken = batched_take(arrays, indices)
     cols = {}
     for name, c in block.columns.items():
-        key_v = (name, "v") if c.values.ndim == 1 else (name, "v2")
-        validity = taken.get((name, "n"))
-        cols[name] = Column(taken[key_v], validity, c.dtype, c.dict_values)
+        cols[name] = Column(taken[(name, "v")], taken.get((name, "n")),
+                            c.dtype, c.dict_values)
     return TableBlock(cols, out_mask)
 
 

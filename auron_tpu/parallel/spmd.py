@@ -174,11 +174,13 @@ class SpmdExecutor:
         if node.build == "left":
             spec = J.JoinSpec(node.right_keys, node.left_keys,
                               _SWAP[node.join_type], node.null_aware,
-                              node.existence_col)
+                              node.existence_col,
+                              build_domain=node.build_domain)
             probe, build = right, left
         else:
             spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
-                              node.null_aware, node.existence_col)
+                              node.null_aware, node.existence_col,
+                              build_domain=node.build_domain)
             probe, build = left, right
         if node.strategy == "broadcast":
             build = all_gather_block(build, self.axis)
@@ -207,6 +209,15 @@ def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
     mesh size). Returns the per-device output blocks (stacked layout).
     """
     n = mesh.shape[axis]
+    # plan-time stats from the concrete host blocks (inside shard_map all
+    # values are tracers, so this is the only chance to fill dense hints)
+    from auron_tpu.plan.execute import Session as _S
+    from auron_tpu.plan.stats import annotate_plan
+    stats_session = _S()
+    for name, blocks in tables.items():
+        stats_session.register(name, list(blocks))
+    plan = annotate_plan(plan, stats_session)
+
     stacked = {}
     for name, blocks in tables.items():
         blocks = pad_partitions(list(blocks), n)

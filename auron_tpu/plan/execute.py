@@ -67,8 +67,17 @@ class Session:
         return pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
 
 
-def execute_plan(plan: PN.PlanNode, session: Session) -> List[TableBlock]:
-    """Evaluate the plan bottom-up; traceable (jit the caller for fusion)."""
+def execute_plan(plan: PN.PlanNode, session: Session,
+                 annotate: bool = True) -> List[TableBlock]:
+    """Evaluate the plan bottom-up; traceable (jit the caller for fusion).
+
+    ``annotate`` runs the plan-time statistics pass (plan/stats.py) first so
+    dense fast paths fire even under whole-plan jit; it is a no-op when the
+    session's tables are tracers. Pass False when the caller pre-annotated.
+    """
+    if annotate:
+        from auron_tpu.plan.stats import annotate_plan
+        plan = annotate_plan(plan, session)
     return _exec(plan, session)
 
 
@@ -187,11 +196,13 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         # swap so the kernel's build side is the collected/broadcast side
         spec = J.JoinSpec(node.right_keys, node.left_keys,
                           _SWAP[node.join_type], node.null_aware,
-                          node.existence_col)
+                          node.existence_col,
+                          build_domain=node.build_domain)
         probe, build = right, left
     else:
         spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
-                          node.null_aware, node.existence_col)
+                          node.null_aware, node.existence_col,
+                          build_domain=node.build_domain)
         probe, build = left, right
 
     if node.strategy == "broadcast":

@@ -160,6 +160,9 @@ class Join(PlanNode):
     condition: Optional[Expr] = None  # extra non-equi join filter
     existence_col: str = "exists#"
     out_capacity: Optional[int] = None
+    # (lo, hi) int range of the single build key — filled by plan/stats.py
+    # from table statistics; enables the dense probe under whole-plan jit
+    build_domain: Optional[Tuple[int, int]] = None
 
 
 @_ident

@@ -1,0 +1,170 @@
+"""Plan-time statistics: int-column range propagation + hint annotation.
+
+Replaces run-time AQE checks for jitted plans: under `jax.jit` every
+intermediate is a tracer, so eager stats (plan/execute.py's
+`_eager_int_range` / `_with_build_domain`) cannot fire. This pass computes
+column value ranges ONCE from the registered (concrete) tables, propagates
+them bottom-up through the plan, and rewrites nodes with the hints the
+executor's fast paths consume:
+
+* `Agg.domains`  — dense direct aggregation (segment matmul, no sort)
+* `Join.build_domain` (via spec at execution) — dense surrogate-key probe
+
+The reference keeps statistics host-side in Spark (driver planning, AQE);
+this is the single-process analog. Ranges are CONTRACTS derived from real
+data at plan time — exact for scans, widened conservatively elsewhere.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from auron_tpu.expr import nodes as E
+from auron_tpu.plan import nodes as PN
+
+Range = Tuple[int, int]  # half-open [lo, hi)
+
+MAX_AGG_DOMAIN = 1 << 13
+MAX_JOIN_DOMAIN = 1 << 22
+
+
+def annotate_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
+    """Return an equivalent plan with domain hints filled from table stats."""
+    new_plan, _ = _walk(plan, session)
+    return new_plan
+
+
+def _table_ranges(session, table: str) -> Dict[str, Range]:
+    cache = getattr(session, "_stats_cache", None)
+    if cache is None:
+        cache = session._stats_cache = {}
+    hit = cache.get(table)
+    if hit is not None:
+        return hit
+    out: Dict[str, Range] = {}
+    try:
+        blocks = list(session.tables[table])
+    except Exception:
+        cache[table] = out
+        return out
+    for name in blocks[0].names:
+        c0 = blocks[0].columns[name]
+        if not c0.dtype.is_integer:
+            continue
+        lo, hi = None, None
+        ok = True
+        for b in blocks:
+            c = b.columns[name]
+            import jax.core
+            if isinstance(c.values, jax.core.Tracer):
+                ok = False
+                break
+            sel = np.asarray(b.row_mask)
+            if c.validity is not None:
+                sel = sel & np.asarray(c.validity)
+            vals = np.asarray(c.values)[sel]
+            if vals.size == 0:
+                continue
+            mn, mx = int(vals.min()), int(vals.max())
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[name] = (lo, hi + 1)
+    cache[table] = out
+    return out
+
+
+def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
+    if isinstance(node, PN.MemoryScan):
+        r = dict(_table_ranges(s, node.table))
+        if node.projection:
+            r = {k: v for k, v in r.items() if k in node.projection}
+        return node, r
+    if isinstance(node, (PN.Filter, PN.Limit, PN.Sort, PN.Debug,
+                         PN.Coalesce, PN.Exchange, PN.Window)):
+        child, r = _walk(node.children[0], s)
+        return dataclasses.replace(node, **{_child_field(node): child}), r
+    if isinstance(node, PN.Project):
+        child, r = _walk(node.child, s)
+        out = {}
+        for name, e in node.exprs:
+            base = _column_of(e)
+            if base is not None and base in r:
+                out[name] = r[base]
+        return dataclasses.replace(node, child=child), out
+    if isinstance(node, PN.Rename):
+        child, r = _walk(node.child, s)
+        m = dict(node.mapping)
+        return (dataclasses.replace(node, child=child),
+                {m.get(k, k): v for k, v in r.items()})
+    if isinstance(node, PN.Join):
+        left, rl = _walk(node.left, s)
+        right, rr = _walk(node.right, s)
+        merged = dict(rl)
+        merged.update(rr)
+        build_keys = node.left_keys if node.build == "left" else \
+            node.right_keys
+        build_ranges = rl if node.build == "left" else rr
+        bd = node.build_domain
+        if bd is None and len(build_keys) == 1:
+            rng = build_ranges.get(build_keys[0])
+            if rng is not None and rng[1] - rng[0] <= MAX_JOIN_DOMAIN:
+                bd = rng
+        new = dataclasses.replace(node, left=left, right=right,
+                                  build_domain=bd)
+        return new, merged
+    if isinstance(node, PN.Union):
+        outs = []
+        merged: Dict[str, Range] = {}
+        for c in node.children_nodes:
+            nc, r = _walk(c, s)
+            outs.append(nc)
+            for k, v in r.items():
+                if k in merged:
+                    merged[k] = (min(merged[k][0], v[0]),
+                                 max(merged[k][1], v[1]))
+                else:
+                    merged[k] = v
+        return dataclasses.replace(node, children_nodes=tuple(outs)), merged
+    if isinstance(node, PN.Agg):
+        child, r = _walk(node.child, s)
+        hints = dict(node.domains)
+        for name, e in node.keys:
+            if name in hints:
+                continue
+            base = _column_of(e)
+            rng = r.get(base) if base else None
+            if rng is not None and rng[1] - rng[0] <= MAX_AGG_DOMAIN:
+                hints[name] = rng
+        new = dataclasses.replace(node, child=child,
+                                  domains=tuple(hints.items()))
+        # output ranges: keys keep their input ranges
+        out = {name: r[_column_of(e)] for name, e in node.keys
+               if _column_of(e) in r}
+        return new, out
+    # leaf/other nodes: rebuild children generically where possible
+    if isinstance(node, PN.Generate):
+        child, r = _walk(node.child, s)
+        return dataclasses.replace(node, child=child), r
+    if isinstance(node, PN.Expand):
+        child, r = _walk(node.child, s)
+        return dataclasses.replace(node, child=child), {}
+    return node, {}
+
+
+def _child_field(node) -> str:
+    for f in dataclasses.fields(node):
+        if isinstance(getattr(node, f.name), PN.PlanNode):
+            return f.name
+    raise ValueError(f"no child field on {type(node).__name__}")
+
+
+def _column_of(e: E.Expr) -> Optional[str]:
+    while isinstance(e, E.Alias):
+        e = e.child
+    if isinstance(e, E.Column):
+        return e.name
+    return None

@@ -66,11 +66,19 @@ def main():
               mode="single")
     plan = Sort(agg, (SortKey("grp"),))
 
+    # plan-time stats (dense join probe + dense aggregation) from the
+    # concrete blocks, BEFORE jit freezes everything into tracers
+    from auron_tpu.plan.stats import annotate_plan
+    stats_s = Session()
+    stats_s.register("fact", fact_b)
+    stats_s.register("dim", dim_b)
+    plan = annotate_plan(plan, stats_s)
+
     def step(fact_block, dim_block):
         s = Session()
         s.register("fact", fact_block)
         s.register("dim", dim_block)
-        return execute_plan(plan, s)[0]
+        return execute_plan(plan, s, annotate=False)[0]
 
     jitted = jax.jit(step)
 
