@@ -84,3 +84,27 @@ def write_parquet(blocks: Sequence[TableBlock], path: str,
     else:
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         pq.write_table(table, path)
+
+
+def read_orc_blocks(node) -> List[TableBlock]:
+    """ORC scan (reference orc_exec.rs:1647) via pyarrow.orc, host-side."""
+    from pyarrow import orc
+    frames = []
+    columns = list(node.projection) if node.projection else None
+    for path in node.paths:
+        table = orc.read_table(path, columns=columns)
+        frames.append(table.to_pandas())
+    import pandas as pd
+    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
+    parts = np.array_split(np.arange(len(df)), node.num_partitions)
+    return [TableBlock.from_pandas(df.iloc[idx]) for idx in parts]
+
+
+def write_orc(blocks: Sequence[TableBlock], path: str) -> None:
+    """ORC sink (reference orc_sink_exec.rs:568)."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyarrow import orc
+    df = pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    orc.write_table(pa.Table.from_pandas(df, preserve_index=False), path)

@@ -216,7 +216,8 @@ def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
     stats_session = _S()
     for name, blocks in tables.items():
         stats_session.register(name, list(blocks))
-    plan = annotate_plan(plan, stats_session)
+    from auron_tpu.plan.prune import prune_plan
+    plan = annotate_plan(prune_plan(plan, stats_session), stats_session)
 
     stacked = {}
     for name, blocks in tables.items():

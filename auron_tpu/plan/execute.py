@@ -76,8 +76,9 @@ def execute_plan(plan: PN.PlanNode, session: Session,
     session's tables are tracers. Pass False when the caller pre-annotated.
     """
     if annotate:
+        from auron_tpu.plan.prune import prune_plan
         from auron_tpu.plan.stats import annotate_plan
-        plan = annotate_plan(plan, session)
+        plan = annotate_plan(prune_plan(plan, session), session)
     return _exec(plan, session)
 
 
@@ -102,6 +103,9 @@ def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
     if isinstance(node, PN.ParquetScan):
         from auron_tpu.io.parquet import read_parquet_blocks
         return read_parquet_blocks(node)
+    if isinstance(node, PN.OrcScan):
+        from auron_tpu.io.parquet import read_orc_blocks
+        return read_orc_blocks(node)
     if isinstance(node, PN.Filter):
         return [filter_block(b, node.predicate)
                 for b in _exec(node.child, s)]

@@ -253,3 +253,13 @@ class Coalesce(PlanNode):
 
     child: PlanNode
     num_partitions: int = 1
+
+
+@_ident
+@dataclass(frozen=True, eq=False)
+class OrcScan(PlanNode):
+    """Native ORC scan (reference orc_exec.rs:1647), host-decoded."""
+
+    paths: Tuple[str, ...]
+    projection: Optional[Tuple[str, ...]] = None
+    num_partitions: int = 1

@@ -1,0 +1,185 @@
+"""Column pruning — push required-column sets down to the scans.
+
+Reference analog: datafusion-ext-plans/src/common/column_pruning.rs (pushdown
+of projections through the operator tree). On TPU this matters doubly:
+every column that survives a join costs a row gather, and gathers are the
+slowest primitive on the chip — so joins over pruned inputs are directly
+proportionally faster.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Set
+
+from auron_tpu.expr import nodes as E
+from auron_tpu.plan import nodes as PN
+
+
+def expr_refs(e: E.Expr) -> Set[str]:
+    out: Set[str] = set()
+
+    def walk(x):
+        if isinstance(x, E.Column):
+            out.add(x.name)
+            return
+        for f in getattr(x, "__dataclass_fields__", {}):
+            v = getattr(x, f)
+            if isinstance(v, E.Expr):
+                walk(v)
+            elif isinstance(v, tuple):
+                for item in v:
+                    if isinstance(item, E.Expr):
+                        walk(item)
+    walk(e)
+    return out
+
+
+def output_names(node: PN.PlanNode, session) -> List[str]:
+    if isinstance(node, PN.MemoryScan):
+        names = session.tables[node.table][0].names
+        return [n for n in names if not node.projection
+                or n in node.projection]
+    if isinstance(node, (PN.ParquetScan, PN.OrcScan)):
+        return list(node.projection) if node.projection else []
+    if isinstance(node, PN.Project):
+        return [n for n, _ in node.exprs]
+    if isinstance(node, PN.Rename):
+        m = dict(node.mapping)
+        return [m.get(n, n) for n in output_names(node.child, session)]
+    if isinstance(node, PN.Agg):
+        out = [n for n, _ in node.keys]
+        for c in node.calls:
+            if c.kind == "avg" and node.mode == "partial":
+                out += [f"{c.name}#s", f"{c.name}#c"]
+            elif c.kind in ("collect_list", "collect_set"):
+                out += [f"{c.name}#vals", f"{c.name}#len"]
+            else:
+                out.append(c.name)
+        return out
+    if isinstance(node, PN.Join):
+        out = output_names(node.left, session) + \
+            output_names(node.right, session)
+        if node.join_type == "existence":
+            out.append(node.existence_col)
+        return out
+    if isinstance(node, PN.Union):
+        return output_names(node.children_nodes[0], session)
+    if isinstance(node, PN.Expand):
+        return [n for n, _ in node.projections[0]]
+    if isinstance(node, PN.Window):
+        return output_names(node.child, session) + \
+            ([f.name for f in node.funcs] if node.output_window_cols else [])
+    if isinstance(node, PN.Generate):
+        base = [n for n in output_names(node.child, session)
+                if n not in (f"{node.column}#vals", f"{node.column}#len")]
+        extra = [node.pos_name] if node.kind == "posexplode" else []
+        return base + extra + [node.out_name]
+    kids = node.children
+    if kids:
+        return output_names(kids[0], session)
+    return []
+
+
+def prune_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
+    needed = set(output_names(plan, session))
+    return _prune(plan, needed, session)
+
+
+def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
+    if isinstance(node, PN.MemoryScan):
+        avail = [n for n in session.tables[node.table][0].names
+                 if not node.projection or n in node.projection]
+        proj = tuple(n for n in avail if n in needed)
+        if len(proj) == len(avail) and not node.projection:
+            return node
+        return dataclasses.replace(node, projection=proj or tuple(avail[:1]))
+    if isinstance(node, (PN.ParquetScan, PN.OrcScan)):
+        return node
+    if isinstance(node, PN.Filter):
+        child_needed = needed | expr_refs(node.predicate)
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, PN.Project):
+        keep = tuple((n, e) for n, e in node.exprs if n in needed)
+        child_needed: Set[str] = set()
+        for _, e in keep:
+            child_needed |= expr_refs(e)
+        return dataclasses.replace(
+            node, exprs=keep or node.exprs[:1],
+            child=_prune(node.child, child_needed or
+                         expr_refs(node.exprs[0][1]), session))
+    if isinstance(node, PN.Agg):
+        child_needed: Set[str] = set()
+        for _, e in node.keys:
+            child_needed |= expr_refs(e)
+        for c in node.calls:
+            if c.expr is not None:
+                child_needed |= expr_refs(c.expr)
+            if c.filter is not None:
+                child_needed |= expr_refs(c.filter)
+        if node.mode == "final":
+            # final consumes partial state columns by name
+            child_needed |= set(output_names(node, session))
+            for c in node.calls:
+                if c.kind == "avg":
+                    child_needed |= {f"{c.name}#s", f"{c.name}#c"}
+                else:
+                    child_needed.add(c.name)
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, PN.Sort):
+        child_needed = needed | {k.column for k in node.keys}
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, PN.Limit):
+        return dataclasses.replace(
+            node, child=_prune(node.child, needed, session))
+    if isinstance(node, PN.Join):
+        want = set(needed)
+        want |= set(node.left_keys) | set(node.right_keys)
+        if node.condition is not None:
+            want |= expr_refs(node.condition)
+        lnames = set(output_names(node.left, session))
+        rnames = set(output_names(node.right, session))
+        return dataclasses.replace(
+            node,
+            left=_prune(node.left, want & lnames, session),
+            right=_prune(node.right, want & rnames, session))
+    if isinstance(node, PN.Exchange):
+        p = node.partitioning
+        extra = set(getattr(p, "key_names", ()) or ())
+        for k in getattr(p, "sort_keys", ()) or ():
+            extra.add(k.column)
+        return dataclasses.replace(
+            node, child=_prune(node.child, needed | extra, session))
+    if isinstance(node, PN.Union):
+        return dataclasses.replace(
+            node, children_nodes=tuple(
+                _prune(c, needed, session) for c in node.children_nodes))
+    if isinstance(node, PN.Window):
+        extra = set(node.partition_by) | {k.column for k in node.order_by}
+        extra |= {f.input for f in node.funcs if f.input}
+        return dataclasses.replace(
+            node, child=_prune(node.child, needed | extra, session))
+    if isinstance(node, PN.Generate):
+        extra = {f"{node.column}#vals", f"{node.column}#len"}
+        return dataclasses.replace(
+            node, child=_prune(node.child, (needed | extra) -
+                               {node.out_name, node.pos_name}, session))
+    if isinstance(node, PN.Rename):
+        inv = {b: a for a, b in node.mapping}
+        child_needed = {inv.get(n, n) for n in needed}
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, PN.Expand):
+        child_needed: Set[str] = set()
+        for proj in node.projections:
+            for _, e in proj:
+                child_needed |= expr_refs(e)
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, (PN.Debug, PN.Coalesce)):
+        return dataclasses.replace(
+            node, child=_prune(node.child, needed, session))
+    return node

@@ -81,3 +81,17 @@ def test_compression_actually_compresses(rng):
     b = TableBlock.from_pandas(df)
     data = serialize_block(b)
     assert len(data) < n * 8 / 10  # >10x on sorted ints
+
+
+def test_orc_roundtrip(tmp_path, rng):
+    import pandas as pd
+    from auron_tpu.io.parquet import read_orc_blocks, write_orc
+    from auron_tpu.plan.nodes import OrcScan
+    df = pd.DataFrame({"a": rng.integers(0, 100, 500),
+                       "b": rng.normal(size=500).round(3)})
+    b = TableBlock.from_pandas(df)
+    path = str(tmp_path / "t.orc")
+    write_orc([b], path)
+    blocks = read_orc_blocks(OrcScan((path,), num_partitions=2))
+    got = pd.concat([x.to_pandas() for x in blocks], ignore_index=True)
+    assert sorted_rows(got) == sorted_rows(df)
