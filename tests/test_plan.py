@@ -335,3 +335,22 @@ def test_whole_plan_jit(sess):
     got = pd.concat([b.to_pandas() for b in out], ignore_index=True)
     want = sess._df.groupby("k").agg(s=("v", "sum")).reset_index()
     assert _rows(got) == _rows(want)
+
+
+def test_plan_wire_roundtrip(sess):
+    """The JSON wire contract (auron.proto analog) reproduces results."""
+    from auron_tpu.plan.wire import plan_from_json, plan_to_json
+    plan = Agg(Exchange(
+        Join(Filter(MemoryScan("fact"), col("v") > lit(0.0)),
+             MemoryScan("dim"), ("k",), ("k2",), strategy="broadcast",
+             out_capacity=4096),
+        HashPartitioning(("grp",), 2)),
+        keys=(("grp", col("grp")),),
+        calls=(AggCall("s", "sum", col("v")), AggCall("c", "count_star")),
+        mode="single")
+    data = plan_to_json(plan)
+    plan2 = plan_from_json(data)
+    a = _result(plan, sess)
+    b = _result(plan2, sess)
+    assert _rows(a) == _rows(b)
+    assert len(data) > 100
