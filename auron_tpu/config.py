@@ -212,3 +212,9 @@ PALLAS_ENABLE = ConfigOption(
 
 # Global default session configuration.
 conf = AuronConf()
+
+
+if __name__ == "__main__":
+    # config doc generator (SparkAuronConfigurationDocGenerator.java parity)
+    for line in AuronConf.describe_all():
+        print(line)

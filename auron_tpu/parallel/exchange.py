@@ -85,21 +85,49 @@ def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
     slot_live = slot_i < jnp.take(counts, slot_p)
     src_row = jnp.take(perm, jnp.clip(src_pos, 0, cap - 1))
 
-    def stage_and_swap(arr):
-        staged = jnp.take(arr, src_row, axis=0).reshape((n, C) + arr.shape[1:])
-        return jax.lax.all_to_all(staged, axis_name, split_axis=0,
-                                  concat_axis=0, tiled=True)
+    # Batch staging: group same-dtype 1-D columns, ONE gather per group
+    # (TPU gather cost is per index, not per byte) and ONE all_to_all per
+    # group (fewer collective launches).
+    groups: Dict[str, list] = {}
+    arrays: Dict = {}
+    for name, c in block.columns.items():
+        key = (name, "v")
+        arrays[key] = c.values
+        dkey = str(c.values.dtype) if c.values.ndim == 1 else f"2d:{name}"
+        groups.setdefault(dkey, []).append(key)
+        if c.validity is not None:
+            arrays[(name, "n")] = c.validity
+            groups.setdefault("bool", []).append((name, "n"))
+    groups.setdefault("bool", []).insert(0, "#mask")
+    arrays["#mask"] = block.row_mask
 
+    swapped: Dict = {}
+    for dkey, keys in groups.items():
+        if dkey.startswith("2d:"):
+            (key,) = keys
+            staged = jnp.take(arrays[key], src_row.reshape(-1), axis=0)
+            staged = staged.reshape((n, C) + arrays[key].shape[1:])
+            got = jax.lax.all_to_all(staged, axis_name, split_axis=0,
+                                     concat_axis=0, tiled=True)
+            swapped[key] = got.reshape((n * C,) + arrays[key].shape[1:])
+            continue
+        stacked = jnp.stack([arrays[k] for k in keys], axis=1)  # [cap, k]
+        staged = jnp.take(stacked, src_row.reshape(-1), axis=0)
+        staged = staged.reshape(n, C, len(keys))
+        if dkey == "bool":
+            staged = staged & slot_live[:, :, None]
+        got = jax.lax.all_to_all(staged, axis_name, split_axis=0,
+                                 concat_axis=0, tiled=True)
+        flat = got.reshape(n * C, len(keys))
+        for j, k in enumerate(keys):
+            swapped[k] = flat[:, j]
+
+    out_mask = swapped["#mask"]
     out_cols: Dict[str, Column] = {}
     for name, c in block.columns.items():
-        vals = stage_and_swap(c.values).reshape((n * C,) + c.values.shape[1:])
-        validity = None
-        if c.validity is not None:
-            validity = stage_and_swap(c.validity).reshape(n * C)
-        out_cols[name] = Column(vals, validity, c.dtype, c.dict_values)
-    staged_mask = slot_live & jnp.take(block.row_mask, src_row)
-    out_mask = jax.lax.all_to_all(staged_mask, axis_name, split_axis=0,
-                                  concat_axis=0, tiled=True).reshape(n * C)
+        validity = swapped.get((name, "n"))
+        out_cols[name] = Column(swapped[(name, "v")], validity, c.dtype,
+                                c.dict_values)
     return TableBlock(out_cols, out_mask)
 
 
