@@ -184,8 +184,10 @@ def _probe_ranges(l_ops, r_ops, l_valid, joinable, build_cap: int,
         pk = l_ops[0]
         in_range = (pk >= lo_d) & (pk < hi_d) & l_valid
         pki = jnp.clip(pk - lo_d, 0, d - 1).astype(jnp.int32)
-        lo = jnp.where(in_range, jnp.take(first_pos, pki), 0)
-        matches = jnp.where(in_range, jnp.take(cnt, pki), 0)
+        from auron_tpu.ops.selection import batched_take
+        got = batched_take({"fp": first_pos, "cnt": cnt}, pki)
+        lo = jnp.where(in_range, got["fp"], 0)
+        matches = jnp.where(in_range, got["cnt"], 0)
         return lo, matches, build_perm
     lo = _lex_search(sorted_ops, n_build, l_ops, "left")
     safe = jnp.clip(lo, 0, build_cap - 1)

@@ -26,23 +26,55 @@ def compaction_indices(mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def batched_take(arrays: dict, indices) -> dict:
-    """Gather many row-aligned arrays by the same indices, stacking
-    same-dtype 1-D arrays into single 2-D gathers (TPU gather cost is per
-    index, not per byte — batching is ~4.5x on wide blocks)."""
-    by_dtype: dict = {}
-    for key, arr in arrays.items():
-        dkey = str(arr.dtype) if arr.ndim == 1 else f"2d:{key}"
-        by_dtype.setdefault(dkey, []).append(key)
+    """Gather many row-aligned arrays by the same indices in ONE 2-D gather.
+
+    TPU gather cost is per-index, not per-byte (measured: 8 stacked columns
+    cost 1.8x one column; separate gathers cost 8x; 64-bit gathers cost
+    2.3x 32-bit). So every 1-D column is decomposed into int32 planes —
+    64-bit dtypes bitcast to two planes, 32-bit bitcast to one, narrower
+    types widened — stacked into a single [capacity, total_planes] int32
+    matrix, gathered once, and reassembled bit-exactly.
+    """
+    import jax
+    plan = []   # (key, kind, n_planes, orig_dtype)
+    cols = []
     out = {}
-    for dkey, keys in by_dtype.items():
-        if len(keys) == 1 or dkey.startswith("2d:"):
-            for k in keys:
-                out[k] = jnp.take(arrays[k], indices, axis=0)
+    for key, arr in arrays.items():
+        if arr.ndim != 1:
+            out[key] = jnp.take(arr, indices, axis=0)
+            continue
+        dt = arr.dtype
+        size = jnp.dtype(dt).itemsize
+        if size == 8:
+            planes = jax.lax.bitcast_convert_type(arr, jnp.int32)  # [cap, 2]
+            cols.append(planes[:, 0])
+            cols.append(planes[:, 1])
+            plan.append((key, "64", 2, dt))
+        elif size == 4:
+            cols.append(arr if dt == jnp.int32
+                        else jax.lax.bitcast_convert_type(arr, jnp.int32))
+            plan.append((key, "32", 1, dt))
+        else:  # bool / int8 / int16: widen (value-preserving)
+            cols.append(arr.astype(jnp.int32))
+            plan.append((key, "narrow", 1, dt))
+    if not cols:
+        return out
+    if len(cols) == 1:
+        got = jnp.take(cols[0], indices)[:, None]
+    else:
+        got = jnp.take(jnp.stack(cols, axis=1), indices, axis=0)
+    j = 0
+    for key, kind, n_planes, dt in plan:
+        if kind == "64":
+            pair = got[:, j:j + 2]
+            out[key] = jax.lax.bitcast_convert_type(pair, dt)
+        elif kind == "32":
+            col = got[:, j]
+            out[key] = col if dt == jnp.int32 \
+                else jax.lax.bitcast_convert_type(col, dt)
         else:
-            stacked = jnp.stack([arrays[k] for k in keys], axis=1)
-            got = jnp.take(stacked, indices, axis=0)
-            for j, k in enumerate(keys):
-                out[k] = got[:, j]
+            out[key] = got[:, j].astype(dt)
+        j += n_planes
     return out
 
 
