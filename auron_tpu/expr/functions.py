@@ -476,3 +476,81 @@ def _if(block, cond: Column, a: Column, b: Column) -> Column:
     if a.validity is not None or b.validity is not None:
         validity = jnp.where(ok, av, bv)
     return Column(vals, validity, a.dtype, a.dict_values)
+
+
+# -- JSON (reference spark_get_json_object.rs:867) ---------------------------
+
+def _json_path_get(doc: str, path: str):
+    import json as _json
+    try:
+        obj = _json.loads(doc)
+    except Exception:
+        return None
+    if not path.startswith("$"):
+        return None
+    cur = obj
+    i = 1
+    import re as _re
+    for tok in _re.findall(r"\.([A-Za-z0-9_]+)|\[(\d+)\]", path):
+        name, idx = tok
+        try:
+            if name:
+                cur = cur[name]
+            else:
+                cur = cur[int(idx)]
+        except Exception:
+            return None
+    if isinstance(cur, (dict, list)):
+        import json as _json2
+        return _json2.dumps(cur, separators=(",", ":"))
+    if cur is None:
+        return None
+    if isinstance(cur, bool):
+        return "true" if cur else "false"
+    return str(cur)
+
+
+@register("get_json_object")
+def _get_json_object(block, c: Column, path: str) -> Column:
+    out = S.map_to_new_dictionary(c, ("get_json_object", path),
+                                  lambda s: _json_path_get(s, path) or "")
+    # NULL where path missing
+    import numpy as _np
+    missing = _np.array([_json_path_get(s, path) is None
+                         for s in c.dict_values])
+    miss = jnp.asarray(missing)[jnp.clip(c.values, 0,
+                                         len(c.dict_values) - 1)]
+    validity = ~miss if c.validity is None else (c.validity & ~miss)
+    return Column(out.values, validity, out.dtype, out.dict_values)
+
+
+# -- nondeterministic / id functions (reference spark_randn.rs,
+# spark_partition_id.rs, spark_monotonically_increasing_id.rs) ---------------
+
+@register("rand")
+def _rand(block, seed: int = 0) -> Column:
+    import jax as _jax
+    key = _jax.random.PRNGKey(seed)
+    return Column.of(_jax.random.uniform(key, (block.capacity,),
+                                         dtype=jnp.float64), FLOAT64)
+
+
+@register("randn")
+def _randn(block, seed: int = 0) -> Column:
+    import jax as _jax
+    key = _jax.random.PRNGKey(seed)
+    return Column.of(_jax.random.normal(key, (block.capacity,),
+                                        dtype=jnp.float64), FLOAT64)
+
+
+@register("spark_partition_id")
+def _spark_partition_id(block, pid: int = 0) -> Column:
+    return Column.of(jnp.full(block.capacity, pid, jnp.int32), INT32)
+
+
+@register("monotonically_increasing_id")
+def _monotonically_increasing_id(block, pid: int = 0) -> Column:
+    # Spark: partition_id << 33 | row_index_within_partition
+    rank = jnp.cumsum(block.row_mask.astype(jnp.int64)) - 1
+    from auron_tpu.dtypes import INT64 as _I64
+    return Column.of((jnp.int64(pid) << 33) | jnp.maximum(rank, 0), _I64)

@@ -163,6 +163,19 @@ def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
             jax.debug.print("[debug {t}] partition {i}: rows={r}",
                             t=node.tag, i=i, r=b.num_rows())
         return blocks
+    if isinstance(node, PN.BuildBloom):
+        from auron_tpu.ops.bloom import build_bloom, optimal_params, put_resource
+        blocks = _exec(node.child, s)
+        m, k = optimal_params(node.expected_items, node.fpp)
+        import jax.numpy as _jnp
+        words = None
+        nh = k
+        for b in blocks:
+            bf = build_bloom(b.columns[node.column], b.row_mask, m, k)
+            words = bf.words if words is None else (words | bf.words)
+        from auron_tpu.ops.bloom import BloomFilter
+        put_resource(node.resource_key, BloomFilter(words, nh))
+        return blocks
     if isinstance(node, PN.Coalesce):
         blocks = _exec(node.child, s)
         n = node.num_partitions

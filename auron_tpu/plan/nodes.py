@@ -263,3 +263,18 @@ class OrcScan(PlanNode):
     paths: Tuple[str, ...]
     projection: Optional[Tuple[str, ...]] = None
     num_partitions: int = 1
+
+
+@_ident
+@dataclass(frozen=True, eq=False)
+class BuildBloom(PlanNode):
+    """Build a bloom runtime filter from a column and register it under
+    ``resource_key`` (reference: bloom_filter agg + UUID-keyed resource,
+    bloom_filter_might_contain.rs). Passes its input through unchanged, so a
+    planner can tee the build side of a join into a filter for the scan."""
+
+    child: PlanNode
+    column: str
+    resource_key: str
+    expected_items: int = 100_000
+    fpp: float = 0.03

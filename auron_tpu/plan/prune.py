@@ -182,4 +182,7 @@ def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
     if isinstance(node, (PN.Debug, PN.Coalesce)):
         return dataclasses.replace(
             node, child=_prune(node.child, needed, session))
+    if isinstance(node, PN.BuildBloom):
+        return dataclasses.replace(
+            node, child=_prune(node.child, needed | {node.column}, session))
     return node

@@ -84,7 +84,8 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
             r = {k: v for k, v in r.items() if k in node.projection}
         return node, r
     if isinstance(node, (PN.Filter, PN.Limit, PN.Sort, PN.Debug,
-                         PN.Coalesce, PN.Exchange, PN.Window)):
+                         PN.Coalesce, PN.Exchange, PN.Window,
+                         PN.BuildBloom)):
         child, r = _walk(node.children[0], s)
         return dataclasses.replace(node, **{_child_field(node): child}), r
     if isinstance(node, PN.Project):

@@ -92,3 +92,23 @@ def test_collect_feeds_explode(rng):
     got = got.sort_values(["g", "v"]).reset_index(drop=True)
     np.testing.assert_array_equal(got["g"], want["g"])
     np.testing.assert_array_equal(got["v"], want["v"])
+
+
+def test_build_bloom_plan_node(rng):
+    from auron_tpu.plan.nodes import BuildBloom
+    from auron_tpu.expr.nodes import func
+    fact = pd.DataFrame({"k": rng.integers(0, 1000, 3000),
+                         "v": rng.normal(size=3000)})
+    dim = pd.DataFrame({"k2": rng.choice(1000, 50, replace=False)})
+    s = Session()
+    s.register_pandas("fact", fact)
+    s.register_pandas("dim", dim)
+    # tee the dim scan through BuildBloom, then semi-filter the fact scan
+    bloom_side = BuildBloom(MemoryScan("dim"), "k2", "rf_dim", 50)
+    execute_plan(bloom_side, s)  # builds + registers the filter
+    plan = Filter(MemoryScan("fact"),
+                  func("might_contain", col("k"), params=("rf_dim",)))
+    got = s.sql_result(plan)
+    true_keys = set(dim["k2"])
+    # no false negatives
+    assert set(fact[fact["k"].isin(true_keys)]["v"]).issubset(set(got["v"]))

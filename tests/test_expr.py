@@ -241,3 +241,29 @@ def test_py_udf_host_callback():
     got = np.asarray(out.values)[np.asarray(b.row_mask)]
     np.testing.assert_allclose(got[:3], [2.0, 4.0, 6.0])
     assert not bool(np.asarray(out.validity)[3])  # NULL arg -> NULL out
+
+
+def test_json_and_id_functions():
+    import pandas as pd
+    from auron_tpu.block import TableBlock
+    from auron_tpu.expr.eval import evaluate, materialize
+    from auron_tpu.expr.nodes import col, func
+    df = pd.DataFrame({"j": ['{"a": 1, "b": {"c": "x"}}',
+                             '{"a": 2}', 'not json']})
+    b = TableBlock.from_pandas(df)
+    out = materialize(evaluate(func("get_json_object", col("j"),
+                                    params=("$.a",)), b), b.capacity)
+    mask = np.asarray(b.row_mask)
+    vals = out.dict_values[np.asarray(out.values)[mask]]
+    valid = np.asarray(out.validity)[mask]
+    assert list(vals[valid]) == ["1", "2"]
+    assert not valid[2]
+    nested = materialize(evaluate(func("get_json_object", col("j"),
+                                       params=("$.b.c",)), b), b.capacity)
+    nv = np.asarray(nested.validity)[mask]
+    assert list(nested.dict_values[np.asarray(nested.values)[mask]][nv]) == ["x"]
+
+    mid = materialize(evaluate(func("monotonically_increasing_id",
+                                    params=(3,)), b), b.capacity)
+    got = np.asarray(mid.values)[mask]
+    assert list(got) == [(3 << 33) | i for i in range(3)]
