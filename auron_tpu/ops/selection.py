@@ -36,8 +36,13 @@ def batched_take(arrays: dict, indices) -> dict:
     matrix, gathered once, and reassembled bit-exactly.
     """
     import jax
-    plan = []   # (key, kind, n_planes, orig_dtype)
+    # NOTE: 64-bit dtypes CANNOT ride the int32 plane stack — TPU's x64
+    # emulation rewriter does not implement 64<->2x32 bitcast-convert
+    # ("While rewriting computation to not contain X64 element types...").
+    # They get their own per-dtype stacked gathers instead.
+    plan = []   # (key, kind, orig_dtype) for the int32 stack
     cols = []
+    wide: dict = {}  # dtype str -> [keys] for 64-bit groups
     out = {}
     for key, arr in arrays.items():
         if arr.ndim != 1:
@@ -46,35 +51,35 @@ def batched_take(arrays: dict, indices) -> dict:
         dt = arr.dtype
         size = jnp.dtype(dt).itemsize
         if size == 8:
-            planes = jax.lax.bitcast_convert_type(arr, jnp.int32)  # [cap, 2]
-            cols.append(planes[:, 0])
-            cols.append(planes[:, 1])
-            plan.append((key, "64", 2, dt))
+            wide.setdefault(str(dt), []).append(key)
         elif size == 4:
             cols.append(arr if dt == jnp.int32
                         else jax.lax.bitcast_convert_type(arr, jnp.int32))
-            plan.append((key, "32", 1, dt))
+            plan.append((key, "32", dt))
         else:  # bool / int8 / int16: widen (value-preserving)
             cols.append(arr.astype(jnp.int32))
-            plan.append((key, "narrow", 1, dt))
+            plan.append((key, "narrow", dt))
+    for dkey, keys in wide.items():
+        if len(keys) == 1:
+            out[keys[0]] = jnp.take(arrays[keys[0]], indices)
+        else:
+            got = jnp.take(jnp.stack([arrays[k] for k in keys], axis=1),
+                           indices, axis=0)
+            for j, k in enumerate(keys):
+                out[k] = got[:, j]
     if not cols:
         return out
     if len(cols) == 1:
         got = jnp.take(cols[0], indices)[:, None]
     else:
         got = jnp.take(jnp.stack(cols, axis=1), indices, axis=0)
-    j = 0
-    for key, kind, n_planes, dt in plan:
-        if kind == "64":
-            pair = got[:, j:j + 2]
-            out[key] = jax.lax.bitcast_convert_type(pair, dt)
-        elif kind == "32":
-            col = got[:, j]
+    for j, (key, kind, dt) in enumerate(plan):
+        col = got[:, j]
+        if kind == "32":
             out[key] = col if dt == jnp.int32 \
                 else jax.lax.bitcast_convert_type(col, dt)
         else:
-            out[key] = got[:, j].astype(dt)
-        j += n_planes
+            out[key] = col.astype(dt)
     return out
 
 
