@@ -52,6 +52,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "i_item_sk": np.arange(n["item"], dtype=np.int32),
         "i_brand_id": rng.integers(1, 61, n["item"]).astype(np.int32),
         "i_manufact_id": rng.integers(1, 200, n["item"]).astype(np.int32),
+        "i_manager_id": rng.integers(1, 100, n["item"]).astype(np.int32),
         "i_current_price": (rng.random(n["item"]) * 100).round(2),
         "i_category": rng.choice(CATEGORIES, n["item"]),
     })

@@ -165,3 +165,101 @@ QUERIES: Dict[str, Tuple[Callable, Callable]] = {
     "q7": (q7, q7_oracle),
     "q42": (q42, q42_oracle),
 }
+
+
+# ---------------------------------------------------------------------------
+# q52: yearly brand revenue, manager slice, November 2000 (q52.sql).
+# ---------------------------------------------------------------------------
+
+def q52(s: Session) -> Frame:
+    dt = s.table("date_dim").filter((col("d_moy") == lit(11)) &
+                                    (col("d_year") == lit(2000)))
+    it = s.table("item").filter(col("i_manager_id") == lit(1))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(it, ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("d_year", "i_brand", "i_brand_id")
+            .agg(ext_price=("sum", col("ss_ext_sales_price")))
+            .sort(SortKey("d_year"), SortKey("ext_price", ascending=False),
+                  SortKey("i_brand_id"), limit=100))
+
+
+def q52_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"]
+    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 2000)]
+    it = t["item"][t["item"]["i_manager_id"] == 1]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["d_year", "i_brand", "i_brand_id"]).agg(
+        ext_price=("ss_ext_sales_price", "sum")).reset_index()
+    return g.sort_values(["d_year", "ext_price", "i_brand_id"],
+                         ascending=[True, False, True],
+                         kind="stable").head(100)[
+        ["d_year", "i_brand", "i_brand_id", "ext_price"]]
+
+
+# ---------------------------------------------------------------------------
+# q55: brand revenue, manager slice by month (q55.sql shape).
+# ---------------------------------------------------------------------------
+
+def q55(s: Session) -> Frame:
+    dt = s.table("date_dim").filter((col("d_moy") == lit(12)) &
+                                    (col("d_year") == lit(2001)))
+    it = s.table("item").filter(col("i_manager_id") == lit(28))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(it, ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("i_brand_id", "i_brand")
+            .agg(ext_price=("sum", col("ss_ext_sales_price")))
+            .sort(SortKey("ext_price", ascending=False),
+                  SortKey("i_brand_id"), limit=100))
+
+
+def q55_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"]
+    dt = dt[(dt["d_moy"] == 12) & (dt["d_year"] == 2001)]
+    it = t["item"][t["item"]["i_manager_id"] == 28]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["i_brand_id", "i_brand"]).agg(
+        ext_price=("ss_ext_sales_price", "sum")).reset_index()
+    return g.sort_values(["ext_price", "i_brand_id"],
+                         ascending=[False, True], kind="stable").head(100)[
+        ["i_brand_id", "i_brand", "ext_price"]]
+
+
+# ---------------------------------------------------------------------------
+# q43-style: store revenue by store over a year (store dim join).
+# ---------------------------------------------------------------------------
+
+def q43(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(s.table("store"), ("ss_store_sk",), ("s_store_sk",)))
+    return (joined.groupby("s_state", "ss_store_sk")
+            .agg(rev=("sum", col("ss_ext_sales_price")),
+                 cnt=("count_star", None))
+            .sort(SortKey("s_state"), SortKey("ss_store_sk"), limit=100))
+
+
+def q43_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    g = j.groupby(["s_state", "ss_store_sk"]).agg(
+        rev=("ss_ext_sales_price", "sum"),
+        cnt=("ss_ext_sales_price", "size")).reset_index()
+    return g.sort_values(["s_state", "ss_store_sk"],
+                         kind="stable").head(100)[
+        ["s_state", "ss_store_sk", "rev", "cnt"]]
+
+
+QUERIES.update({
+    "q52": (q52, q52_oracle),
+    "q55": (q55, q55_oracle),
+    "q43": (q43, q43_oracle),
+})

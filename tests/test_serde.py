@@ -95,3 +95,20 @@ def test_orc_roundtrip(tmp_path, rng):
     blocks = read_orc_blocks(OrcScan((path,), num_partitions=2))
     got = pd.concat([x.to_pandas() for x in blocks], ignore_index=True)
     assert sorted_rows(got) == sorted_rows(df)
+
+
+def test_staged_table_query(rng):
+    """Host-staged (compressed) tables run through plans: the RSS/spill
+    analog — HBM only ever holds the chunk being processed."""
+    import pandas as pd
+    from auron_tpu.expr.nodes import col, lit
+    from auron_tpu.io.staging import register_staged
+    from auron_tpu.plan import Filter, MemoryScan, Session
+    df = pd.DataFrame({"k": rng.integers(0, 50, 5000),
+                       "v": rng.normal(size=5000).round(3)})
+    s = Session()
+    register_staged(s, "big", df, chunk_rows=1200)
+    assert s.staged_tables["big"].num_partitions == 5
+    got = s.sql_result(Filter(MemoryScan("big"), col("v") > lit(0.0)))
+    want = df[df["v"] > 0]
+    assert sorted_rows(got) == sorted_rows(want)
