@@ -349,9 +349,13 @@ def groupby_direct(block: TableBlock, key_names: Sequence[str],
         gid = gid * (d + 1) + v
     acc = segment_aggregate(gid.astype(jnp.int32), num_segments,
                             block.row_mask, aggs)
-    seen = jax.ops.segment_sum(block.row_mask.astype(jnp.int32),
-                               jnp.where(block.row_mask, gid, 0).astype(jnp.int32),
-                               num_segments)
+    from auron_tpu.ops import pallas_kernels as PK
+    gid32 = jnp.where(block.row_mask, gid, 0).astype(jnp.int32)
+    if PK.use_mxu_segments(num_segments, block.capacity):
+        seen = PK.onehot_segment_count(block.row_mask, gid32, num_segments)
+    else:
+        seen = jax.ops.segment_sum(block.row_mask.astype(jnp.int32), gid32,
+                                   num_segments)
     out_cols: Dict[str, Column] = {}
     if emit_keys:
         idx = jnp.arange(num_segments, dtype=jnp.int64)
