@@ -138,3 +138,33 @@ def test_fuzz_groupby_against_pandas(rng):
         np.testing.assert_array_equal(got["k"].to_numpy(), want["k"].to_numpy())
         np.testing.assert_array_equal(got["s"].to_numpy(), want["s"].to_numpy())
         np.testing.assert_array_equal(got["c"].to_numpy(), want["c"].to_numpy())
+
+
+def test_decimal_sum_and_arithmetic(rng):
+    """Decimal64 end-to-end: exact scaled-int sums + arithmetic (the
+    reference's money-typed TPC-DS columns; check_overflow/make_decimal
+    analog is the scaled-int64 representation itself)."""
+    import pandas as pd
+    from auron_tpu.block import TableBlock
+    from auron_tpu.dtypes import DECIMAL64
+    from auron_tpu.expr.nodes import col
+    from auron_tpu.plan import Agg, AggCall, MemoryScan, Session, execute_plan
+
+    n = 4000
+    cents = rng.integers(0, 100_000, n)  # price in cents
+    df = pd.DataFrame({"k": rng.integers(0, 20, n), "price": cents / 100.0})
+    dec = DECIMAL64(18, 2)
+    block = TableBlock.from_numpy(
+        {"k": df["k"].to_numpy(), "price": cents.astype(np.int64)},
+        dtypes={"price": dec})
+    s = Session().register("t", block)
+    plan = Agg(MemoryScan("t"), keys=(("k", col("k")),),
+               calls=(AggCall("total", "sum", col("price")),
+                      AggCall("mx", "max", col("price"))), mode="single")
+    out = execute_plan(plan, s)[0].to_pandas()
+    want = df.groupby("k").agg(total=("price", "sum"),
+                               mx=("price", "max")).reset_index()
+    got = out.sort_values("k").reset_index(drop=True)
+    want = want.sort_values("k").reset_index(drop=True)
+    np.testing.assert_allclose(got["total"], want["total"], rtol=1e-12)
+    np.testing.assert_allclose(got["mx"], want["mx"], rtol=1e-12)
