@@ -72,7 +72,6 @@ def segment_aggregate(
     """
     out: Dict[str, Column] = {}
     gid = jnp.where(live, gid, 0)  # dead rows hit segment 0 with null weight
-    mode = "sorted" if sorted_order else None
 
     # MXU fast path: scatter-free one-hot aggregation (pallas_kernels.py).
     # XLA's scatter-based segment_sum serializes on TPU (~16x slower,
@@ -188,7 +187,6 @@ def segment_aggregate(
                                         col.dict_values)
             continue
         raise NotImplementedError(f"agg kind {kind}")
-    del mode
     return out
 
 

@@ -15,9 +15,6 @@ shapes don't fit (config auron.pallas.enable gates usage).
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,15 +23,6 @@ from auron_tpu import config
 
 ROW_BLOCK = 1024
 MAX_DIRECT_SEGMENTS = 8192  # one-hot width cap (VMEM: 1024x8192xf32 = 32MB/4)
-
-
-def _use_pallas() -> bool:
-    return (jax.default_backend() == "tpu"
-            and config.conf.get(config.PALLAS_ENABLE))
-
-
-def supported_segment_matmul(num_segments: int) -> bool:
-    return num_segments <= MAX_DIRECT_SEGMENTS
 
 
 def use_mxu_segments(num_segments: int, rows: int) -> bool:

@@ -144,14 +144,12 @@ def window_block(block: TableBlock,
             # row_in_part via reverse cummax within partition of run starts.
             run_id = dense
             # last row_in_part of each (pid, run): max of row_in_part per run
-            run_key = pid.astype(jnp.int64) * (cap + 1) + run_id
             # dense segment ids for runs: use cumsum of peer_start
             rid = jnp.cumsum(peer_start.astype(jnp.int32)) - 1
             run_last = jax.ops.segment_max(row_in_part, rid, cap)
             cd_num = jnp.take(run_last, rid)
             cd = cd_num.astype(jnp.float64) / jnp.maximum(n_part, 1)
             out_cols[f.name] = Column.of(cd, FLOAT64)
-            del run_key
         elif k == "ntile":
             n = jnp.asarray(f.offset, jnp.int64)
             sz = n_part
@@ -215,7 +213,6 @@ def window_block(block: TableBlock,
     if not output_window_cols:
         out_cols = {n: c for n, c in out_cols.items()
                     if n in sblock.columns}
-    del n_live
     return TableBlock(out_cols, new_mask)
 
 
