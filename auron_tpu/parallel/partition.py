@@ -163,8 +163,14 @@ def repartition(blocks: Sequence[TableBlock], part,
     """
     n = part.num_partitions
     outs: List[List[TableBlock]] = [[] for _ in range(n)]
-    for b in blocks:
-        ids = partition_ids(b, part)
+    for bi, b in enumerate(blocks):
+        p_eff = part
+        if isinstance(part, RoundRobinPartitioning):
+            # position-salt per source partition (reference mod.rs:190-202:
+            # each map task starts at a different offset) so partition 0
+            # does not receive the head row of every input block
+            p_eff = RoundRobinPartitioning(n, start=part.start + bi)
+        ids = partition_ids(b, p_eff)
         for p in range(n):
             masked = b.with_mask(b.row_mask & (ids == p))
             if compact_output:

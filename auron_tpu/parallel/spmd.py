@@ -182,6 +182,9 @@ class SpmdExecutor:
                               node.null_aware, node.existence_col,
                               build_domain=node.build_domain)
             probe, build = left, right
+        if node.strategy in ("sort_merge", "shuffled_hash"):
+            import dataclasses
+            node = dataclasses.replace(node, strategy="partitioned")
         if node.strategy == "broadcast":
             build = all_gather_block(build, self.axis)
         elif node.strategy == "skewed":

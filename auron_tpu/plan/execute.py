@@ -60,6 +60,16 @@ class Session:
         self.tables[name] = blocks
         return self
 
+    def metrics_report(self) -> str:
+        """Formatted per-operator metrics (the Spark SQL metrics tree analog,
+        reference NativeHelper.scala:167-199 + metrics push-back)."""
+        lines = []
+        for key, m in self.metrics.items():
+            lines.append(f"{key}: calls={m.get('calls', 0)} "
+                         f"wall_s={m.get('wall_s', 0.0):.4f} "
+                         f"partitions={m.get('partitions', '-')}")
+        return "\n".join(lines)
+
     def sql_result(self, plan: PN.PlanNode):
         """Execute and gather to one pandas DataFrame (output boundary)."""
         blocks = execute_plan(plan, self)
@@ -222,6 +232,9 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
                           build_domain=node.build_domain)
         probe, build = left, right
 
+    if node.strategy in ("sort_merge", "shuffled_hash"):
+        import dataclasses
+        node = dataclasses.replace(node, strategy="partitioned")
     if node.strategy == "broadcast":
         # replicate the build table against every probe partition
         # (BroadcastHashJoin; reference broadcast_join_exec.rs:592-609 caches

@@ -106,9 +106,12 @@ def main():
         times.append(time.perf_counter() - t0)
     t_engine = float(np.median(times))
 
-    t0 = time.perf_counter()
-    _pandas_query(fact, dim)
-    t_vanilla = time.perf_counter() - t0
+    vt = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _pandas_query(fact, dim)
+        vt.append(time.perf_counter() - t0)
+    t_vanilla = min(vt)  # best-of: fair (cache-warm) vanilla baseline
 
     rows_per_s = n_fact / t_engine
     print(json.dumps({
