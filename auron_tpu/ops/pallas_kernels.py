@@ -34,30 +34,45 @@ def use_mxu_segments(num_segments: int, rows: int) -> bool:
             and rows >= (1 << 15))
 
 
+SUBBLOCKS = 16  # sub-blocks per scan step (fewer steps, same exactness)
+
+
 def _scan_dot(planes, gid, d: int, blk: int):
-    """Shared scan: for each f32 plane, per-block [blk]x[blk,d] one-hot dot
-    in f32 (MXU) with f64 carry across blocks. f64 matmul is ~300x slower on
-    TPU (emulated) — the carry is the only f64 work. Returns list of [d] f64
-    plane sums."""
+    """Shared scan: for each f32 plane, per-sub-block [blk]x[blk,d] one-hot
+    dot in f32 (MXU) with f64 carry across steps. Each scan step processes
+    SUBBLOCKS sub-blocks via a batched dot_general — the f32 accumulation
+    bound (per-sub-block sums over `blk` rows) is unchanged, but scan-step
+    launch overhead drops 16x. f64 matmul is ~300x slower on TPU (emulated)
+    — the carry is the only f64 work. Returns list of [d] f64 plane sums.
+    """
     n = planes[0].shape[0]
-    pad = (-n) % blk
+    S = SUBBLOCKS
+    step = blk * S
+    pad = (-n) % step
     if pad:
         planes = [jnp.concatenate([p, jnp.zeros(pad, p.dtype)])
                   for p in planes]
         gid = jnp.concatenate([gid, jnp.zeros(pad, gid.dtype)])
-    nb = (n + pad) // blk
-    p2 = [p.reshape(nb, blk) for p in planes]
-    gid2 = gid.reshape(nb, blk).astype(jnp.int32)
+    nb = (n + pad) // step
+    p2 = [p.reshape(nb, S, blk) for p in planes]
+    gid2 = gid.reshape(nb, S, blk).astype(jnp.int32)
 
     def body(accs, xs):
-        g = xs[-1]
-        oh = (g[:, None] == jax.lax.broadcasted_iota(jnp.int32, (blk, d), 1)
+        g = xs[-1]                                     # [S, blk]
+        oh = (g[:, :, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (S, blk, d), 2)
               ).astype(jnp.float32)
-        new = tuple(
-            acc + jnp.dot(x, oh, preferred_element_type=jnp.float32
-                          ).astype(jnp.float64)
-            for acc, x in zip(accs, xs[:-1]))
-        return new, None
+        new = []
+        for acc, x in zip(accs, xs[:-1]):              # x: [S, blk]
+            # batched [S,1,blk] @ [S,blk,d] -> [S,1,d]; per-sub-block sums
+            # stay within the f32 exactness bound, then sum in f64
+            sub = jax.lax.dot_general(
+                x[:, None, :], oh,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)    # [S, 1, d]
+            new.append(acc + jnp.sum(sub[:, 0, :].astype(jnp.float64),
+                                     axis=0))
+        return tuple(new), None
 
     acc0 = tuple(jnp.zeros(d, jnp.float64) for _ in planes)
     accs, _ = jax.lax.scan(body, acc0, tuple(p2) + (gid2,))
