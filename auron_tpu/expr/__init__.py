@@ -14,3 +14,4 @@ from auron_tpu.expr.nodes import (  # noqa: F401
     BinaryOp, CaseWhen, Cast, Column as ColumnRef, Expr, InList, IsNull,
     Literal, Not, ScalarFunc, case, col, lit, when)
 from auron_tpu.expr.eval import evaluate  # noqa: F401
+from auron_tpu.expr import collections as _collections  # noqa: F401,E402 (registers fns)

@@ -112,3 +112,48 @@ def test_build_bloom_plan_node(rng):
     true_keys = set(dim["k2"])
     # no false negatives
     assert set(fact[fact["k"].isin(true_keys)]["v"]).issubset(set(got["v"]))
+
+
+def test_collection_functions(rng):
+    """array/map/struct surface over plane columns (spark_map.rs parity)."""
+    import jax.numpy as jnp
+    from auron_tpu.block import Column, TableBlock
+    from auron_tpu.dtypes import INT32, INT64
+    from auron_tpu.expr.collections import make_map_columns, make_struct_columns
+    from auron_tpu.expr.eval import evaluate, materialize
+    from auron_tpu.expr.nodes import col, func, lit
+
+    vals = jnp.asarray(np.array([[1, 2, 3], [4, 5, 0], [7, 0, 0]],
+                                dtype=np.int64))
+    keys = jnp.asarray(np.array([[10, 20, 30], [40, 50, 0], [70, 0, 0]],
+                                dtype=np.int64))
+    lens = jnp.asarray(np.array([3, 2, 1], dtype=np.int32))
+    block = TableBlock({
+        "arr#vals": Column.of(vals, INT64),
+        "arr#len": Column.of(lens, INT32),
+        "ks#vals": Column.of(keys, INT64),
+        "ks#len": Column.of(lens, INT32),
+    }, jnp.ones(3, dtype=bool))
+
+    sz = materialize(evaluate(func("size", params=("arr",)), block), 3)
+    assert list(np.asarray(sz.values)) == [3, 2, 1]
+
+    has2 = materialize(evaluate(func("array_contains",
+                                     params=("arr", 2)), block), 3)
+    assert list(np.asarray(has2.values)) == [True, False, False]
+
+    el = materialize(evaluate(func("element_at_array",
+                                   params=("arr", 2)), block), 3)
+    assert list(np.asarray(el.values)[np.asarray(el.validity)]) == [2, 5]
+
+    block = make_map_columns(block, "m", "ks", "arr")
+    got = materialize(evaluate(func("map_get", params=("m", 40)), block), 3)
+    v = np.asarray(got.validity)
+    assert list(np.asarray(got.values)[v]) == [4]
+
+    rev = materialize(evaluate(func("array_reverse",
+                                    params=("arr",)), block), 3)
+    np.testing.assert_array_equal(np.asarray(rev.values)[0], [3, 2, 1])
+
+    block = make_struct_columns(block, "st", a=lit(7), b=lit(8))
+    assert "st.a" in block.names and "st.b" in block.names
