@@ -175,12 +175,14 @@ class SpmdExecutor:
             spec = J.JoinSpec(node.right_keys, node.left_keys,
                               _SWAP[node.join_type], node.null_aware,
                               node.existence_col,
-                              build_domain=node.build_domain)
+                              build_domain=node.build_domain,
+                          build_unique=node.build_unique)
             probe, build = right, left
         else:
             spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
                               node.null_aware, node.existence_col,
-                              build_domain=node.build_domain)
+                              build_domain=node.build_domain,
+                          build_unique=node.build_unique)
             probe, build = left, right
         if node.strategy in ("sort_merge", "shuffled_hash"):
             import dataclasses

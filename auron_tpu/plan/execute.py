@@ -224,24 +224,51 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         spec = J.JoinSpec(node.right_keys, node.left_keys,
                           _SWAP[node.join_type], node.null_aware,
                           node.existence_col,
-                          build_domain=node.build_domain)
+                          build_domain=node.build_domain,
+                          build_unique=node.build_unique)
         probe, build = right, left
     else:
         spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
                           node.null_aware, node.existence_col,
-                          build_domain=node.build_domain)
+                          build_domain=node.build_domain,
+                          build_unique=node.build_unique)
         probe, build = left, right
 
     if node.strategy in ("sort_merge", "shuffled_hash"):
         import dataclasses
         node = dataclasses.replace(node, strategy="partitioned")
+
+    def out_cap_for(probe_b, build_b, sp):
+        """Exact output sizing when inputs are concrete (eager AQE): a probe
+        pass costs ~2 gathers and removes the silent-truncation hazard of a
+        guessed capacity. Under tracing the static config factor applies."""
+        if node.out_capacity is not None:
+            return node.out_capacity
+        import jax.core
+        if isinstance(probe_b.row_mask, jax.core.Tracer) or \
+                isinstance(build_b.row_mask, jax.core.Tracer):
+            return None  # join_blocks falls back to the config factor
+        if sp.join_type in (J.LEFT_SEMI, J.LEFT_ANTI, J.RIGHT_SEMI,
+                            J.RIGHT_ANTI, J.EXISTENCE):
+            return None  # probe-only outputs never expand
+        if sp.build_unique and sp.join_type in (J.INNER, J.LEFT):
+            return None  # unique-build joins never expand (probe capacity)
+        counts = np.asarray(J.join_match_counts(probe_b, build_b, sp))
+        total = int(counts.sum())
+        if sp.join_type in (J.LEFT, J.FULL):
+            live = int(np.asarray(probe_b.row_mask).sum())
+            total += live  # padded no-match slots
+        from auron_tpu.block import round_capacity
+        return round_capacity(max(total, 1))
+
     if node.strategy == "broadcast":
         # replicate the build table against every probe partition
         # (BroadcastHashJoin; reference broadcast_join_exec.rs:592-609 caches
         # the built map per executor — here the jit cache plays that role)
         bblock = build[0] if len(build) == 1 else J.concat_blocks(build)
         spec = _with_build_domain(spec, bblock)
-        return [J.join_blocks(p, bblock, spec, node.out_capacity, filter_fn)
+        return [J.join_blocks(p, bblock, spec,
+                              out_cap_for(p, bblock, spec), filter_fn)
                 for p in probe]
     # partitioned (shuffled hash / sort-merge): partition-wise zip
     if len(probe) != len(build):
@@ -249,7 +276,8 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
             f"partitioned join needs equal partition counts, got "
             f"{len(probe)} vs {len(build)} — insert Exchange nodes")
     return [J.join_blocks(p, b, _with_build_domain(spec, b),
-                          node.out_capacity, filter_fn)
+                          out_cap_for(p, b, _with_build_domain(spec, b)),
+                          filter_fn)
             for p, b in zip(probe, build)]
 
 
@@ -276,7 +304,10 @@ def _with_build_domain(spec: J.JoinSpec, build: TableBlock) -> J.JoinSpec:
     lo, hi = int(vals.min()), int(vals.max()) + 1
     if hi - lo > max(4 * build.capacity, 1 << 22):
         return spec
-    return dataclasses.replace(spec, build_domain=(lo, hi))
+    unique = (hi - lo == len(vals)) or \
+        bool(len(np.unique(vals)) == len(vals))
+    return dataclasses.replace(spec, build_domain=(lo, hi),
+                               build_unique=unique)
 
 
 # ---------------------------------------------------------------------------

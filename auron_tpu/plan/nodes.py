@@ -163,6 +163,9 @@ class Join(PlanNode):
     # (lo, hi) int range of the single build key — filled by plan/stats.py
     # from table statistics; enables the dense probe under whole-plan jit
     build_domain: Optional[Tuple[int, int]] = None
+    # build key verified unique (dimension surrogate key) — enables the
+    # no-expansion mask-only join fast path (ops/join._unique_dense_join)
+    build_unique: bool = False
 
 
 @_ident

@@ -25,7 +25,7 @@ import numpy as np
 from auron_tpu.expr import nodes as E
 from auron_tpu.plan import nodes as PN
 
-Range = Tuple[int, int]  # half-open [lo, hi)
+Range = Tuple[int, int, bool]  # (lo, hi) half-open + values-unique flag
 
 MAX_AGG_DOMAIN = 1 << 13
 MAX_JOIN_DOMAIN = 1 << 22
@@ -72,7 +72,27 @@ def _table_ranges(session, table: str) -> Dict[str, Range]:
             lo = mn if lo is None else min(lo, mn)
             hi = mx if hi is None else max(hi, mx)
         if ok and lo is not None:
-            out[name] = (lo, hi + 1)
+            total = 0
+            unique = None
+            for b in blocks:
+                c = b.columns[name]
+                sel = np.asarray(b.row_mask)
+                if c.validity is not None:
+                    sel = sel & np.asarray(c.validity)
+                total += int(sel.sum())
+            span = hi + 1 - lo
+            if span == total:
+                unique = True  # perfectly dense surrogate keys
+            elif total <= (1 << 22) and len(blocks) == 1:
+                c = blocks[0].columns[name]
+                sel = np.asarray(blocks[0].row_mask)
+                if c.validity is not None:
+                    sel = sel & np.asarray(c.validity)
+                vals = np.asarray(c.values)[sel]
+                unique = bool(len(np.unique(vals)) == len(vals))
+            else:
+                unique = False
+            out[name] = (lo, hi + 1, unique)
     cache[table] = out
     return out
 
@@ -110,12 +130,18 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
             node.right_keys
         build_ranges = rl if node.build == "left" else rr
         bd = node.build_domain
-        if bd is None and len(build_keys) == 1:
+        uniq = False
+        if len(build_keys) == 1:
             rng = build_ranges.get(build_keys[0])
             if rng is not None and rng[1] - rng[0] <= MAX_JOIN_DOMAIN:
-                bd = rng
+                if bd is None:
+                    bd = (rng[0], rng[1])
+                uniq = bool(rng[2])
         new = dataclasses.replace(node, left=left, right=right,
-                                  build_domain=bd)
+                                  build_domain=bd, build_unique=uniq)
+        # columns that pass through a join may be duplicated (probe fanout)
+        # -> uniqueness is not preserved
+        merged = {k: (v[0], v[1], False) for k, v in merged.items()}
         return new, merged
     if isinstance(node, PN.Union):
         outs = []
@@ -126,7 +152,7 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
             for k, v in r.items():
                 if k in merged:
                     merged[k] = (min(merged[k][0], v[0]),
-                                 max(merged[k][1], v[1]))
+                                 max(merged[k][1], v[1]), False)
                 else:
                     merged[k] = v
         return dataclasses.replace(node, children_nodes=tuple(outs)), merged
@@ -139,12 +165,20 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
             base = _column_of(e)
             rng = r.get(base) if base else None
             if rng is not None and rng[1] - rng[0] <= MAX_AGG_DOMAIN:
-                hints[name] = rng
+                hints[name] = (rng[0], rng[1])
         new = dataclasses.replace(node, child=child,
                                   domains=tuple(hints.items()))
-        # output ranges: keys keep their input ranges
-        out = {name: r[_column_of(e)] for name, e in node.keys
-               if _column_of(e) in r}
+        # output ranges: keys keep their ranges and become UNIQUE (when
+        # grouping by a single key, every output key value appears once)
+        out = {}
+        if len(node.keys) == 1:
+            for name, e in node.keys:
+                base = _column_of(e)
+                if base in r:
+                    out[name] = (r[base][0], r[base][1], True)
+        else:
+            out = {name: r[_column_of(e)] for name, e in node.keys
+                   if _column_of(e) in r}
         return new, out
     # leaf/other nodes: rebuild children generically where possible
     if isinstance(node, PN.Generate):
