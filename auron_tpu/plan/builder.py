@@ -30,6 +30,7 @@ from auron_tpu.plan import nodes as PN
 from auron_tpu.plan.execute import Session, execute_plan
 
 BROADCAST_ROW_THRESHOLD = 1 << 20  # build sides below this broadcast
+_JIT_CACHE: Dict[int, object] = {}  # plan id -> compiled whole-query step
 
 
 class Frame:
@@ -198,11 +199,37 @@ class Frame:
         v = df.iloc[0, 0]
         return None if v is None else (v.item() if hasattr(v, "item") else v)
 
-    def blocks(self):
-        return execute_plan(self.plan, self.session)
+    def blocks(self, jit: bool = False):
+        if not jit:
+            return execute_plan(self.plan, self.session)
+        # whole-query jit: annotate/prune against the concrete tables, then
+        # compile ONE program taking every registered table as an argument
+        # (per-op eager dispatch costs a host round-trip each on remote TPU)
+        import jax
+        cached = _JIT_CACHE.get(id(self.plan))
+        if cached is None:
+            from auron_tpu.plan.prune import prune_plan
+            from auron_tpu.plan.stats import annotate_plan
+            plan = annotate_plan(prune_plan(self.plan, self.session),
+                                 self.session)
 
-    def collect(self):
-        return self.session.sql_result(self.plan)
+            def step(tbls):
+                s2 = Session()
+                for n, bs in tbls.items():
+                    s2.register(n, bs)
+                return execute_plan(plan, s2, annotate=False)
+
+            cached = jax.jit(step)
+            _JIT_CACHE[id(self.plan)] = cached
+        tables = {n: list(bs) for n, bs in self.session.tables.items()}
+        return cached(tables)
+
+    def collect(self, jit: bool = False):
+        if not jit:
+            return self.session.sql_result(self.plan)
+        import pandas as pd
+        return pd.concat([b.to_pandas() for b in self.blocks(jit=True)],
+                         ignore_index=True)
 
     def explain(self) -> str:
         return self.plan.pretty()

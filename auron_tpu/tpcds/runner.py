@@ -75,11 +75,13 @@ def make_session(tables: Dict[str, pd.DataFrame],
 
 
 def run_query(name: str, session: Session,
-              tables: Dict[str, pd.DataFrame]) -> Dict:
+              tables: Dict[str, pd.DataFrame], jit: bool = False) -> Dict:
     build, oracle = QUERIES[name]
-    t0 = time.perf_counter()
     frame = build(session)
-    got = frame.collect()
+    if jit:
+        frame.collect(jit=True)  # compile + warmup outside the timing
+    t0 = time.perf_counter()
+    got = frame.collect(jit=jit)
     t_engine = time.perf_counter() - t0
     t0 = time.perf_counter()
     want = oracle(tables)
@@ -91,12 +93,12 @@ def run_query(name: str, session: Session,
 
 
 def run_all(sf: float = 1.0, num_partitions: int = 1, seed: int = 0,
-            skew: float = 0.0, queries: Optional[List[str]] = None
-            ) -> List[Dict]:
+            skew: float = 0.0, queries: Optional[List[str]] = None,
+            jit: bool = False) -> List[Dict]:
     tables = generate(sf=sf, seed=seed, skew=skew)
     session = make_session(tables, num_partitions)
     names = queries or list(QUERIES)
-    return [run_query(q, session, tables) for q in names]
+    return [run_query(q, session, tables, jit=jit) for q in names]
 
 
 if __name__ == "__main__":
@@ -107,6 +109,8 @@ if __name__ == "__main__":
     p.add_argument("--partitions", type=int, default=1)
     p.add_argument("--skew", type=float, default=0.0)
     p.add_argument("--queries", nargs="*", default=None)
+    p.add_argument("--jit", action="store_true")
     a = p.parse_args()
-    for r in run_all(a.sf, a.partitions, skew=a.skew, queries=a.queries):
+    for r in run_all(a.sf, a.partitions, skew=a.skew, queries=a.queries,
+                     jit=a.jit):
         print(json.dumps(r))
