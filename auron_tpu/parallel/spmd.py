@@ -122,6 +122,9 @@ class SpmdExecutor:
             exprs = [E.Alias(e, name) for name, e in node.exprs]
             return project_block(self.run(node.child), exprs)
         if isinstance(node, PN.Agg):
+            fused = self._try_collective_agg(node)
+            if fused is not None:
+                return fused
             return _agg_block(self.run(node.child), node)
         if isinstance(node, PN.Sort):
             return sort_block(self.run(node.child), list(node.keys),
@@ -156,6 +159,33 @@ class SpmdExecutor:
             return self.run(node.child)
         raise NotImplementedError(
             f"SPMD execution for {type(node).__name__}")
+
+    def _try_collective_agg(self, node: PN.Agg):
+        """Aggregation by collective (SURVEY §7.2: "the distributed FINAL is
+        a pure psum over the dense arrays — no shuffle at all").
+
+        When Agg(final) sits on Exchange(hash on the SAME keys) and every
+        shard's partial aggregate came out in the dense direct layout
+        (capacity == mixed-radix domain product), the row shuffle is
+        redundant: the dense state vectors are domain-aligned across shards,
+        so the final merge is an elementwise psum/pmin/pmax over the mesh —
+        O(num_groups) traffic instead of O(rows).
+        """
+        if node.mode != "final" or not isinstance(node.child, PN.Exchange):
+            return None
+        part = node.child.partitioning
+        if not isinstance(part, PT.HashPartitioning):
+            return None
+        if tuple(part.key_names) != tuple(n for n, _ in node.keys):
+            return None
+        kinds = {c.kind for c in node.calls}
+        if not kinds <= {"sum", "count", "count_star", "min", "max", "avg"}:
+            return None
+        partial = self.run(node.child.child)
+        expected = _dense_segment_count(node, partial)
+        if expected is None or partial.capacity != expected:
+            return None
+        return _psum_final(partial, node, self.axis)
 
     def _join(self, node: PN.Join) -> TableBlock:
         left = self.run(node.left)
@@ -249,3 +279,83 @@ def unstack_result(stacked: TableBlock) -> List[TableBlock]:
     for i in range(n):
         out.append(jax.tree.map(lambda a: a[i], stacked))
     return out
+
+
+def _dense_segment_count(node: "PN.Agg", partial: TableBlock):
+    """Expected dense-layout capacity (mixed-radix product incl. NULL slots)
+    for the partial block, or None when a key cannot be dense."""
+    hints = dict(node.domains)
+    total = 1
+    for name, _ in node.keys:
+        c = partial.columns.get(name)
+        if c is None:
+            return None
+        if c.dtype.is_string and c.dict_values is not None:
+            total *= len(c.dict_values) + 1
+        elif c.dtype.name == "bool":
+            total *= 3
+        elif name in hints and c.dtype.is_integer:
+            lo, hi = hints[name]
+            total *= int(hi - lo) + 1
+        else:
+            return None
+    return total
+
+
+def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
+    """Merge dense partial aggregates across the mesh with collectives."""
+    cols: Dict[str, Column] = {}
+    key_names = {n for n, _ in node.keys}
+
+    def _valid_of(c: Column):
+        if c.validity is None:
+            return jnp.ones(c.values.shape[0], jnp.bool_)
+        return c.validity
+
+    post_avg = []
+    for call in node.calls:
+        k = call.kind
+        if k == "avg":
+            snm, cnm = f"{call.name}#s", f"{call.name}#c"
+            sc, cc = partial.columns[snm], partial.columns[cnm]
+            sv = jax.lax.psum(jnp.where(_valid_of(sc), sc.values, 0), axis)
+            cv = jax.lax.psum(cc.values, axis)
+            from auron_tpu.dtypes import FLOAT64
+            vals = sv.astype(jnp.float64) / jnp.maximum(
+                cv.astype(jnp.float64), 1.0)
+            cols[call.name] = Column.of(vals, FLOAT64, cv > 0)
+            post_avg.append(call.name)
+            continue
+        c = partial.columns[call.name]
+        if k in ("count", "count_star"):
+            cols[call.name] = Column(jax.lax.psum(c.values, axis), None,
+                                     c.dtype, c.dict_values)
+        elif k == "sum":
+            s = jax.lax.psum(jnp.where(_valid_of(c), c.values, 0), axis)
+            nn = jax.lax.psum(_valid_of(c).astype(jnp.int32), axis)
+            cols[call.name] = Column(s, nn > 0, c.dtype, c.dict_values)
+        else:  # min / max
+            is_min = k == "min"
+            from auron_tpu.ops.aggregate import _minmax_identity
+            if c.dtype.is_string:
+                ident = (np.iinfo(np.int32).max if is_min
+                         else np.iinfo(np.int32).min)
+            else:
+                ident = _minmax_identity(c.dtype, is_min)
+            masked = jnp.where(_valid_of(c), c.values,
+                               jnp.asarray(ident, c.values.dtype))
+            m = jax.lax.pmin(masked, axis) if is_min \
+                else jax.lax.pmax(masked, axis)
+            nn = jax.lax.psum(_valid_of(c).astype(jnp.int32), axis)
+            cols[call.name] = Column(m, nn > 0, c.dtype, c.dict_values)
+    for name in key_names:
+        cols[name] = partial.columns[name]  # domain order: same on all shards
+    mask = jax.lax.psum(partial.row_mask.astype(jnp.int32), axis) > 0
+    # keep the (replicated) result only on shard 0 so downstream gathers
+    # don't duplicate rows
+    me = jax.lax.axis_index(axis)
+    mask = mask & (me == 0)
+    ordered = {n: cols[n] for n, _ in node.keys}
+    for call in node.calls:
+        ordered[call.name] = cols[call.name]
+    return TableBlock(ordered, mask)

@@ -106,3 +106,27 @@ def test_spmd_gather_sort(data):
                     ignore_index=True)
     want = fact.sort_values(["w", "k"], kind="stable").head(25)
     np.testing.assert_array_equal(out["w"].to_numpy(), want["w"].to_numpy())
+
+
+def test_collective_agg_fusion(data):
+    """Agg(final) over Exchange(hash same keys) with dense layout merges by
+    psum — results must equal the generic shuffle path."""
+    from auron_tpu.expr.nodes import col
+    fact, dim = data
+    tables = _tables(fact, dim)
+    partial = Agg(MemoryScan("fact"), keys=(("w", col("w")),),
+                  calls=(AggCall("s", "sum", col("v")),
+                         AggCall("c", "count_star"),
+                         AggCall("mx", "max", col("v")),
+                         AggCall("a", "avg", col("v"))),
+                  mode="partial", domains=(("w", (0, 50)),))
+    final = Agg(Exchange(partial, HashPartitioning(("w",), 8)),
+                keys=(("w", col("w")),),
+                calls=partial.calls, mode="final", domains=partial.domains)
+    stacked = run_plan_spmd(final, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.groupby("w").agg(s=("v", "sum"), c=("v", "size"),
+                                 mx=("v", "max"),
+                                 a=("v", "mean")).reset_index()
+    assert _rows(out) == _rows(want)
