@@ -180,6 +180,22 @@ def window_block(block: TableBlock,
                 validity = None if c.validity is None else \
                     jnp.where(have, validity, True)
             out_cols[f.name] = Column(vals, validity, c.dtype, c.dict_values)
+        elif k == "last_value":
+            c = sblock.columns[f.input]
+            # value at the frame end: cumulative -> end of current peer run;
+            # whole-partition -> last live row of the partition
+            start_edge = peer_start if (f.cumulative and order_by) \
+                else part_start
+            rid_lv = jnp.cumsum(start_edge.astype(jnp.int32)) - 1
+            pos64 = iota.astype(jnp.int64)
+            seg_last = jax.ops.segment_max(
+                jnp.where(live, pos64, -1), rid_lv, cap)
+            at = jnp.clip(jnp.take(seg_last, rid_lv), 0, cap - 1)
+            vals = jnp.take(c.values, at)
+            validity = jnp.take(seg_last, rid_lv) >= 0
+            if c.validity is not None:
+                validity = validity & jnp.take(c.validity, at)
+            out_cols[f.name] = Column(vals, validity, c.dtype, c.dict_values)
         elif k in ("nth_value", "first_value"):
             c = sblock.columns[f.input]
             nth = 1 if k == "first_value" else f.offset

@@ -179,3 +179,18 @@ def test_fuzz_sort_stability_and_nulls(seed):
                           na_position="last", kind="stable")
     np.testing.assert_allclose(
         out["b"].to_numpy(), want["b"].to_numpy(), rtol=1e-9)
+
+
+def test_window_last_value(rng):
+    from auron_tpu.ops.window import WindowFunc, window_block
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2], "o": [1, 2, 3, 1, 2],
+                       "v": [10., 20., 30., 40., 50.]})
+    b = TableBlock.from_pandas(df)
+    out = window_block(b, ["g"], [SortKey("o")],
+                       [WindowFunc("lv", "last_value", input="v",
+                                   cumulative=False),
+                        WindowFunc("lc", "last_value", input="v")])
+    got = out.to_pandas().sort_values(["g", "o"]).reset_index(drop=True)
+    assert list(got["lv"]) == [30., 30., 30., 50., 50.]
+    # cumulative: frame ends at current row (unique order keys)
+    assert list(got["lc"]) == [10., 20., 30., 40., 50.]
