@@ -263,3 +263,44 @@ QUERIES.update({
     "q55": (q55, q55_oracle),
     "q43": (q43, q43_oracle),
 })
+
+
+# ---------------------------------------------------------------------------
+# q67-style: top-3 brands by revenue within each category (window rank over
+# aggregated revenue — the reference's window group-limit pattern).
+# ---------------------------------------------------------------------------
+
+def q67(s: Session) -> Frame:
+    from auron_tpu.ops.window import WindowFunc
+    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
+    rev = (joined.groupby("i_category", "i_brand")
+           .agg(rev=("sum", col("ss_ext_sales_price"))))
+    ranked = rev.window(("i_category",),
+                        (SortKey("rev", ascending=False),
+                         SortKey("i_brand")),
+                        (WindowFunc("rk", "rank"),), group_limit=3)
+    return ranked.sort(SortKey("i_category"), SortKey("rk"),
+                       SortKey("i_brand"))
+
+
+def q67_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
+    rev = j.groupby(["i_category", "i_brand"]).agg(
+        rev=("ss_ext_sales_price", "sum")).reset_index()
+    rev = rev.sort_values(["i_category", "rev", "i_brand"],
+                          ascending=[True, False, True], kind="stable")
+    rev["rk"] = rev.groupby("i_category")["rev"].rank(
+        method="min", ascending=False).astype(np.int64)
+    out = rev.groupby("i_category").head(3)
+    return out.sort_values(["i_category", "rk", "i_brand"],
+                           kind="stable")[
+        ["i_category", "i_brand", "rev", "rk"]]
+
+
+QUERIES["q67"] = (q67, q67_oracle)
