@@ -78,8 +78,23 @@ def run_query(name: str, session: Session,
               tables: Dict[str, pd.DataFrame], jit: bool = False) -> Dict:
     build, oracle = QUERIES[name]
     frame = build(session)
+    t_compute = None
     if jit:
+        import jax
+        import jax.numpy as jnp
         frame.collect(jit=True)  # compile + warmup outside the timing
+
+        @jax.jit
+        def _sync(bs):
+            return sum(jnp.sum(l.ravel()[:8].astype(jnp.float32))
+                       for l in jax.tree.leaves(bs))
+        # device-resident compute time (scalar sync; excludes host transfer)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(_sync(frame.blocks(jit=True)))
+            ts.append(time.perf_counter() - t0)
+        t_compute = float(np.median(ts))
     t0 = time.perf_counter()
     got = frame.collect(jit=jit)
     t_engine = time.perf_counter() - t0
@@ -87,9 +102,14 @@ def run_query(name: str, session: Session,
     want = oracle(tables)
     t_oracle = time.perf_counter() - t0
     match = frames_match(got, want)
-    return {"query": name, "match": match, "rows": len(got),
-            "engine_s": round(t_engine, 4), "oracle_s": round(t_oracle, 4),
-            "speedup": round(t_oracle / t_engine, 3) if t_engine > 0 else 0}
+    out = {"query": name, "match": match, "rows": len(got),
+           "engine_s": round(t_engine, 4), "oracle_s": round(t_oracle, 4),
+           "speedup": round(t_oracle / t_engine, 3) if t_engine > 0 else 0}
+    if t_compute is not None:
+        out["compute_s"] = round(t_compute, 4)
+        out["compute_speedup"] = round(t_oracle / t_compute, 3) \
+            if t_compute > 0 else 0
+    return out
 
 
 def run_all(sf: float = 1.0, num_partitions: int = 1, seed: int = 0,
