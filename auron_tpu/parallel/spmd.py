@@ -157,6 +157,13 @@ class SpmdExecutor:
             return self.run(node.child).rename(dict(node.mapping))
         if isinstance(node, PN.Debug):
             return self.run(node.child)
+        if isinstance(node, PN.Coalesce):
+            child = self.run(node.child)
+            if node.num_partitions == 1:
+                return gather_to_single(child, self.axis)
+            return all_to_all_exchange(
+                child, PT.RoundRobinPartitioning(node.num_partitions),
+                self.axis)
         raise NotImplementedError(
             f"SPMD execution for {type(node).__name__}")
 
