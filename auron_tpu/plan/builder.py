@@ -252,6 +252,12 @@ class GroupedFrame:
             agg_calls.append(PN.AggCall(name, kind, expr, filt))
         dom = tuple((domains or {}).items())
         f = self.frame
+        if not self.keys and f.num_partitions > 1:
+            # global aggregate (no GROUP BY): exactly ONE output row — gather
+            # to a single partition first
+            ex = PN.Exchange(f.plan, SinglePartitioning())
+            plan = PN.Agg(ex, (), tuple(agg_calls), mode="single")
+            return Frame(f.session, plan, 1)
         if f.num_partitions == 1:
             plan = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="single",
                           domains=dom)

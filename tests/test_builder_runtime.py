@@ -111,3 +111,14 @@ def test_timed_run_roofline(sess):
     assert m.wall_s > 0
     assert 0 <= m.roofline_fraction
     assert "stage filter" in m.report()
+
+
+def test_scalar_subquery_q6_lite(sess):
+    """Decorrelated scalar subquery: price above 1.2x the global average
+    (the reference wraps these as SparkScalarSubqueryWrapper)."""
+    avg_w = sess.table("fact").groupby().agg(a=("avg", col("w"))).scalar()
+    out = (sess.table("fact")
+           .filter(col("w") > lit(avg_w * 1.2))
+           .collect())
+    want = sess._fact[sess._fact["w"] > sess._fact["w"].mean() * 1.2]
+    assert len(out) == len(want)
