@@ -172,6 +172,12 @@ EXCHANGE_CHUNK_ROWS = ConfigOption(
     "auron.exchange.chunk.rows", 1 << 18, int,
     "Rows per all_to_all chunk; chunks are double-buffered against compute.")
 
+EXCHANGE_CHUNKS = ConfigOption(
+    "auron.exchange.chunks", 1, int,
+    "Split each all_to_all into this many independent chunk collectives so "
+    "XLA's async scheduler can pipeline transfers against staging/compute. "
+    "1 = single collective (default).")
+
 EXCHANGE_PAIR_SLACK = ConfigOption(
     "auron.exchange.pair.slack", 2.0, float,
     "all_to_all staging capacity per (src,dst) pair = slack * capacity/n. "

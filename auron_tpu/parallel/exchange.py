@@ -101,14 +101,30 @@ def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
     groups.setdefault("bool", []).insert(0, "#mask")
     arrays["#mask"] = block.row_mask
 
+    # optional chunked collectives: slice the per-pair lane axis so XLA can
+    # pipeline independent transfers (EXCHANGE_CHUNKS > 1; the reference's
+    # analog is its ~4MB shuffle block framing, ipc_compression.rs:72-80)
+    n_chunks = max(int(config.conf.get(config.EXCHANGE_CHUNKS)), 1)
+    n_chunks = min(n_chunks, C)
+    bounds = [(C * i // n_chunks, C * (i + 1) // n_chunks)
+              for i in range(n_chunks)]
+
+    def chunked_swap(staged):
+        if n_chunks == 1:
+            return jax.lax.all_to_all(staged, axis_name, split_axis=0,
+                                      concat_axis=0, tiled=True)
+        parts = [jax.lax.all_to_all(staged[:, c0:c1], axis_name,
+                                    split_axis=0, concat_axis=0, tiled=True)
+                 for c0, c1 in bounds]
+        return jnp.concatenate(parts, axis=1)
+
     swapped: Dict = {}
     for dkey, keys in groups.items():
         if dkey.startswith("2d:"):
             (key,) = keys
             staged = jnp.take(arrays[key], src_row.reshape(-1), axis=0)
             staged = staged.reshape((n, C) + arrays[key].shape[1:])
-            got = jax.lax.all_to_all(staged, axis_name, split_axis=0,
-                                     concat_axis=0, tiled=True)
+            got = chunked_swap(staged)
             swapped[key] = got.reshape((n * C,) + arrays[key].shape[1:])
             continue
         stacked = jnp.stack([arrays[k] for k in keys], axis=1)  # [cap, k]
@@ -116,8 +132,7 @@ def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
         staged = staged.reshape(n, C, len(keys))
         if dkey == "bool":
             staged = staged & slot_live[:, :, None]
-        got = jax.lax.all_to_all(staged, axis_name, split_axis=0,
-                                 concat_axis=0, tiled=True)
+        got = chunked_swap(staged)
         flat = got.reshape(n * C, len(keys))
         for j, k in enumerate(keys):
             swapped[k] = flat[:, j]

@@ -130,3 +130,19 @@ def test_collective_agg_fusion(data):
                                  mx=("v", "max"),
                                  a=("v", "mean")).reset_index()
     assert _rows(out) == _rows(want)
+
+
+def test_chunked_exchange_equivalent(data):
+    """EXCHANGE_CHUNKS > 1 must produce identical routing."""
+    from auron_tpu import config
+    fact, dim = data
+    tables = _tables(fact, dim)
+    plan = Exchange(MemoryScan("fact"), HashPartitioning(("k",), 8))
+    base = run_plan_spmd(plan, _mesh(), tables)
+    with config.conf.scoped(**{"auron.exchange.chunks": 4}):
+        chunked = run_plan_spmd(plan, _mesh(), tables)
+    a = pd.concat([b.to_pandas() for b in unstack_result(base)],
+                  ignore_index=True)
+    b = pd.concat([x.to_pandas() for x in unstack_result(chunked)],
+                  ignore_index=True)
+    assert _rows(a) == _rows(b)
