@@ -47,6 +47,15 @@ def default_pair_capacity(capacity: int, n_dest: int, slack: float = 2.0
 def all_to_all_exchange(block: TableBlock, part, axis_name: str,
                         pair_capacity: Optional[int] = None) -> TableBlock:
     """Inside shard_map: route rows to the device == their partition id."""
+    from auron_tpu.parallel.partition import RoundRobinPartitioning
+    if isinstance(part, RoundRobinPartitioning):
+        # salt by device position (reference mod.rs:190-202: per-map-task
+        # offset) so destination 0 doesn't receive every shard's head rows
+        live_rank = jnp.cumsum(block.row_mask.astype(jnp.int64)) - 1
+        me = jax.lax.axis_index(axis_name).astype(jnp.int64)
+        ids = ((live_rank + part.start + me) % part.num_partitions
+               ).astype(jnp.int32)
+        return all_to_all_exchange_ids(block, ids, axis_name, pair_capacity)
     return all_to_all_exchange_ids(block, partition_ids(block, part),
                                    axis_name, pair_capacity)
 
