@@ -266,10 +266,16 @@ class GroupedFrame:
                                   "count_distinct", "approx_count_distinct")
                        for c in agg_calls)
         if collects:
-            ex = PN.Exchange(f.plan, SinglePartitioning())
+            # set-valued aggregates can't merge partial state; co-locate all
+            # rows of a key instead: hash-exchange on the group keys, then a
+            # per-partition single-mode agg is exact (keys are disjoint
+            # across partitions)
+            key_names = tuple(n for n, _ in self.keys)
+            ex = PN.Exchange(
+                f.plan, HashPartitioning(key_names, f.num_partitions))
             plan = PN.Agg(ex, self.keys, tuple(agg_calls), mode="single",
                           domains=dom)
-            return Frame(f.session, plan, 1)
+            return Frame(f.session, plan, f.num_partitions)
         partial = PN.Agg(f.plan, self.keys, tuple(agg_calls), mode="partial",
                          domains=dom)
         key_names = tuple(n for n, _ in self.keys)

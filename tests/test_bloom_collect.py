@@ -157,3 +157,23 @@ def test_collection_functions(rng):
 
     block = make_struct_columns(block, "st", a=lit(7), b=lit(8))
     assert "st.a" in block.names and "st.b" in block.names
+
+
+def test_distributed_count_distinct(rng):
+    """count_distinct over multiple partitions: rows co-locate by key via
+    hash exchange, per-partition exact distinct (no single-point gather)."""
+    import auron_tpu.plan.builder  # noqa: F401
+    n = 3000
+    df = pd.DataFrame({"g": rng.integers(0, 30, n),
+                       "v": rng.integers(0, 40, n)})
+    s = Session().register_pandas("t", df, num_partitions=4)
+    out = (s.table("t").groupby("g")
+           .agg(d=("count_distinct", col("v")),
+                c=("count_star", None)).collect())
+    want = df.groupby("g").agg(d=("v", "nunique"),
+                               c=("v", "size")).reset_index()
+    got = out.sort_values("g").reset_index(drop=True)
+    want = want.sort_values("g").reset_index(drop=True)
+    np.testing.assert_array_equal(got["g"], want["g"])
+    np.testing.assert_array_equal(got["d"], want["d"])
+    np.testing.assert_array_equal(got["c"], want["c"])
