@@ -28,7 +28,7 @@ import numpy as np
 
 from auron_tpu import config
 from auron_tpu.dtypes import (BOOL, DataType, Field, Schema, STRING,
-                              type_from_name)
+                              TIMESTAMP64, type_from_name)
 
 
 def round_capacity(n: int, align: Optional[int] = None) -> int:
@@ -153,6 +153,11 @@ class TableBlock:
                 dt = dtypes[name]
             else:
                 dt = _infer_dtype(arr)
+            if arr.dtype.kind == "M":
+                if dt.name == "timestamp64":
+                    arr = arr.astype("datetime64[us]").astype(np.int64)
+                else:  # date32: days
+                    arr = arr.astype("datetime64[D]").astype(np.int32)
             padded = np.zeros(cap, dtype=dt.np_dtype)
             padded[:n] = arr.astype(dt.np_dtype, copy=False)
             val = None
@@ -263,6 +268,10 @@ class TableBlock:
             if col.dtype.is_string and col.dict_values is not None:
                 decoded = col.dict_values[np.clip(vals, 0, len(col.dict_values) - 1)]
                 s = pd.Series(decoded, dtype=object)
+            elif col.dtype.name == "timestamp64":
+                s = pd.Series(vals.astype("datetime64[us]"))
+            elif col.dtype.name == "date32":
+                s = pd.Series(vals.astype("datetime64[D]"))
             elif col.dtype.name == "decimal64":
                 _, scale = col.dtype.params
                 s = pd.Series(vals.astype(np.float64) / (10 ** scale))
@@ -303,6 +312,9 @@ def _infer_dtype(arr: np.ndarray) -> DataType:
         return type_from_name(f"int{arr.dtype.itemsize * 8}")
     if kind == "f":
         return type_from_name(f"float{arr.dtype.itemsize * 8}")
-    if kind == "M":  # datetime64 -> date32 days
-        return type_from_name("date32")
+    if kind == "M":
+        unit = np.datetime_data(arr.dtype)[0]
+        if unit == "D":
+            return type_from_name("date32")
+        return type_from_name("timestamp64")  # stored as micros
     raise TypeError(f"cannot infer engine dtype for numpy dtype {arr.dtype}")

@@ -68,6 +68,8 @@ FLOAT32 = DataType("float32", np.dtype(np.float32))
 FLOAT64 = DataType("float64", np.dtype(np.float64))
 # Days since 1970-01-01, Spark DateType.
 DATE32 = DataType("date32", np.dtype(np.int32))
+# Microseconds since epoch, Spark TimestampType internal representation.
+TIMESTAMP64 = DataType("timestamp64", np.dtype(np.int64))
 # Dictionary-encoded string: values are int32 codes into a host-side dictionary.
 STRING = DataType("string", np.dtype(np.int32))
 
@@ -82,7 +84,7 @@ def DECIMAL64(precision: int = 18, scale: int = 2) -> DataType:
 _BY_NAME = {
     "bool": BOOL, "int8": INT8, "int16": INT16, "int32": INT32,
     "int64": INT64, "float32": FLOAT32, "float64": FLOAT64,
-    "date32": DATE32, "string": STRING,
+    "date32": DATE32, "timestamp64": TIMESTAMP64, "string": STRING,
 }
 
 

@@ -554,3 +554,45 @@ def _monotonically_increasing_id(block, pid: int = 0) -> Column:
     rank = jnp.cumsum(block.row_mask.astype(jnp.int64)) - 1
     from auron_tpu.dtypes import INT64 as _I64
     return Column.of((jnp.int64(pid) << 33) | jnp.maximum(rank, 0), _I64)
+
+
+# -- timestamps (reference flink_datetime.rs / spark date-time kernels;
+# micros-since-epoch int64, Spark TimestampType layout) ----------------------
+
+@register("hour")
+def _hour(block, c: Column) -> Column:
+    secs = c.values // 1_000_000
+    return Column.of(((secs // 3600) % 24).astype(jnp.int32), INT32,
+                     c.validity)
+
+
+@register("minute")
+def _minute(block, c: Column) -> Column:
+    secs = c.values // 1_000_000
+    return Column.of(((secs // 60) % 60).astype(jnp.int32), INT32, c.validity)
+
+
+@register("second")
+def _second(block, c: Column) -> Column:
+    secs = c.values // 1_000_000
+    return Column.of((secs % 60).astype(jnp.int32), INT32, c.validity)
+
+
+@register("to_date")
+def _to_date(block, c: Column) -> Column:
+    from auron_tpu.dtypes import DATE32
+    days = jnp.floor_divide(c.values, 86_400_000_000)
+    return Column.of(days.astype(jnp.int32), DATE32, c.validity)
+
+
+@register("to_timestamp_from_date")
+def _to_timestamp_from_date(block, c: Column) -> Column:
+    from auron_tpu.dtypes import TIMESTAMP64
+    return Column.of(c.values.astype(jnp.int64) * 86_400_000_000,
+                     TIMESTAMP64, c.validity)
+
+
+@register("unix_timestamp")
+def _unix_timestamp(block, c: Column) -> Column:
+    from auron_tpu.dtypes import INT64 as _I64
+    return Column.of(jnp.floor_divide(c.values, 1_000_000), _I64, c.validity)

@@ -136,7 +136,7 @@ def _hash_column_chained(values, dtype_name: str, validity, h_u32,
     elif dtype_name == "float32":
         word = _u32(values)
         new_h = murmur3_word(word, h_u32)
-    elif dtype_name in ("int64", "decimal64"):
+    elif dtype_name in ("int64", "decimal64", "timestamp64"):
         new_h = murmur3_long(values, h_u32)
     elif dtype_name == "float64":
         low, high = _f64_words(values)

@@ -164,3 +164,23 @@ def test_string_function_matrix(rng):
     c = materialize(evaluate(func("length", col("s")), blk), blk.capacity)
     got = list(np.asarray(c.values)[np.asarray(blk.row_mask)])
     assert got == [len(w) for w in words]
+
+
+def test_timestamp_roundtrip_and_parts():
+    ts = pd.to_datetime(["2000-03-01 12:34:56", "1999-12-31 23:59:59",
+                         "2001-07-04 00:00:01"])
+    df = pd.DataFrame({"t": ts})
+    blk = TableBlock.from_pandas(df)
+    assert blk["t"].dtype.name == "timestamp64"
+    back = blk.to_pandas()
+    assert list(back["t"]) == list(ts)
+    for name, want in [("hour", [12, 23, 0]), ("minute", [34, 59, 0]),
+                       ("second", [56, 59, 1]),
+                       ("year", [2000, 1999, 2001])]:
+        if name == "year":
+            e = func("year", func("to_date", col("t")))
+        else:
+            e = func(name, col("t"))
+        c = materialize(evaluate(e, blk), blk.capacity)
+        got = list(np.asarray(c.values)[np.asarray(blk.row_mask)])
+        assert got == want, name
