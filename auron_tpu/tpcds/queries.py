@@ -304,3 +304,76 @@ def q67_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
 
 
 QUERIES["q67"] = (q67, q67_oracle)
+
+
+# ---------------------------------------------------------------------------
+# q19-style: brand revenue by manager slice across date/item/customer/store
+# (4-dimension star join).
+# ---------------------------------------------------------------------------
+
+def q19(s: Session) -> Frame:
+    dt = s.table("date_dim").filter((col("d_moy") == lit(11)) &
+                                    (col("d_year") == lit(1999)))
+    it = s.table("item").filter(col("i_manager_id") == lit(8))
+    joined = (s.table("store_sales")
+              .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+              .join(it, ("ss_item_sk",), ("i_item_sk",))
+              .join(s.table("customer"), ("ss_customer_sk",),
+                    ("c_customer_sk",))
+              .join(s.table("store"), ("ss_store_sk",), ("s_store_sk",)))
+    return (joined.groupby("i_brand_id", "i_brand")
+            .agg(ext_price=("sum", col("ss_ext_sales_price")))
+            .sort(SortKey("ext_price", ascending=False),
+                  SortKey("i_brand_id"), limit=100))
+
+
+def q19_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"]
+    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 1999)]
+    it = t["item"][t["item"]["i_manager_id"] == 8]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(t["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
+    g = j.groupby(["i_brand_id", "i_brand"]).agg(
+        ext_price=("ss_ext_sales_price", "sum")).reset_index()
+    return g.sort_values(["ext_price", "i_brand_id"],
+                         ascending=[False, True], kind="stable").head(100)[
+        ["i_brand_id", "i_brand", "ext_price"]]
+
+
+# ---------------------------------------------------------------------------
+# q73-style: customers with 2-6 purchases in a year (HAVING on an aggregate,
+# then joined back to the customer dimension).
+# ---------------------------------------------------------------------------
+
+def q73(s: Session) -> Frame:
+    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    cnts = (s.table("store_sales")
+            .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
+            .groupby("ss_customer_sk")
+            .agg(cnt=("count_star", None))
+            .filter((col("cnt") >= lit(2)) & (col("cnt") <= lit(6))))
+    return (cnts.join(s.table("customer"), ("ss_customer_sk",),
+                      ("c_customer_sk",))
+            .select("c_customer_id", "cnt")
+            .sort(SortKey("cnt", ascending=False),
+                  SortKey("c_customer_id"), limit=100))
+
+
+def q73_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    j = t["store_sales"].merge(dt, left_on="ss_sold_date_sk",
+                               right_on="d_date_sk")
+    g = j.groupby("ss_customer_sk").size().reset_index(name="cnt")
+    g = g[(g["cnt"] >= 2) & (g["cnt"] <= 6)]
+    g = g.merge(t["customer"], left_on="ss_customer_sk",
+                right_on="c_customer_sk")
+    return g.sort_values(["cnt", "c_customer_id"],
+                         ascending=[False, True], kind="stable").head(100)[
+        ["c_customer_id", "cnt"]]
+
+
+QUERIES.update({"q19": (q19, q19_oracle), "q73": (q73, q73_oracle)})
