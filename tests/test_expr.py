@@ -144,12 +144,11 @@ def test_date_functions():
     # 1970-01-01 was a Thursday -> Spark dayofweek = 5
     np.testing.assert_array_equal(
         out(b, func("dayofweek", col("d"))).to_numpy(), [3, 6, 1, 5])
+    # to_pandas now decodes date32 into datetimes (result-boundary decode)
     np.testing.assert_array_equal(
         out(b, func("last_day", col("d"))).to_numpy(),
-        [(datetime.date(2000, 2, 29) - datetime.date(1970, 1, 1)).days,
-         (datetime.date(1999, 12, 31) - datetime.date(1970, 1, 1)).days,
-         (datetime.date(2026, 8, 31) - datetime.date(1970, 1, 1)).days,
-         (datetime.date(1970, 1, 31) - datetime.date(1970, 1, 1)).days])
+        np.array(["2000-02-29", "1999-12-31", "2026-08-31", "1970-01-31"],
+                 dtype="datetime64[s]"))
 
 
 def test_date_comparison_with_string_literal():
