@@ -183,7 +183,9 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
     # leaf/other nodes: rebuild children generically where possible
     if isinstance(node, PN.Generate):
         child, r = _walk(node.child, s)
-        return dataclasses.replace(node, child=child), r
+        # explode DUPLICATES rows: ranges survive, uniqueness does not
+        return (dataclasses.replace(node, child=child),
+                {k: (v[0], v[1], False) for k, v in r.items()})
     if isinstance(node, PN.Expand):
         child, r = _walk(node.child, s)
         return dataclasses.replace(node, child=child), {}
