@@ -212,6 +212,11 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+DEBUG_CHECKS = ConfigOption(
+    "auron.debug.checks.enable", False, bool,
+    "Emit runtime warnings from inside jitted programs (join output "
+    "overflow, exchange lane overflow). Small overhead; off by default.")
+
 PALLAS_ENABLE = ConfigOption(
     "auron.pallas.enable", True, bool,
     "Use Pallas kernels for hot ops on TPU backends (falls back to XLA on CPU).")

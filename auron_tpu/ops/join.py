@@ -282,6 +282,13 @@ def join_blocks(left: TableBlock, right: TableBlock, spec: JoinSpec,
     if out_capacity is None:
         factor = config.conf.get(config.JOIN_OUT_FACTOR)
         out_capacity = round_capacity(int(probe_cap * factor))
+    if config.conf.get(config.DEBUG_CHECKS):
+        def _warn(t):
+            jax.debug.print(
+                "WARNING join output overflow: {t} rows > capacity {c} "
+                "(rows dropped; raise out_capacity / JOIN_OUT_FACTOR)",
+                t=t, c=out_capacity)
+        jax.lax.cond(total > out_capacity, _warn, lambda t: None, total)
     owner, pair_live = _run_starts(offsets, eff, total, out_capacity)
     owner = jnp.clip(owner, 0, probe_cap - 1)
 

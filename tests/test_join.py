@@ -217,3 +217,15 @@ def test_concat_blocks():
     b = _mk(L1.iloc[3:])
     out = J.concat_blocks([a, b]).to_pandas()
     assert _sorted_rows(out) == _sorted_rows(L1)
+
+
+def test_join_overflow_debug_check():
+    """DEBUG_CHECKS warns (and never crashes) when out_capacity truncates."""
+    from auron_tpu import config
+    l = pd.DataFrame({"k": [1] * 64, "a": range(64)})
+    r = pd.DataFrame({"j": [1] * 8, "b": range(8)})
+    lb, rb = _mk(l), _mk(r)
+    with config.conf.scoped(**{"auron.debug.checks.enable": True}):
+        out = J.join_blocks(lb, rb, J.JoinSpec(("k",), ("j",), J.INNER),
+                            out_capacity=64)  # 512 matches > 64
+    assert len(out.to_pandas()) == 64  # truncated but well-formed
