@@ -90,6 +90,12 @@ class AuronConf:
         """Context manager that applies overrides and restores on exit."""
         return _ScopedConf(self, kv)
 
+    def scoped_overrides(self, overrides: Dict[str, Any]) -> "_ScopedConf":
+        """Like scoped() but takes dotted keys directly (regrow path)."""
+        sc = _ScopedConf(self, {})
+        sc._kv = dict(overrides)
+        return sc
+
     @staticmethod
     def describe_all() -> List[str]:
         """Doc-gen (analog of SparkAuronConfigurationDocGenerator.java)."""
@@ -148,8 +154,32 @@ CAPACITY_ALIGN = ConfigOption(
 
 JOIN_OUT_FACTOR = ConfigOption(
     "auron.join.output.capacity.factor", 1.0, float,
-    "Default join output capacity = factor * (probe capacity). Overflow sets a "
-    "flag the host checks to re-run with a larger bucket.")
+    "Default join output capacity = factor * (probe capacity) when the exact "
+    "size cannot be computed (under tracing). Overflow records a traced "
+    "counter that the execution boundary checks (auron.overflow.check); "
+    "regrow mode re-runs with this factor grown to fit.")
+
+OVERFLOW_CHECK = ConfigOption(
+    "auron.overflow.check", "regrow", str,
+    "What the host does when a traced overflow counter exceeds its static "
+    "capacity (join expansion, exchange pair lanes, skew heavy block, "
+    "collect planes, generate expansion): 'regrow' (default) re-runs with "
+    "the responsible capacity grown to fit — results are always exact; "
+    "'raise' errors; 'warn' warns and keeps the truncated result; 'off' "
+    "disables the check (results may silently truncate).",
+    validator=lambda v: v in ("regrow", "raise", "warn", "off"))
+
+SKEW_HEAVY_FACTOR = ConfigOption(
+    "auron.skew.heavy.capacity.factor", 0.25, float,
+    "Skew handler heavy-row side-block capacity = factor * build capacity.")
+
+COLLECT_LEN_FACTOR = ConfigOption(
+    "auron.agg.collect.len.factor", 1.0, float,
+    "Multiplier on collect_list/collect_set max_len bounds (regrow knob).")
+
+GENERATE_OUT_FACTOR = ConfigOption(
+    "auron.generate.output.capacity.factor", 1.0, float,
+    "Multiplier on the default Generate (explode) output capacity.")
 
 AGG_PARTIAL_SKIP_ENABLE = ConfigOption(
     "auron.agg.partial.skip.enable", True, bool,

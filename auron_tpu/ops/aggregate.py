@@ -229,8 +229,10 @@ def _collect_into(gid, num_segments: int, ok, col: Column, distinct: bool,
     sg = jnp.where(write, gid, num_segments)  # out-of-range -> dropped
     out = out.at[sg, jnp.clip(pos, 0, max_len - 1).astype(jnp.int32)].set(
         values, mode="drop")
-    lens = jax.ops.segment_sum(write.astype(jnp.int64), gid, num_segments)
-    lens = jnp.minimum(lens, max_len)
+    raw_lens = jax.ops.segment_sum(ok.astype(jnp.int64), gid, num_segments)
+    from auron_tpu.runtime import overflow
+    overflow.record("collect", jnp.max(raw_lens), max_len)
+    lens = jnp.minimum(raw_lens, max_len)
     return out, lens
 
 

@@ -29,7 +29,11 @@ def generate_block(block: TableBlock, node) -> TableBlock:
                     jnp.maximum(lengths, 1) if node.outer else lengths, 0)
     offsets = jnp.cumsum(eff) - eff
     total = jnp.sum(eff)
-    out_cap = node.out_capacity or round_capacity(cap * max(1, max_len // 2))
+    factor = config.conf.get(config.GENERATE_OUT_FACTOR)
+    out_cap = node.out_capacity or round_capacity(
+        int(cap * max(1, max_len // 2) * factor))
+    from auron_tpu.runtime import overflow
+    overflow.record("generate", total, out_cap)
 
     j = jnp.arange(out_cap, dtype=offsets.dtype)
     owner = jnp.clip(jnp.searchsorted(offsets, j, side="right") - 1, 0, cap - 1)

@@ -282,6 +282,8 @@ def join_blocks(left: TableBlock, right: TableBlock, spec: JoinSpec,
     if out_capacity is None:
         factor = config.conf.get(config.JOIN_OUT_FACTOR)
         out_capacity = round_capacity(int(probe_cap * factor))
+    from auron_tpu.runtime import overflow
+    overflow.record("join", total, out_capacity)
     if config.conf.get(config.DEBUG_CHECKS):
         def _warn(t):
             jax.debug.print(

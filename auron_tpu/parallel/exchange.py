@@ -65,11 +65,13 @@ def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
                             ) -> TableBlock:
     """Exchange with caller-provided destination ids (skew handler path).
 
-    ``ids`` >= n or a dead row mean "drop". Returns the local output block
-    (capacity = n_dest * pair_capacity). Rows exceeding ``pair_capacity``
-    for one (src,dst) pair are dropped — sized so this cannot happen for the
-    workloads we run; the skew handler pre-splits heavy keys
-    (parallel/skew.py) and tests assert counts.
+    ``ids`` >= n or a dead row mean "drop" (sentinel routing). Returns the
+    local output block (capacity = n_dest * pair_capacity). The true
+    per-destination row count is recorded as a traced overflow counter
+    (runtime/overflow.py); if it ever exceeds ``pair_capacity`` the
+    execution boundary regrows the pair slack and re-runs, so rows are never
+    silently lost. The skew handler pre-splits heavy keys (parallel/skew.py)
+    to keep the lanes balanced in the first place.
     """
     n = jax.lax.axis_size(axis_name)
     cap = block.capacity
@@ -86,6 +88,8 @@ def all_to_all_exchange_ids(block: TableBlock, ids, axis_name: str,
     counts = jax.ops.segment_sum(jnp.ones(cap, jnp.int32),
                                  jnp.clip(ids, 0, n), n + 1)[:n]
     offsets = jnp.cumsum(counts) - counts  # exclusive
+    from auron_tpu.runtime import overflow
+    overflow.record("exchange", jnp.max(counts), C)
 
     # staging gather indices: slot (p, i) <- sorted row offsets[p]+i
     slot_p = jax.lax.broadcasted_iota(jnp.int32, (n, C), 0)

@@ -102,7 +102,8 @@ def skewed_join_exchange(probe: TableBlock, build: TableBlock,
     build_out = all_to_all_exchange_ids(light_build, pmod(b_hash, n),
                                         axis_name, pair_capacity)
 
-    hcap = heavy_capacity or max(build.capacity // 4, 128)
+    hcap = heavy_capacity or max(
+        int(build.capacity * config.conf.get(config.SKEW_HEAVY_FACTOR)), 128)
     heavy_block = _compact_into(build.with_mask(b_heavy), hcap)
     from auron_tpu.parallel.exchange import all_gather_block
     heavy_all = all_gather_block(heavy_block, axis_name)
@@ -110,10 +111,14 @@ def skewed_join_exchange(probe: TableBlock, build: TableBlock,
 
 
 def _compact_into(block: TableBlock, capacity: int) -> TableBlock:
-    """Compact live rows into a (smaller) static capacity; rows beyond
-    capacity are dropped — sized by config so this never truncates in
-    practice (tests assert counts)."""
+    """Compact live rows into a (smaller) static capacity.
+
+    The true live count rides a traced overflow counter; if it exceeds the
+    capacity the execution boundary regrows SKEW_HEAVY_FACTOR and re-runs
+    (runtime/overflow.py), so heavy rows are never silently lost."""
     idx = jnp.nonzero(block.row_mask, size=capacity, fill_value=0)[0]
     n = jnp.sum(block.row_mask.astype(jnp.int32))
+    from auron_tpu.runtime import overflow
+    overflow.record("skew_heavy", n, capacity)
     new_mask = jnp.arange(capacity) < n
     return take_block(block, idx, new_mask)

@@ -224,7 +224,24 @@ class SpmdExecutor:
         if node.strategy in ("sort_merge", "shuffled_hash"):
             import dataclasses
             node = dataclasses.replace(node, strategy="partitioned")
+        if spec.null_aware and spec.join_type == J.LEFT_ANTI \
+                and node.strategy != "broadcast":
+            # NOT IN: one build-side NULL anywhere must suppress every probe
+            # row, and partitioned exchanges send all NULL keys to a single
+            # shard. Only a replicated build side is correct (Spark keeps
+            # null-aware anti broadcast-only too, auron.proto:502).
+            raise ValueError(
+                "null-aware anti join requires strategy='broadcast' under "
+                "SPMD (the build side must be replicated)")
         if node.strategy == "broadcast":
+            if spec.join_type in (J.RIGHT, J.FULL, J.RIGHT_SEMI,
+                                  J.RIGHT_ANTI):
+                # every shard would emit/flag unmatched BUILD rows
+                # independently, duplicating them — the planner must use a
+                # partitioned exchange for build-side-outer join types
+                raise ValueError(
+                    "broadcast join cannot produce build-side-outer rows "
+                    "under SPMD; use strategy='partitioned'")
             build = all_gather_block(build, self.axis)
         elif node.strategy == "skewed":
             # children arrive UN-exchanged; the skew handler routes both
@@ -266,17 +283,41 @@ def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
         blocks = pad_partitions(list(blocks), n)
         stacked[name] = stack_partitions(blocks)
 
-    def per_device(local_tables: Dict[str, TableBlock]) -> TableBlock:
-        # shard_map delivers [1, cap, ...] shards; peel the device axis
-        peeled = {k: jax.tree.map(lambda a: a[0], v)
-                  for k, v in local_tables.items()}
-        out = SpmdExecutor(peeled, axis).run(plan)
-        return jax.tree.map(lambda a: a[None], out)
+    # Overflow-checked execution with capacity regrow (runtime/overflow.py):
+    # the per-device program returns its traced overflow counters alongside
+    # the result; the host maxes them over the mesh and re-runs with grown
+    # capacities when any static bound was exceeded.
+    from auron_tpu import config as C
+    from auron_tpu.runtime import overflow as OV
+    overrides: Dict[str, float] = {}
+    for _attempt in range(OV.MAX_ATTEMPTS):
+        with C.conf.scoped_overrides(overrides):
+            meta_cell: list = []
 
-    specs = jax.tree.map(lambda _: P(axis), stacked)
-    fn = jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
-                       out_specs=P(axis))
-    return jax.jit(fn)(stacked)
+            def per_device(local_tables: Dict[str, TableBlock]):
+                # shard_map delivers [1, cap, ...] shards; peel device axis
+                peeled = {k: jax.tree.map(lambda a: a[0], v)
+                          for k, v in local_tables.items()}
+                with OV.collect() as sc:
+                    out = SpmdExecutor(peeled, axis).run(plan)
+                meta_cell[:] = sc.meta()
+                vals = sc.values()
+                ov = (jnp.stack(vals)[None] if vals
+                      else jnp.zeros((1, 0), jnp.int64))
+                return jax.tree.map(lambda a: a[None], out), ov
+
+            specs = jax.tree.map(lambda _: P(axis), stacked)
+            fn = jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
+                               out_specs=(P(axis), P(axis)))
+            out, ov = jax.jit(fn)(stacked)
+            values = list(np.asarray(ov).max(axis=0)) if meta_cell else []
+            grown = OV.check(meta_cell, values, overrides)
+        if grown is None:
+            return out
+        overrides = grown
+    raise RuntimeError(
+        f"overflow regrow did not converge after {OV.MAX_ATTEMPTS} "
+        f"attempts (overrides={overrides})")
 
 
 def unstack_result(stacked: TableBlock) -> List[TableBlock]:
@@ -345,10 +386,31 @@ def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
             is_min = k == "min"
             from auron_tpu.ops.aggregate import _minmax_identity
             if c.dtype.is_string:
+                # dictionary CODES are first-seen-ordered, not
+                # lexicographic: translate code -> lexicographic rank,
+                # reduce on ranks, map the winning rank back to a code
+                # (same trick segment_aggregate uses; a raw pmin/pmax on
+                # codes would pick the wrong string for derived dicts)
+                from auron_tpu.expr.strings import sort_rank_table
+                rank = sort_rank_table(c.dict_values)
+                nvals = len(c.dict_values)
+                ranks = jnp.take(jnp.asarray(rank),
+                                 jnp.clip(c.values, 0, nvals - 1))
                 ident = (np.iinfo(np.int32).max if is_min
                          else np.iinfo(np.int32).min)
-            else:
-                ident = _minmax_identity(c.dtype, is_min)
+                masked = jnp.where(_valid_of(c), ranks,
+                                   jnp.asarray(ident, ranks.dtype))
+                m = jax.lax.pmin(masked, axis) if is_min \
+                    else jax.lax.pmax(masked, axis)
+                inv = np.empty_like(rank)
+                inv[rank] = np.arange(len(rank), dtype=rank.dtype)
+                code = jnp.take(jnp.asarray(inv),
+                                jnp.clip(m, 0, nvals - 1))
+                nn = jax.lax.psum(_valid_of(c).astype(jnp.int32), axis)
+                cols[call.name] = Column(code.astype(c.values.dtype), nn > 0,
+                                         c.dtype, c.dict_values)
+                continue
+            ident = _minmax_identity(c.dtype, is_min)
             masked = jnp.where(_valid_of(c), c.values,
                                jnp.asarray(ident, c.values.dtype))
             m = jax.lax.pmin(masked, axis) if is_min \

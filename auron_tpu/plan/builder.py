@@ -84,12 +84,30 @@ class Frame:
     def join(self, other: "Frame", left_on: Sequence[str],
              right_on: Sequence[str], how: str = "inner",
              strategy: Optional[str] = None, condition: Optional[Expr] = None,
-             out_capacity: Optional[int] = None, skewed: bool = False
-             ) -> "Frame":
+             out_capacity: Optional[int] = None, skewed: bool = False,
+             null_aware: bool = False) -> "Frame":
+        # Broadcast replicates the build (right) side to every probe
+        # partition; join types that emit/flag unmatched BUILD rows would
+        # then emit them once per partition. Spark's BroadcastHashJoin has
+        # the same build-side restriction (AuronConvertStrategy.scala
+        # joinable-side checks) — force partitioned for those shapes.
+        build_outer = how in ("right", "full", "right_semi", "right_anti")
         if strategy is None:
-            strategy = "broadcast" if other._estimated_rows() is not None \
-                and other._estimated_rows() <= BROADCAST_ROW_THRESHOLD \
+            est = other._estimated_rows()
+            strategy = "broadcast" if est is not None \
+                and est <= BROADCAST_ROW_THRESHOLD \
+                and not (build_outer and self.num_partitions > 1) \
                 else "partitioned"
+        elif strategy == "broadcast" and build_outer \
+                and self.num_partitions > 1:
+            strategy = "partitioned"
+        if null_aware:
+            # NOT IN (null-aware anti) needs the WHOLE build side visible to
+            # every probe partition (a single build-side NULL suppresses all
+            # probe rows) — broadcast only, matching Spark's
+            # BroadcastHashJoin-only null-aware anti join (auron.proto:502).
+            if strategy not in ("broadcast", None):
+                strategy = "broadcast"
         if skewed:
             strategy = "skewed"
         left_plan, right_plan = self.plan, other.plan
@@ -102,7 +120,7 @@ class Frame:
                                      HashPartitioning(tuple(right_on), n))
         plan = PN.Join(left_plan, right_plan, tuple(left_on), tuple(right_on),
                        join_type=how, strategy=strategy, condition=condition,
-                       out_capacity=out_capacity)
+                       out_capacity=out_capacity, null_aware=null_aware)
         return Frame(self.session, plan, n)
 
     def _estimated_rows(self) -> Optional[int]:
@@ -200,29 +218,67 @@ class Frame:
         return None if v is None else (v.item() if hasattr(v, "item") else v)
 
     def blocks(self, jit: bool = False):
-        if not jit:
-            return execute_plan(self.plan, self.session)
+        """Execute; never returns silently truncated results.
+
+        Runs inside an overflow-collection scope (runtime/overflow.py): the
+        traced capacity counters are checked on the host and, in regrow mode
+        (the default), any overflow triggers a re-run with the responsible
+        capacity knob grown to fit — the AQE analog of the reference's
+        grow->spill state machine (auron-memmgr/src/lib.rs:308-428).
+        """
+        from auron_tpu import config as C
+        from auron_tpu.runtime import overflow as OV
+        import numpy as np
+        overrides: dict = {}
+        for _attempt in range(OV.MAX_ATTEMPTS):
+            with C.conf.scoped_overrides(overrides):
+                if not jit:
+                    with OV.collect() as sc:
+                        out = execute_plan(self.plan, self.session)
+                    meta = sc.meta()
+                    values = [np.asarray(v) for v in sc.values()]
+                else:
+                    out, meta, values = self._run_jit(overrides)
+                grown = OV.check(meta, values, overrides)
+            if grown is None:
+                return out
+            overrides = grown
+        raise RuntimeError(
+            f"overflow regrow did not converge after {OV.MAX_ATTEMPTS} "
+            f"attempts (overrides={overrides})")
+
+    def _run_jit(self, overrides: dict):
         # whole-query jit: annotate/prune against the concrete tables, then
         # compile ONE program taking every registered table as an argument
-        # (per-op eager dispatch costs a host round-trip each on remote TPU)
+        # (per-op eager dispatch costs a host round-trip each on remote TPU).
+        # The compiled program also returns the traced overflow counters.
         import jax
-        cached = _JIT_CACHE.get(id(self.plan))
+        import numpy as np
+        from auron_tpu.runtime import overflow as OV
+        key = (id(self.plan), tuple(sorted(overrides.items())))
+        cached = _JIT_CACHE.get(key)
         if cached is None:
             from auron_tpu.plan.prune import prune_plan
             from auron_tpu.plan.stats import annotate_plan
             plan = annotate_plan(prune_plan(self.plan, self.session),
                                  self.session)
+            meta_cell: list = []
 
             def step(tbls):
                 s2 = Session()
                 for n, bs in tbls.items():
                     s2.register(n, bs)
-                return execute_plan(plan, s2, annotate=False)
+                with OV.collect() as sc:
+                    res = execute_plan(plan, s2, annotate=False)
+                meta_cell[:] = sc.meta()
+                return res, list(sc.values())
 
-            cached = jax.jit(step)
-            _JIT_CACHE[id(self.plan)] = cached
+            cached = (jax.jit(step), meta_cell)
+            _JIT_CACHE[key] = cached
+        fn, meta_cell = cached
         tables = {n: list(bs) for n, bs in self.session.tables.items()}
-        return cached(tables)
+        out, values = fn(tables)
+        return out, list(meta_cell), [np.asarray(v) for v in values]
 
     def collect(self, jit: bool = False):
         if not jit:

@@ -261,15 +261,28 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         from auron_tpu.block import round_capacity
         return round_capacity(max(total, 1))
 
+    build_outer = spec.join_type in (J.RIGHT, J.FULL, J.RIGHT_SEMI,
+                                     J.RIGHT_ANTI)
     if node.strategy == "broadcast":
         # replicate the build table against every probe partition
         # (BroadcastHashJoin; reference broadcast_join_exec.rs:592-609 caches
         # the built map per executor — here the jit cache plays that role)
         bblock = build[0] if len(build) == 1 else J.concat_blocks(build)
         spec = _with_build_domain(spec, bblock)
+        if build_outer and len(probe) > 1:
+            # unmatched-BUILD rows / matched flags must be computed against
+            # ALL probe rows, not per partition — collapse the probe side
+            # (the planner avoids this shape; this is the correctness net)
+            probe = [J.concat_blocks(probe)]
         return [J.join_blocks(p, bblock, spec,
                               out_cap_for(p, bblock, spec), filter_fn)
                 for p in probe]
+    if spec.null_aware and spec.join_type == J.LEFT_ANTI and \
+            (len(probe) > 1 or len(build) > 1):
+        # NOT IN semantics need the whole build side per probe partition (a
+        # single build NULL suppresses everything) — collapse both sides.
+        probe = [J.concat_blocks(probe)] if len(probe) > 1 else probe
+        build = [J.concat_blocks(build)] if len(build) > 1 else build
     # partitioned (shuffled hash / sort-merge): partition-wise zip
     if len(probe) != len(build):
         raise ValueError(
@@ -410,7 +423,10 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
         if k == "count_star" and col is not None:
             k = "count"  # FILTER rewrote it to a counted column
         if k in ("collect_list", "collect_set"):
-            specs.append((AggSpec(call.name, k, max_len=call.max_len), col))
+            import math
+            factor = config.conf.get(config.COLLECT_LEN_FACTOR)
+            eff_len = max(int(math.ceil(call.max_len * factor)), 1)
+            specs.append((AggSpec(call.name, k, max_len=eff_len), col))
         elif k == "avg":
             specs.append((AggSpec(f"{call.name}#s", "sum"), col))
             specs.append((AggSpec(f"{call.name}#c", "count"), col))

@@ -1,0 +1,123 @@
+"""Traced overflow accounting + host-side capacity regrow.
+
+The never-lose-a-row guarantee. The reference cannot drop data under memory
+pressure — its MemManager grows or spills
+(/root/reference/native-engine/auron-memmgr/src/lib.rs:308-428, spill
+backends spill.rs:57-276). This engine's static-shape world replaces the
+grow->spill state machine with *traced overflow counters + host regrow*:
+
+1. Every capacity-bounded op (join expansion, exchange pair lanes, skew
+   heavy side-block, collect_* planes, generate expansion) records its TRUE
+   required size against its static capacity via :func:`record`. The values
+   are traced scalars, so they ride the jitted program's outputs for free.
+2. The execution boundary (Frame.blocks / run_plan_spmd) runs the plan
+   inside :func:`collect`, pulls the counters to the host, and calls
+   :func:`check`. On overflow it re-runs with the responsible capacity knob
+   grown to exactly fit (an AQE-style regrow; one extra compile, never a
+   wrong answer). ``auron.overflow.check`` selects regrow / raise / warn /
+   off; the default is **regrow** — silent truncation is impossible unless
+   explicitly disabled.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import warnings
+from contextlib import contextmanager
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+MAX_ATTEMPTS = 5
+
+_tls = threading.local()
+
+
+class OverflowScope:
+    """Collects (tag, needed, capacity) triples during one plan execution."""
+
+    def __init__(self):
+        self.entries: List[Tuple[str, Any, int]] = []
+
+    def values(self) -> List[Any]:
+        return [e[1] for e in self.entries]
+
+    def meta(self) -> List[Tuple[str, int]]:
+        return [(e[0], e[2]) for e in self.entries]
+
+
+def record(tag: str, needed, capacity) -> None:
+    """Called from inside kernels; no-op outside a collect() scope.
+
+    ``needed`` may be a traced scalar (the true required size); ``capacity``
+    is the static bound the kernel actually allocated.
+    """
+    scope = getattr(_tls, "scope", None)
+    if scope is None:
+        return
+    scope.entries.append(
+        (tag, jnp.asarray(needed).astype(jnp.int64).reshape(()),
+         int(capacity)))
+
+
+@contextmanager
+def collect():
+    prev = getattr(_tls, "scope", None)
+    sc = OverflowScope()
+    _tls.scope = sc
+    try:
+        yield sc
+    finally:
+        _tls.scope = prev
+
+
+# tag -> (config key to grow, safety pad on the exact refit ratio)
+_TAG_KNOB: Dict[str, Tuple[str, float]] = {
+    "join": ("auron.join.output.capacity.factor", 1.05),
+    "exchange": ("auron.exchange.pair.slack", 1.05),
+    "skew_heavy": ("auron.skew.heavy.capacity.factor", 1.05),
+    "collect": ("auron.agg.collect.len.factor", 1.0),
+    "generate": ("auron.generate.output.capacity.factor", 1.05),
+}
+
+
+def check(meta: Sequence[Tuple[str, int]], values: Sequence,
+          overrides: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+    """Host-side overflow verdict.
+
+    Returns None when every counter fits its capacity; otherwise a merged
+    override dict growing the responsible knobs so a re-run fits exactly
+    (mode=regrow), or raises/warns per ``auron.overflow.check``.
+    """
+    from auron_tpu import config
+    mode = config.conf.get(config.OVERFLOW_CHECK)
+    if mode == "off":
+        return None
+    worst: Dict[str, float] = {}
+    detail: List[str] = []
+    for (tag, cap), needed in zip(meta, values):
+        n = int(np.asarray(needed))
+        if n > cap:
+            r = n / max(cap, 1)
+            if r > worst.get(tag, 0.0):
+                worst[tag] = r
+                detail.append(f"{tag}: needed {n} > capacity {cap}")
+    if not worst:
+        return None
+    msg = "capacity overflow: " + "; ".join(detail)
+    if mode == "raise":
+        raise RuntimeError(msg)
+    if mode == "warn":
+        warnings.warn(msg + " (rows were dropped; auron.overflow.check=warn)")
+        return None
+    new = dict(overrides)
+    for tag, r in worst.items():
+        key, pad = _TAG_KNOB[tag]
+        cur = float(overrides.get(key, config.conf.get(key)))
+        grown = cur * r * pad
+        if tag == "collect":
+            grown = float(math.ceil(grown))
+        new[key] = grown
+    return new

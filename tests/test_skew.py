@@ -46,14 +46,23 @@ def _tables(fact, dim):
 
 
 def test_plain_hash_exchange_overflows(skewed_data):
-    """Sanity: the scenario actually overflows without the skew handler."""
+    """Sanity: plain hash routing DOES overflow the pair lanes here — with
+    the overflow check disabled rows are lost, and with the default regrow
+    mode the exchange recovers every row (at the cost of a re-run). The skew
+    handler exists to avoid both the imbalance and the regrow."""
+    from auron_tpu import config
     fact, dim = skewed_data
     tables = _tables(fact, dim)
     plan = Exchange(MemoryScan("fact"), HashPartitioning(("k",), 8))
-    stacked = run_plan_spmd(plan, _mesh(), tables)
+    with config.conf.scoped(auron__overflow__check="off"):
+        stacked = run_plan_spmd(plan, _mesh(), tables)
     total = sum(int(np.asarray(b.row_mask).sum())
                 for b in unstack_result(stacked))
-    assert total < len(fact)  # rows dropped -> the skew handler is needed
+    assert total < len(fact)  # unchecked routing drops the hot key's rows
+    stacked = run_plan_spmd(plan, _mesh(), tables)  # default: regrow
+    total = sum(int(np.asarray(b.row_mask).sum())
+                for b in unstack_result(stacked))
+    assert total == len(fact)  # never-lose-a-row
 
 
 @pytest.mark.parametrize("jt", ["inner", "left", "left_semi", "left_anti"])
