@@ -18,24 +18,56 @@ from auron_tpu.block import Column
 from auron_tpu.dtypes import BOOL, DataType, FLOAT64, STRING
 
 
-def cast_column(col: Column, to: DataType, capacity: int) -> Column:
+def cast_column(col: Column, to: DataType, capacity: int,
+                domain=None) -> Column:
     src = col.dtype
     if src.name == to.name and src.params == to.params:
         return col
     values, validity = col.values, col.validity
 
-    if src.is_string:
+    if src.is_string and not to.is_string:
         return _cast_from_string(col, to)
 
     if to.is_string:
-        raise NotImplementedError("cast to string lands with varlen output support")
+        return _cast_to_string(col, domain)
+
+    if to.name == "bool":
+        if src.name in ("date32", "timestamp64"):
+            raise NotImplementedError(f"cast {src!r} -> bool (Spark disallows)")
+        out = values.astype(jnp.float64) != 0 if src.is_float else values != 0
+        return Column.of(out.astype(jnp.bool_), BOOL, validity)
 
     if src.name == "decimal64" or to.name == "decimal64":
         return _cast_decimal(col, to)
 
-    if to.name == "bool":
-        out = values.astype(jnp.float64) != 0 if src.is_float else values != 0
-        return Column.of(out.astype(jnp.bool_), BOOL, validity)
+    if to.name == "date32" and src.is_float:
+        raise NotImplementedError("cast float -> date32 (Spark disallows)")
+
+    # timestamp conversions (Spark: timestamp <-> long is SECONDS; the
+    # internal representation is microseconds; date <-> timestamp at UTC
+    # midnight — reference cast.rs timestamp arms)
+    US_PER_DAY = np.int64(86_400_000_000)
+    if src.name == "date32" and to.name == "timestamp64":
+        return Column.of(values.astype(jnp.int64) * US_PER_DAY, to, validity)
+    if src.name == "timestamp64" and to.name == "date32":
+        out = jnp.floor_divide(values, US_PER_DAY).astype(jnp.int32)
+        return Column.of(out, to, validity)
+    if src.name == "timestamp64" and (to.is_integer or to.is_float):
+        if to.is_float:
+            out = values.astype(jnp.float64) / 1e6
+            return Column.of(out.astype(to.jnp_dtype), to, validity)
+        out = jnp.floor_divide(values, np.int64(1_000_000))
+        return Column.of(out.astype(to.jnp_dtype), to, validity)
+    if to.name == "timestamp64" and (src.is_integer or src.is_float
+                                     or src.name == "bool"):
+        if src.is_float:
+            scaled = values.astype(jnp.float64) * 1e6
+            ok = jnp.isfinite(scaled) & (jnp.abs(scaled) < 2.0 ** 63)
+            out = jnp.where(ok, scaled, 0.0).astype(jnp.int64)
+            v = ok if validity is None else (validity & ok)
+            return Column.of(out, to, v)
+        out = values.astype(jnp.int64) * np.int64(1_000_000)
+        return Column.of(out, to, validity)
 
     if src.is_float and to.is_integer:
         # Java (int)/(long) conversion: NaN -> 0, +-inf / out-of-range clamp.
@@ -95,6 +127,119 @@ def _cast_decimal(col: Column, to: DataType) -> Column:
     raise NotImplementedError(f"cast {src!r} -> {to!r}")
 
 
+# ---------------------------------------------------------------------------
+# Cast TO string (reference cast.rs's *-to-Utf8 arm). Strings in this engine
+# are host dictionaries + int32 codes, so the cast builds a dictionary:
+#  * concrete values (eager mode): format only the DISTINCT source values
+#    host-side (np.unique bounds the Python loop), codes = unique inverse;
+#  * traced values (whole-plan jit): bool uses a static 2-entry dictionary;
+#    int/date casts use the plan-time domain hint (plan/stats.py fills
+#    Cast.domain from table stats) to precompute the dictionary for the
+#    whole value range — codes are then a pure on-device subtraction.
+# ---------------------------------------------------------------------------
+
+def _cast_to_string(col: Column, domain=None) -> Column:
+    src = col.dtype
+    if src.is_string:
+        return col
+    if src.name == "bool":
+        d = np.array(["false", "true"], dtype=object)
+        return Column(col.values.astype(jnp.int32), col.validity, STRING, d)
+    if _is_traced(col.values):
+        if domain is not None and (src.is_integer or
+                                   src.name in ("date32", "timestamp64")):
+            lo, hi = int(domain[0]), int(domain[1])
+            span = hi - lo
+            if span <= (1 << 22):
+                d = np.array([_format_value(v, src) for v in range(lo, hi)],
+                             dtype=object)
+                codes = (col.values.astype(jnp.int64) - lo)
+                in_rng = (codes >= 0) & (codes < span)
+                codes = jnp.clip(codes, 0, span - 1).astype(jnp.int32)
+                validity = in_rng if col.validity is None \
+                    else (col.validity & in_rng)
+                return Column(codes, validity, STRING, d)
+        raise NotImplementedError(
+            f"cast {src!r} -> string under tracing needs a plan-time domain "
+            "hint (plan/stats.py) or eager execution")
+    vals = np.asarray(col.values)
+    if src.is_float:
+        # unique() groups NaNs apart; canonicalize them first
+        canon = np.where(np.isnan(vals), np.asarray(np.nan, vals.dtype), vals)
+        uniq, inv = np.unique(canon, return_inverse=True)
+    else:
+        uniq, inv = np.unique(vals, return_inverse=True)
+    d = np.array([_format_value(v, src) for v in uniq], dtype=object)
+    return Column(jnp.asarray(inv.astype(np.int32)), col.validity, STRING, d)
+
+
+def _format_value(v, dt: DataType) -> str:
+    """Spark cast-to-string formatting (cast.rs / Java toString parity)."""
+    if dt.is_integer:
+        return str(int(v))
+    if dt.name == "bool":
+        return "true" if v else "false"
+    if dt.name == "date32":
+        import datetime
+        return (datetime.date(1970, 1, 1) +
+                datetime.timedelta(days=int(v))).isoformat()
+    if dt.name == "timestamp64":
+        import datetime
+        micros = int(v)
+        ts = (datetime.datetime(1970, 1, 1) +
+              datetime.timedelta(microseconds=micros))
+        base = ts.strftime("%Y-%m-%d %H:%M:%S")
+        if ts.microsecond:
+            frac = f"{ts.microsecond:06d}".rstrip("0")
+            return f"{base}.{frac}"
+        return base
+    if dt.name == "decimal64":
+        _, scale = dt.params
+        u = int(v)
+        if scale <= 0:
+            return str(u * 10 ** (-scale))
+        sign = "-" if u < 0 else ""
+        a = abs(u)
+        return f"{sign}{a // 10 ** scale}.{a % 10 ** scale:0{scale}d}"
+    if dt.is_float:
+        return _java_float_str(float(v), dt.name == "float32")
+    raise NotImplementedError(f"format {dt!r} as string")
+
+
+def _java_float_str(v: float, single: bool) -> str:
+    """Java Double/Float.toString: shortest round-trip digits; plain decimal
+    for 1e-3 <= |v| < 1e7, scientific 'd.dddE±x' otherwise."""
+    import math
+    from decimal import Decimal
+    if math.isnan(v):
+        return "NaN"
+    if math.isinf(v):
+        return "Infinity" if v > 0 else "-Infinity"
+    neg = math.copysign(1.0, v) < 0
+    sign = "-" if neg else ""
+    m = abs(v)
+    if m == 0.0:
+        return sign + "0.0"
+    if single:
+        short = np.format_float_positional(np.float32(m), unique=True,
+                                           trim="-")
+    else:
+        short = repr(m)
+    stag = Decimal(short).as_tuple()
+    digits = "".join(map(str, stag.digits)).rstrip("0") or "0"
+    e10 = stag.exponent + len(stag.digits) - 1  # exponent of leading digit
+    if -3 <= e10 < 7:
+        if e10 >= 0:
+            intpart = digits[:e10 + 1].ljust(e10 + 1, "0")
+            frac = digits[e10 + 1:] or "0"
+        else:
+            intpart = "0"
+            frac = "0" * (-e10 - 1) + digits
+        return f"{sign}{intpart}.{frac}"
+    mant = digits[0] + "." + (digits[1:] or "0")
+    return f"{sign}{mant}E{e10}"
+
+
 def _cast_from_string(col: Column, to: DataType) -> Column:
     """string->numeric/date: parse the dictionary host-side once, gather."""
     if col.dict_values is None:
@@ -113,6 +258,8 @@ def _cast_from_string(col: Column, to: DataType) -> Column:
                 parsed[i] = float(t)
             elif to.name == "date32":
                 parsed[i] = _parse_date_days(t)
+            elif to.name == "timestamp64":
+                parsed[i] = _parse_timestamp_micros(t)
             elif to.name == "decimal64":
                 _, scale = to.params
                 from decimal import Decimal, ROUND_HALF_UP
@@ -142,8 +289,22 @@ def _cast_from_string(col: Column, to: DataType) -> Column:
 
 def _parse_date_days(s: str) -> int:
     import datetime
-    d = datetime.date.fromisoformat(s.strip())
+    t = s.strip()
+    if len(t) > 10:  # Spark accepts timestamp-shaped strings for date casts
+        t = t[:10]
+    d = datetime.date.fromisoformat(t)
     return (d - datetime.date(1970, 1, 1)).days
+
+
+def _parse_timestamp_micros(s: str) -> int:
+    import datetime
+    t = s.strip()
+    if len(t) == 10:  # bare date form
+        dt = datetime.datetime.fromisoformat(t + " 00:00:00")
+    else:
+        dt = datetime.datetime.fromisoformat(t)
+    delta = dt - datetime.datetime(1970, 1, 1)
+    return int(delta // datetime.timedelta(microseconds=1))
 
 
 def _is_traced(x) -> bool:

@@ -50,7 +50,8 @@ def evaluate(expr: N.Expr, block: TableBlock) -> Column:
         return _py_udf(expr, block)
     if isinstance(expr, N.Cast):
         c = evaluate(expr.child, block)
-        return cast_column(c, expr.to, block.capacity)
+        return cast_column(c, expr.to, block.capacity,
+                           domain=getattr(expr, "domain", None))
     if isinstance(expr, N.CaseWhen):
         return _case_when(expr, block)
     if isinstance(expr, N.InList):

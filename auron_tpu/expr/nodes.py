@@ -151,10 +151,15 @@ class IsNull(Expr):
 @dataclass(frozen=True, eq=False)
 class Cast(Expr):
     """Spark TryCast semantics: failures/overflow produce NULL, never raise
-    (SURVEY.md A.1: 'all casts are emitted as TryCast')."""
+    (SURVEY.md A.1: 'all casts are emitted as TryCast').
+
+    ``domain``: optional (lo, hi) half-open int range of the child values —
+    filled by plan/stats.py for int/date casts to STRING so the output
+    dictionary can be built statically under whole-plan jit."""
 
     child: Expr
     to: DataType
+    domain: object = None
 
     def children(self):
         return (self.child,)

@@ -111,11 +111,14 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
     if isinstance(node, PN.Project):
         child, r = _walk(node.child, s)
         out = {}
+        exprs = []
         for name, e in node.exprs:
+            exprs.append((name, _fill_cast_domains(e, r)))
             base = _column_of(e)
             if base is not None and base in r:
                 out[name] = r[base]
-        return dataclasses.replace(node, child=child), out
+        return dataclasses.replace(node, child=child,
+                                   exprs=tuple(exprs)), out
     if isinstance(node, PN.Rename):
         child, r = _walk(node.child, s)
         m = dict(node.mapping)
@@ -197,6 +200,48 @@ def _child_field(node) -> str:
         if isinstance(getattr(node, f.name), PN.PlanNode):
             return f.name
     raise ValueError(f"no child field on {type(node).__name__}")
+
+
+def _fill_cast_domains(e: E.Expr, ranges: Dict[str, Range]) -> E.Expr:
+    """Rewrite Cast(col -> string) with the column's known value range so
+    the output dictionary can be built statically under jit (expr/cast.py
+    _cast_to_string traced path)."""
+    if isinstance(e, E.Alias):
+        c = _fill_cast_domains(e.child, ranges)
+        return e if c is e.child else dataclasses.replace(e, child=c)
+    if isinstance(e, E.Cast):
+        c = _fill_cast_domains(e.child, ranges)
+        dom = e.domain
+        if dom is None and e.to.is_string:
+            base = _column_of(e.child)
+            rng = ranges.get(base) if base else None
+            if rng is not None:
+                dom = (rng[0], rng[1])
+        if c is e.child and dom is e.domain:
+            return e
+        return dataclasses.replace(e, child=c, domain=dom)
+    if isinstance(e, E.BinaryOp):
+        l = _fill_cast_domains(e.left, ranges)
+        r = _fill_cast_domains(e.right, ranges)
+        if l is e.left and r is e.right:
+            return e
+        return dataclasses.replace(e, left=l, right=r)
+    if isinstance(e, (E.Not, E.IsNull)):
+        c = _fill_cast_domains(e.child, ranges)
+        return e if c is e.child else dataclasses.replace(e, child=c)
+    if isinstance(e, E.ScalarFunc):
+        args = tuple(_fill_cast_domains(a, ranges) for a in e.args)
+        if all(a is b for a, b in zip(args, e.args)):
+            return e
+        return dataclasses.replace(e, args=args)
+    if isinstance(e, E.CaseWhen):
+        branches = tuple((_fill_cast_domains(w, ranges),
+                          _fill_cast_domains(t, ranges))
+                         for w, t in e.branches)
+        other = None if e.otherwise is None \
+            else _fill_cast_domains(e.otherwise, ranges)
+        return dataclasses.replace(e, branches=branches, otherwise=other)
+    return e
 
 
 def _column_of(e: E.Expr) -> Optional[str]:
