@@ -67,9 +67,12 @@ class Column:
         return self.values.shape[0]
 
     def valid_at(self):
-        """Validity as a dense bool array (all-True when validity is None)."""
+        """Validity as a dense bool array (all-True when validity is None).
+        Scalar (0-d) literal columns yield a scalar True that broadcasts."""
         if self.validity is None:
-            return jnp.ones(self.values.shape[0], dtype=jnp.bool_)
+            shape = getattr(self.values, "shape", ())
+            return jnp.ones(shape[:1], dtype=jnp.bool_) if shape \
+                else jnp.asarray(True)
         return self.validity
 
     def with_values(self, values, validity="_keep") -> "Column":

@@ -277,9 +277,12 @@ def _merged_dict(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     key = (id(a), id(b))
     hit = _MERGED_CACHE.get(key)
     if hit is None:
-        hit = np.unique(np.concatenate([a.astype(object), b.astype(object)]))
+        # entry pins (a, b): their ids must not be recycled while cached
+        hit = (a, b,
+               np.unique(np.concatenate([a.astype(object),
+                                         b.astype(object)])))
         _MERGED_CACHE[key] = hit
-    return hit
+    return hit[2]
 
 
 def _arith(op: str, l: Column, r: Column) -> Column:

@@ -308,6 +308,41 @@ def _concat_lit(block, c: Column, prefix: str = "", suffix: str = "") -> Column:
                                    lambda s: prefix + s + suffix)
 
 
+@register("concat")
+def _concat(block, *cols, sep: str = "") -> Column:
+    """Multi-operand string concat (spark_strings.rs string_concat).
+
+    String operands pair-reduce through a cross-product dictionary: for
+    dictionaries |a| x |b| <= 2^16 the combined dictionary is precomputed
+    host-side and the codes combine with one on-device multiply-add — fully
+    traceable under whole-plan jit. String literals arrive as 1-entry
+    dictionaries, so interleaved separators cost nothing."""
+    from auron_tpu.dtypes import STRING
+
+    def pair(a: Column, b: Column) -> Column:
+        da, db = a.dict_values, b.dict_values
+        if len(da) * len(db) > (1 << 16):
+            raise NotImplementedError(
+                f"concat dictionary product {len(da)}x{len(db)} too large")
+        d = np.array([sep.join((x, y)) if sep else x + y
+                      for x in da for y in db], dtype=object)
+        codes = (jnp.clip(a.values, 0, len(da) - 1).astype(jnp.int32) *
+                 np.int32(len(db)) +
+                 jnp.clip(b.values, 0, len(db) - 1).astype(jnp.int32))
+        if a.validity is None:
+            validity = b.validity
+        elif b.validity is None:
+            validity = a.validity
+        else:
+            validity = a.validity & b.validity
+        return Column(codes, validity, STRING, d)
+
+    out = cols[0]
+    for c in cols[1:]:
+        out = pair(out, c)
+    return out
+
+
 def _predicate(name):
     @register(name)
     def fn(block, c: Column, pattern: str) -> Column:

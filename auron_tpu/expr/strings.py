@@ -30,7 +30,11 @@ import numpy as np
 from auron_tpu.block import Column
 from auron_tpu.dtypes import BOOL, INT32, STRING, DataType
 
-_CACHE: Dict[Tuple, np.ndarray] = {}
+# Every entry stores (pinned_source_arrays, value): holding a strong
+# reference to the keyed array(s) guarantees their id() cannot be recycled
+# for a different dictionary while the entry lives (id-aliasing would
+# silently return a stale mapping).
+_CACHE: Dict[Tuple, Tuple] = {}
 
 
 def _dict_map(dict_values: np.ndarray, key: Tuple, fn: Callable[[str], object],
@@ -38,9 +42,9 @@ def _dict_map(dict_values: np.ndarray, key: Tuple, fn: Callable[[str], object],
     cache_key = (id(dict_values),) + key
     hit = _CACHE.get(cache_key)
     if hit is not None:
-        return hit
+        return hit[1]
     out = np.array([fn(s) for s in dict_values], dtype=out_dtype)
-    _CACHE[cache_key] = out
+    _CACHE[cache_key] = ((dict_values,), out)
     return out
 
 
@@ -87,9 +91,9 @@ def code_of_literal(dict_values: np.ndarray, value: str) -> int:
     hit = _CACHE.get(cache_key)
     if hit is None:
         where = np.nonzero(dict_values == value)[0]
-        hit = int(where[0]) if len(where) else -1
+        hit = ((dict_values,), int(where[0]) if len(where) else -1)
         _CACHE[cache_key] = hit
-    return hit
+    return hit[1]
 
 
 def translate_codes(src_dict: np.ndarray, dst_dict: np.ndarray) -> np.ndarray:
@@ -99,9 +103,10 @@ def translate_codes(src_dict: np.ndarray, dst_dict: np.ndarray) -> np.ndarray:
     hit = _CACHE.get(cache_key)
     if hit is None:
         lookup = {s: i for i, s in enumerate(dst_dict)}
-        hit = np.array([lookup.get(s, -1) for s in src_dict], dtype=np.int32)
+        arr = np.array([lookup.get(s, -1) for s in src_dict], dtype=np.int32)
+        hit = ((src_dict, dst_dict), arr)
         _CACHE[cache_key] = hit
-    return hit
+    return hit[1]
 
 
 def unify_string_columns(cols):
@@ -132,11 +137,13 @@ def sort_rank_table(dict_values: np.ndarray) -> np.ndarray:
     """
     cache_key = (id(dict_values), "rank")
     hit = _CACHE.get(cache_key)
+    if hit is not None:
+        return hit[1]
     if hit is None:
         encoded = np.array([s.encode("utf-8") for s in dict_values], dtype=object)
         order = np.argsort(encoded, kind="stable")
         rank = np.empty(len(dict_values), dtype=np.int32)
         rank[order] = np.arange(len(dict_values), dtype=np.int32)
-        _CACHE[cache_key] = rank
+        _CACHE[cache_key] = ((dict_values,), rank)
         hit = rank
     return hit

@@ -195,7 +195,7 @@ def dictionary_byte_planes(dict_values: Optional[np.ndarray]):
     key = id(dict_values)
     hit = _DICT_PLANE_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[1]
     encoded = [s.encode("utf-8") if isinstance(s, str) else bytes(s)
                for s in dict_values]
     max_len = max((len(b) for b in encoded), default=0)
@@ -206,7 +206,8 @@ def dictionary_byte_planes(dict_values: Optional[np.ndarray]):
         lens[i] = len(b)
         padded = b + b"\x00" * (max_words * 4 - len(b))
         words[i] = np.frombuffer(padded, dtype="<u4")
-    _DICT_PLANE_CACHE[key] = (words, lens)
+    # pin dict_values: its id() must not be recycled while the entry lives
+    _DICT_PLANE_CACHE[key] = (dict_values, (words, lens))
     return words, lens
 
 

@@ -95,6 +95,18 @@ def _encoded_keys(left: TableBlock, right: TableBlock,
         lc, rc = left.columns[ln], right.columns[rn]
         if lc.dtype.is_string or rc.dtype.is_string:
             (lc, rc), _ = unify_string_columns([lc, rc])
+        elif lc.dtype.name != rc.dtype.name and \
+                (lc.dtype.is_integer or lc.dtype.is_float) and \
+                (rc.dtype.is_integer or rc.dtype.is_float):
+            # mixed-type keys (e.g. nullable float64 fk vs int32 sk): the
+            # orderable encodings of different dtypes are NOT comparable
+            # (floats use the sign-flipped bit trick) — promote the raw
+            # values to one numeric dtype first
+            from auron_tpu.dtypes import type_from_name
+            common_np = jnp.promote_types(lc.values.dtype, rc.values.dtype)
+            cdt = type_from_name(str(common_np))
+            lc = Column(lc.values.astype(common_np), lc.validity, cdt, None)
+            rc = Column(rc.values.astype(common_np), rc.validity, cdt, None)
         lv, rv = orderable_values(lc), orderable_values(rc)
         # keep the narrowest common int type: int64 is software-emulated on
         # TPU, so int32 keys (all TPC-DS surrogate keys) stay int32
@@ -251,6 +263,13 @@ def join_blocks(left: TableBlock, right: TableBlock, spec: JoinSpec,
     as non-matches (outer semantics recomputed afterwards).
     """
     jt = spec.join_type
+    if spec.build_domain is not None and not (
+            left.columns[spec.left_keys[0]].dtype.is_integer and
+            right.columns[spec.right_keys[0]].dtype.is_integer):
+        # dense-domain lookups index by RAW int key value; mixed or float
+        # keys are order-encoded (bit tricks) and must take the sorted path
+        import dataclasses
+        spec = dataclasses.replace(spec, build_domain=None)
     l_ops, r_ops, l_valid, r_valid = _encoded_keys(left, right, spec)
     build_cap = right.capacity
     probe_cap = left.capacity

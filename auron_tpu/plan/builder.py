@@ -63,22 +63,8 @@ class Frame:
                      self.num_partitions)
 
     def _names(self):
-        # best-effort schema walk for with_columns; scans carry the truth
-        node = self.plan
-        while True:
-            if isinstance(node, PN.MemoryScan):
-                return self.session.tables[node.table][0].names
-            if isinstance(node, PN.Project):
-                return [n for n, _ in node.exprs]
-            if isinstance(node, PN.Rename):
-                m = dict(node.mapping)
-                node_names = Frame(self.session, node.child,
-                                   self.num_partitions)._names()
-                return [m.get(n, n) for n in node_names]
-            kids = node.children
-            if not kids:
-                raise ValueError("cannot infer column names")
-            node = kids[0]
+        from auron_tpu.plan.prune import output_names
+        return output_names(self.plan, self.session)
 
     # -- joins --------------------------------------------------------------
     def join(self, other: "Frame", left_on: Sequence[str],
@@ -273,9 +259,11 @@ class Frame:
                 meta_cell[:] = sc.meta()
                 return res, list(sc.values())
 
-            cached = (jax.jit(step), meta_cell)
+            # pin self.plan in the entry: its id() keys the cache and must
+            # not be recycled for a different plan while the entry lives
+            cached = (jax.jit(step), meta_cell, self.plan)
             _JIT_CACHE[key] = cached
-        fn, meta_cell = cached
+        fn, meta_cell, _ = cached
         tables = {n: list(bs) for n, bs in self.session.tables.items()}
         out, values = fn(tables)
         return out, list(meta_cell), [np.asarray(v) for v in values]

@@ -19,18 +19,21 @@ from auron_tpu.plan import nodes as PN
 def expr_refs(e: E.Expr) -> Set[str]:
     out: Set[str] = set()
 
+    def visit(v):
+        if isinstance(v, E.Expr):
+            walk(v)
+        elif isinstance(v, tuple):
+            # CaseWhen.branches is a tuple of (cond, value) PAIRS — recurse
+            # into nested tuples, not just one level
+            for item in v:
+                visit(item)
+
     def walk(x):
         if isinstance(x, E.Column):
             out.add(x.name)
             return
         for f in getattr(x, "__dataclass_fields__", {}):
-            v = getattr(x, f)
-            if isinstance(v, E.Expr):
-                walk(v)
-            elif isinstance(v, tuple):
-                for item in v:
-                    if isinstance(item, E.Expr):
-                        walk(item)
+            visit(getattr(x, f))
     walk(e)
     return out
 

@@ -18,7 +18,7 @@ from typing import Callable, Dict, Tuple
 import numpy as np
 import pandas as pd
 
-from auron_tpu.expr.nodes import col, lit
+from auron_tpu.expr.nodes import col, func, lit, when
 from auron_tpu.ops.sort import SortKey
 from auron_tpu.plan import Session
 from auron_tpu.plan.builder import Frame
@@ -100,63 +100,84 @@ def q1_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q7-style: average quantity / price per item over a dated slice.
+# q7: item averages for single/college male demographic with an email- or
+# event-silent promotion, year 2000 (q7.sql verbatim).
 # ---------------------------------------------------------------------------
 
 def q7(s: Session) -> Frame:
-    dt = s.table("date_dim").filter(col("d_year") == lit(1999))
+    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    cd = s.table("customer_demographics").filter(
+        (col("cd_gender") == lit("M")) &
+        (col("cd_marital_status") == lit("S")) &
+        (col("cd_education_status") == lit("College")))
+    pr = s.table("promotion").filter(
+        (col("p_channel_email") == lit("N")) |
+        (col("p_channel_event") == lit("N")))
     joined = (s.table("store_sales")
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
-              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
-    return (joined.groupby("i_brand")
+              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",))
+              .join(cd, ("ss_cdemo_sk",), ("cd_demo_sk",))
+              .join(pr, ("ss_promo_sk",), ("p_promo_sk",)))
+    return (joined.groupby("i_item_id")
             .agg(agg1=("avg", col("ss_quantity")),
-                 agg2=("avg", col("ss_ext_sales_price")),
-                 agg3=("sum", col("ss_net_profit")),
-                 cnt=("count_star", None))
-            .sort(SortKey("i_brand"), limit=100))
+                 agg2=("avg", col("ss_list_price")),
+                 agg3=("avg", col("ss_coupon_amt")),
+                 agg4=("avg", col("ss_sales_price")))
+            .sort(SortKey("i_item_id"), limit=100))
 
 
 def q7_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
-    dt = t["date_dim"][t["date_dim"]["d_year"] == 1999]
+    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    cd = t["customer_demographics"]
+    cd = cd[(cd["cd_gender"] == "M") & (cd["cd_marital_status"] == "S") &
+            (cd["cd_education_status"] == "College")]
+    pr = t["promotion"]
+    pr = pr[(pr["p_channel_email"] == "N") | (pr["p_channel_event"] == "N")]
     j = (t["store_sales"]
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
-         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
-    g = j.groupby("i_brand").agg(
+         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk")
+         .merge(cd, left_on="ss_cdemo_sk", right_on="cd_demo_sk")
+         .merge(pr, left_on="ss_promo_sk", right_on="p_promo_sk"))
+    g = j.groupby("i_item_id").agg(
         agg1=("ss_quantity", "mean"),
-        agg2=("ss_ext_sales_price", "mean"),
-        agg3=("ss_net_profit", "sum"),
-        cnt=("ss_quantity", "size")).reset_index()
-    return g.sort_values("i_brand", kind="stable").head(100)[
-        ["i_brand", "agg1", "agg2", "agg3", "cnt"]]
+        agg2=("ss_list_price", "mean"),
+        agg3=("ss_coupon_amt", "mean"),
+        agg4=("ss_sales_price", "mean")).reset_index()
+    return g.sort_values("i_item_id", kind="stable").head(100)[
+        ["i_item_id", "agg1", "agg2", "agg3", "agg4"]]
 
 
 # ---------------------------------------------------------------------------
-# q42-style: yearly category revenue (groupby 2 keys, desc sort).
+# q42: category revenue for manager 1, November 2000 (q42.sql verbatim).
 # ---------------------------------------------------------------------------
 
 def q42(s: Session) -> Frame:
-    dt = s.table("date_dim").filter(col("d_moy") == lit(12))
+    dt = s.table("date_dim").filter((col("d_moy") == lit(11)) &
+                                    (col("d_year") == lit(2000)))
+    it = s.table("item").filter(col("i_manager_id") == lit(1))
     joined = (s.table("store_sales")
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
-              .join(s.table("item"), ("ss_item_sk",), ("i_item_sk",)))
-    return (joined.groupby("d_year", "i_category")
-            .agg(domains={"d_year": (1998, 2005)},
-                 rev=("sum", col("ss_ext_sales_price")))
+              .join(it, ("ss_item_sk",), ("i_item_sk",)))
+    return (joined.groupby("d_year", "i_category_id", "i_category")
+            .agg(rev=("sum", col("ss_ext_sales_price")))
             .sort(SortKey("rev", ascending=False), SortKey("d_year"),
-                  SortKey("i_category"), limit=100))
+                  SortKey("i_category_id"), SortKey("i_category"),
+                  limit=100))
 
 
 def q42_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
-    dt = t["date_dim"][t["date_dim"]["d_moy"] == 12]
+    dt = t["date_dim"]
+    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 2000)]
+    it = t["item"][t["item"]["i_manager_id"] == 1]
     j = (t["store_sales"]
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
-         .merge(t["item"], left_on="ss_item_sk", right_on="i_item_sk"))
-    g = j.groupby(["d_year", "i_category"]).agg(
+         .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
+    g = j.groupby(["d_year", "i_category_id", "i_category"]).agg(
         rev=("ss_ext_sales_price", "sum")).reset_index()
-    return g.sort_values(["rev", "d_year", "i_category"],
-                         ascending=[False, True, True],
+    return g.sort_values(["rev", "d_year", "i_category_id", "i_category"],
+                         ascending=[False, True, True, True],
                          kind="stable").head(100)[
-        ["d_year", "i_category", "rev"]]
+        ["d_year", "i_category_id", "i_category", "rev"]]
 
 
 QUERIES: Dict[str, Tuple[Callable, Callable]] = {
@@ -204,8 +225,8 @@ def q52_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 def q55(s: Session) -> Frame:
-    dt = s.table("date_dim").filter((col("d_moy") == lit(12)) &
-                                    (col("d_year") == lit(2001)))
+    dt = s.table("date_dim").filter((col("d_moy") == lit(11)) &
+                                    (col("d_year") == lit(1999)))
     it = s.table("item").filter(col("i_manager_id") == lit(28))
     joined = (s.table("store_sales")
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
@@ -218,7 +239,7 @@ def q55(s: Session) -> Frame:
 
 def q55_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     dt = t["date_dim"]
-    dt = dt[(dt["d_moy"] == 12) & (dt["d_year"] == 2001)]
+    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 1999)]
     it = t["item"][t["item"]["i_manager_id"] == 28]
     j = (t["store_sales"]
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
@@ -231,31 +252,43 @@ def q55_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# q43-style: store revenue by store over a year (store dim join).
+# q43: weekday sales pivot per store, GMT-5 stores, year 2000 (q43.sql
+# verbatim — sum(CASE WHEN d_day_name = '<day>' THEN ss_sales_price END)).
 # ---------------------------------------------------------------------------
+
+_DAYS = ("Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday",
+         "Saturday")
+_DAY_ALIAS = ("sun_sales", "mon_sales", "tue_sales", "wed_sales",
+              "thu_sales", "fri_sales", "sat_sales")
+
 
 def q43(s: Session) -> Frame:
     dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    st = s.table("store").filter(col("s_gmt_offset") == lit(-5.0))
     joined = (s.table("store_sales")
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
-              .join(s.table("store"), ("ss_store_sk",), ("s_store_sk",)))
-    return (joined.groupby("s_state", "ss_store_sk")
-            .agg(rev=("sum", col("ss_ext_sales_price")),
-                 cnt=("count_star", None))
-            .sort(SortKey("s_state"), SortKey("ss_store_sk"), limit=100))
+              .join(st, ("ss_store_sk",), ("s_store_sk",)))
+    aggs = {alias: ("sum", when(col("d_day_name") == lit(day),
+                                col("ss_sales_price")).end())
+            for day, alias in zip(_DAYS, _DAY_ALIAS)}
+    return (joined.groupby("s_store_name", "s_store_id")
+            .agg(**aggs)
+            .sort(SortKey("s_store_name"), SortKey("s_store_id"),
+                  *[SortKey(a) for a in _DAY_ALIAS], limit=100))
 
 
 def q43_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
+    st = t["store"][t["store"]["s_gmt_offset"] == -5.0]
     j = (t["store_sales"]
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
-         .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
-    g = j.groupby(["s_state", "ss_store_sk"]).agg(
-        rev=("ss_ext_sales_price", "sum"),
-        cnt=("ss_ext_sales_price", "size")).reset_index()
-    return g.sort_values(["s_state", "ss_store_sk"],
-                         kind="stable").head(100)[
-        ["s_state", "ss_store_sk", "rev", "cnt"]]
+         .merge(st, left_on="ss_store_sk", right_on="s_store_sk"))
+    for day, alias in zip(_DAYS, _DAY_ALIAS):
+        j[alias] = j["ss_sales_price"].where(j["d_day_name"] == day)
+    g = j.groupby(["s_store_name", "s_store_id"])[list(_DAY_ALIAS)] \
+        .sum(min_count=1).reset_index()
+    return g.sort_values(["s_store_name", "s_store_id"] + list(_DAY_ALIAS),
+                         kind="stable").head(100)
 
 
 QUERIES.update({
@@ -307,73 +340,148 @@ QUERIES["q67"] = (q67, q67_oracle)
 
 
 # ---------------------------------------------------------------------------
-# q19-style: brand revenue by manager slice across date/item/customer/store
-# (4-dimension star join).
+# q19: brand revenue for manager 8, November 1998, where the customer's home
+# zip prefix differs from the store's (q19.sql verbatim — the zip predicate
+# makes this a 6-table join with a cross-column string comparison).
 # ---------------------------------------------------------------------------
 
 def q19(s: Session) -> Frame:
     dt = s.table("date_dim").filter((col("d_moy") == lit(11)) &
-                                    (col("d_year") == lit(1999)))
+                                    (col("d_year") == lit(1998)))
     it = s.table("item").filter(col("i_manager_id") == lit(8))
     joined = (s.table("store_sales")
               .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
               .join(it, ("ss_item_sk",), ("i_item_sk",))
               .join(s.table("customer"), ("ss_customer_sk",),
                     ("c_customer_sk",))
-              .join(s.table("store"), ("ss_store_sk",), ("s_store_sk",)))
-    return (joined.groupby("i_brand_id", "i_brand")
+              .join(s.table("customer_address"), ("c_current_addr_sk",),
+                    ("ca_address_sk",))
+              .join(s.table("store"), ("ss_store_sk",), ("s_store_sk",))
+              .filter(func("substring", col("ca_zip"), params=(1, 5)) !=
+                      func("substring", col("s_zip"), params=(1, 5))))
+    return (joined.groupby("i_brand", "i_brand_id", "i_manufact_id",
+                           "i_manufact")
             .agg(ext_price=("sum", col("ss_ext_sales_price")))
-            .sort(SortKey("ext_price", ascending=False),
-                  SortKey("i_brand_id"), limit=100))
+            .sort(SortKey("ext_price", ascending=False), SortKey("i_brand"),
+                  SortKey("i_brand_id"), SortKey("i_manufact_id"),
+                  SortKey("i_manufact"), limit=100))
 
 
 def q19_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     dt = t["date_dim"]
-    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 1999)]
+    dt = dt[(dt["d_moy"] == 11) & (dt["d_year"] == 1998)]
     it = t["item"][t["item"]["i_manager_id"] == 8]
     j = (t["store_sales"]
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
          .merge(it, left_on="ss_item_sk", right_on="i_item_sk")
          .merge(t["customer"], left_on="ss_customer_sk",
                 right_on="c_customer_sk")
+         .merge(t["customer_address"], left_on="c_current_addr_sk",
+                right_on="ca_address_sk")
          .merge(t["store"], left_on="ss_store_sk", right_on="s_store_sk"))
-    g = j.groupby(["i_brand_id", "i_brand"]).agg(
+    j = j[j["ca_zip"].str[:5] != j["s_zip"].str[:5]]
+    g = j.groupby(["i_brand", "i_brand_id", "i_manufact_id",
+                   "i_manufact"]).agg(
         ext_price=("ss_ext_sales_price", "sum")).reset_index()
-    return g.sort_values(["ext_price", "i_brand_id"],
-                         ascending=[False, True], kind="stable").head(100)[
-        ["i_brand_id", "i_brand", "ext_price"]]
+    return g.sort_values(
+        ["ext_price", "i_brand", "i_brand_id", "i_manufact_id",
+         "i_manufact"],
+        ascending=[False, True, True, True, True],
+        kind="stable").head(100)[
+        ["i_brand", "i_brand_id", "i_manufact_id", "i_manufact",
+         "ext_price"]]
 
 
 # ---------------------------------------------------------------------------
-# q73-style: customers with 2-6 purchases in a year (HAVING on an aggregate,
-# then joined back to the customer dimension).
+# q73: baskets of 1-5 items bought on the 1st/2nd of the month by high-
+# buy-potential households with cars, in four counties (q73.sql verbatim:
+# HAVING on count(*), CASE-guarded division predicate, joined back to
+# customer). ORDER BY cnt DESC is not a total order; the comparator's
+# row-multiset equality covers the tie freedom.
 # ---------------------------------------------------------------------------
 
 def q73(s: Session) -> Frame:
-    dt = s.table("date_dim").filter(col("d_year") == lit(2000))
+    dt = s.table("date_dim").filter(
+        (col("d_dom") >= lit(1)) & (col("d_dom") <= lit(2)) &
+        col("d_year").isin([1999, 2000, 2001]))
+    st = s.table("store").filter(col("s_county").isin(
+        ["Williamson County", "Franklin Parish", "Bronx County",
+         "Orange County"]))
+    hd = (s.table("household_demographics")
+          .filter((col("hd_buy_potential").isin([">10000", "unknown"])) &
+                  (col("hd_vehicle_count") > lit(0)))
+          .filter(when(col("hd_vehicle_count") > lit(0),
+                       col("hd_dep_count") / col("hd_vehicle_count"))
+                  .end() > lit(1)))
     cnts = (s.table("store_sales")
             .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
-            .groupby("ss_customer_sk")
+            .join(st, ("ss_store_sk",), ("s_store_sk",))
+            .join(hd, ("ss_hdemo_sk",), ("hd_demo_sk",))
+            .groupby("ss_ticket_number", "ss_customer_sk")
             .agg(cnt=("count_star", None))
-            .filter((col("cnt") >= lit(2)) & (col("cnt") <= lit(6))))
+            .filter((col("cnt") >= lit(1)) & (col("cnt") <= lit(5))))
     return (cnts.join(s.table("customer"), ("ss_customer_sk",),
                       ("c_customer_sk",))
-            .select("c_customer_id", "cnt")
+            .select("c_last_name", "c_first_name", "c_salutation",
+                    "c_preferred_cust_flag", "ss_ticket_number", "cnt")
             .sort(SortKey("cnt", ascending=False),
-                  SortKey("c_customer_id"), limit=100))
+                  SortKey("c_last_name"), SortKey("c_first_name"),
+                  SortKey("c_salutation"),
+                  SortKey("c_preferred_cust_flag"),
+                  SortKey("ss_ticket_number")))
 
 
 def q73_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
-    dt = t["date_dim"][t["date_dim"]["d_year"] == 2000]
-    j = t["store_sales"].merge(dt, left_on="ss_sold_date_sk",
-                               right_on="d_date_sk")
-    g = j.groupby("ss_customer_sk").size().reset_index(name="cnt")
-    g = g[(g["cnt"] >= 2) & (g["cnt"] <= 6)]
+    dt = t["date_dim"]
+    dt = dt[(dt["d_dom"].between(1, 2)) &
+            (dt["d_year"].isin([1999, 2000, 2001]))]
+    st = t["store"][t["store"]["s_county"].isin(
+        ["Williamson County", "Franklin Parish", "Bronx County",
+         "Orange County"])]
+    hd = t["household_demographics"]
+    hd = hd[(hd["hd_buy_potential"].isin([">10000", "unknown"])) &
+            (hd["hd_vehicle_count"] > 0) &
+            ((hd["hd_dep_count"] / hd["hd_vehicle_count"]) > 1)]
+    j = (t["store_sales"]
+         .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
+         .merge(st, left_on="ss_store_sk", right_on="s_store_sk")
+         .merge(hd, left_on="ss_hdemo_sk", right_on="hd_demo_sk"))
+    g = j.groupby(["ss_ticket_number", "ss_customer_sk"]) \
+        .size().reset_index(name="cnt")
+    g = g[(g["cnt"] >= 1) & (g["cnt"] <= 5)]
     g = g.merge(t["customer"], left_on="ss_customer_sk",
                 right_on="c_customer_sk")
-    return g.sort_values(["cnt", "c_customer_id"],
-                         ascending=[False, True], kind="stable").head(100)[
-        ["c_customer_id", "cnt"]]
+    return g.sort_values(
+        ["cnt", "c_last_name", "c_first_name", "c_salutation",
+         "c_preferred_cust_flag", "ss_ticket_number"],
+        ascending=[False, True, True, True, True, True], kind="stable")[
+        ["c_last_name", "c_first_name", "c_salutation",
+         "c_preferred_cust_flag", "ss_ticket_number", "cnt"]]
 
 
 QUERIES.update({"q19": (q19, q19_oracle), "q73": (q73, q73_oracle)})
+
+
+# ---------------------------------------------------------------------------
+# Real-query batches live in sibling modules (one per channel group).
+# ---------------------------------------------------------------------------
+
+from auron_tpu.tpcds.queries_store import QUERIES_STORE_1  # noqa: E402
+
+QUERIES.update(QUERIES_STORE_1)
+
+from auron_tpu.tpcds.queries_store2 import QUERIES_STORE_2  # noqa: E402
+
+QUERIES.update(QUERIES_STORE_2)
+
+from auron_tpu.tpcds.queries_catalog import QUERIES_CATALOG  # noqa: E402
+
+QUERIES.update(QUERIES_CATALOG)
+
+from auron_tpu.tpcds.queries_web import QUERIES_WEB  # noqa: E402
+
+QUERIES.update(QUERIES_WEB)
+
+from auron_tpu.tpcds.queries_misc import QUERIES_MISC  # noqa: E402
+
+QUERIES.update(QUERIES_MISC)

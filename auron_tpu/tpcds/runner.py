@@ -68,8 +68,9 @@ def make_session(tables: Dict[str, pd.DataFrame],
                  num_partitions: int = 1) -> Session:
     s = Session()
     for name, df in tables.items():
-        parts = num_partitions if name in ("store_sales", "store_returns") \
-            else 1
+        facts = ("store_sales", "store_returns", "catalog_sales",
+                 "catalog_returns", "web_sales", "web_returns", "inventory")
+        parts = num_partitions if name in facts else 1
         s.register_pandas(name, df, num_partitions=parts)
     return s
 

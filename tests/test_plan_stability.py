@@ -64,7 +64,8 @@ Sort
         MemoryScan
         Filter
           MemoryScan
-      MemoryScan""",
+      Filter
+        MemoryScan""",
 }
 
 
