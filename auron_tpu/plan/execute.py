@@ -52,12 +52,28 @@ class Session:
         self.tables[name] = list(blocks)
         return self
 
-    def register_pandas(self, name: str, df, num_partitions: int = 1,
+    def register_pandas(self, name: str, df, num_partitions=1,
                         dtypes=None) -> "Session":
+        """``num_partitions=None`` sizes partitions from the memory budget
+        (runtime/memory.py MemoryBudget.suggest_partitions — the dynamic
+        batch-sizing analog of compute_suggested_batch_size,
+        datafusion-ext-commons/src/lib.rs:93-117)."""
+        if num_partitions is None:
+            from auron_tpu.runtime.memory import MemoryBudget, row_bytes
+            budget = getattr(self, "memory_budget", None) or MemoryBudget()
+            self.memory_budget = budget
+            probe = TableBlock.from_pandas(df.iloc[:1])
+            per_row = sum(
+                np.dtype(c.dtype.np_dtype).itemsize + 2
+                for c in probe.columns.values())
+            num_partitions = budget.suggest_partitions(len(df), per_row)
         parts = np.array_split(np.arange(len(df)), num_partitions)
         blocks = [TableBlock.from_pandas(df.iloc[idx], dtypes=dtypes)
                   for idx in parts if True]
         self.tables[name] = blocks
+        mb = getattr(self, "memory_budget", None)
+        if mb is not None:
+            mb.register_table(name, blocks)
         return self
 
     def metrics_report(self) -> str:
