@@ -251,6 +251,21 @@ PALLAS_ENABLE = ConfigOption(
     "auron.pallas.enable", True, bool,
     "Use Pallas kernels for hot ops on TPU backends (falls back to XLA on CPU).")
 
+PALLAS_FUSED_ENABLE = ConfigOption(
+    "auron.pallas.fused.agg.enable", False, bool,
+    "Use the fused Mosaic segment-sum kernel (one one-hot pass feeds every "
+    "aggregate column of a GROUP BY; VMEM-resident double-f32 TwoSum "
+    "accumulator). Default OFF: measured on v5e, XLA's scan+dot_general "
+    "path runs the same one-hot contraction at parity or faster (43 vs "
+    "50 ms at 8M rows/d=16; 131 vs 184 ms at d=2048) with ~100x faster "
+    "compiles — XLA already fuses the one-hot into the MXU pass. Kept for "
+    "shapes where a hand-scheduled pipeline may win and as the Mosaic "
+    "reference kernel (BENCH_NOTES.md).")
+
+PALLAS_INTERPRET = ConfigOption(
+    "auron.pallas.interpret", False, bool,
+    "Run Pallas kernels in interpreter mode on non-TPU backends (testing).")
+
 # Global default session configuration.
 conf = AuronConf()
 

@@ -81,6 +81,15 @@ def segment_aggregate(
     use_mxu = PK.use_mxu_segments(num_segments, gid.shape[0])
     gid32 = gid.astype(jnp.int32)
 
+    # Fused Mosaic path: every count/sum plane of this GROUP BY rides ONE
+    # pallas kernel (one-hot built once per tile, VMEM accumulators).
+    batcher = None
+    if PK.use_pallas_fused(num_segments, gid.shape[0]):
+        batcher = PK.SumBatcher(
+            gid32, num_segments,
+            interpret=jax.default_backend() != "tpu")
+    finishers = []
+
     def _seg_count(flags):
         if use_mxu:
             return PK.onehot_segment_count(flags, gid32, num_segments)
@@ -104,6 +113,11 @@ def segment_aggregate(
     for spec, col in aggs:
         kind = spec.kind
         if kind == "count_star":
+            if batcher is not None:
+                t = batcher.request_count(live)
+                finishers.append((spec.out_name, lambda t=t: Column.of(
+                    t().astype(jnp.int64), INT64)))
+                continue
             cnt = _seg_count(live).astype(jnp.int64)
             out[spec.out_name] = Column.of(cnt, INT64)
             continue
@@ -111,15 +125,33 @@ def segment_aggregate(
         ok = live if col.validity is None else (live & col.validity)
         if kind == "count":
             if spec.merge:  # merging partial counts = summing them
+                if batcher is not None:
+                    t = batcher.request_sum(_masked(col.values, ok, 0))
+                    finishers.append((spec.out_name, lambda t=t: Column.of(
+                        t().astype(jnp.int64), INT64)))
+                    continue
                 s = _seg_sum(_masked(col.values, ok, 0))
                 out[spec.out_name] = Column.of(s.astype(jnp.int64), INT64)
             else:
+                if batcher is not None:
+                    t = batcher.request_count(ok)
+                    finishers.append((spec.out_name, lambda t=t: Column.of(
+                        t().astype(jnp.int64), INT64)))
+                    continue
                 cnt = _seg_count(ok).astype(jnp.int64)
                 out[spec.out_name] = Column.of(cnt, INT64)
             continue
         if kind == "sum":
             acc_dtype = _sum_dtype(col.dtype)
             vals = col.values.astype(acc_dtype.jnp_dtype)
+            if batcher is not None:
+                ts = batcher.request_sum(_masked(vals, ok, 0))
+                tn = batcher.request_count(ok)
+                finishers.append((spec.out_name,
+                                  lambda ts=ts, tn=tn, a=acc_dtype:
+                                  Column.of(ts().astype(a.jnp_dtype), a,
+                                            tn() > 0)))
+                continue
             s = _seg_sum(_masked(vals, ok, 0)).astype(acc_dtype.jnp_dtype)
             nn = _seg_count(ok)
             out[spec.out_name] = Column.of(s, acc_dtype, nn > 0)
@@ -187,6 +219,10 @@ def segment_aggregate(
                                         col.dict_values)
             continue
         raise NotImplementedError(f"agg kind {kind}")
+    if batcher is not None:
+        batcher.finalize()
+        for name, fn in finishers:
+            out[name] = fn()
     return out
 
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from auron_tpu import config
 
@@ -159,3 +161,179 @@ def onehot_segment_minmax(values, gid, num_segments: int, identity,
     acc0 = jnp.full(d, ident)
     acc, _ = jax.lax.scan(body, acc0, (vals2, gid2))
     return acc
+
+
+# ---------------------------------------------------------------------------
+# True Pallas (Mosaic) kernel: fused multi-plane segment sum.
+#
+# One grid pass over the rows builds each [SUB, d] one-hot tile ONCE in VMEM
+# and contracts it against EVERY value plane on the MXU; the [d, P]
+# accumulator lives in VMEM across the whole grid as a double-f32
+# (TwoSum-compensated) pair, so per-block f32 dot results accumulate with
+# ~48-bit effective precision — exact for the 16-bit integer magnitude
+# planes (plane sums < 2^40) and ~1e-7-relative for float hi/lo planes.
+# Replaces the lax.scan + dot_general path (which re-reads gid and carries
+# accumulators through the scan) with a single kernel: gid is read once,
+# one-hot never touches HBM, and every aggregate column in the GROUP BY
+# shares the pass. Reference analog: the SIMD agg hash map
+# (agg/agg_hash_map.rs:26-100) — same job, MXU-shaped.
+# ---------------------------------------------------------------------------
+
+SUB = 256        # rows per one-hot dot (float accuracy ~2e-6 rel; int
+                 # 12-bit planes stay far inside the f32-exact bound)
+TILE_ROWS = 2048  # rows per grid step (SUB * 8)
+
+
+def _fused_kernel(gid_ref, vals_ref, hi_ref, lo_ref, acc_hi, acc_lo):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_hi[:] = jnp.zeros_like(acc_hi)
+        acc_lo[:] = jnp.zeros_like(acc_lo)
+
+    d = hi_ref.shape[0]
+    for k in range(TILE_ROWS // SUB):
+        g = gid_ref[0, k, :]                                     # [SUB]
+        oh = (g[:, None] ==
+              jax.lax.broadcasted_iota(jnp.int32, (SUB, d), 1)
+              ).astype(jnp.float32)                              # [SUB, d]
+        v = vals_ref[k * SUB:(k + 1) * SUB, :]                   # [SUB, P]
+        # HIGHEST: full-f32 MXU passes — the default single bf16 pass
+        # truncates the value planes' mantissas
+        sub = jax.lax.dot_general(
+            oh, v, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)                 # [d, P]
+        # TwoSum into VMEM scratch (scratch persists across the sequential
+        # grid; writing out_refs every step would force a serializing
+        # read-modify-write of the output window)
+        a = acc_hi[:]
+        s = a + sub
+        z = s - a
+        err = (a - (s - z)) + (sub - z)
+        acc_hi[:] = s
+        acc_lo[:] = acc_lo[:] + err
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        hi_ref[:] = acc_hi[:]
+        lo_ref[:] = acc_lo[:]
+
+
+def pallas_segment_sum_planes(planes, gid, num_segments: int,
+                              interpret: bool = False):
+    """planes: [n, P] f32 (pre-masked); gid: [n] int32 in [0, d).
+    Returns [d, P] f64 sums (hi + lo recombined)."""
+    n, P = planes.shape
+    d = int(num_segments)
+    pad = (-n) % TILE_ROWS
+    if pad:
+        planes = jnp.concatenate(
+            [planes, jnp.zeros((pad, P), planes.dtype)])
+        # padded rows carry weight 0 in every plane; any segment id works
+        gid = jnp.concatenate([gid, jnp.zeros(pad, gid.dtype)])
+    n_pad = n + pad
+    grid = n_pad // TILE_ROWS
+    # Mosaic block-shape rule: last two dims divisible by (8, 128) — the
+    # gid tile rides as [1, SUBBLOCKS, SUB] (8 x 256)
+    gid2 = gid.reshape(grid, TILE_ROWS // SUB, SUB)
+    # Mosaic cannot lower the i64 index-map constants produced under the
+    # engine's global x64 mode — trace the pallas_call with x64 off (all
+    # kernel dtypes are explicit f32/i32, so nothing changes numerically)
+    from jax._src.config import enable_x64  # no public ctx in this jax
+    with enable_x64(False):
+        hi, lo = pl.pallas_call(
+            _fused_kernel,
+            grid=(grid,),
+            in_specs=[
+                pl.BlockSpec((1, TILE_ROWS // SUB, SUB),
+                             lambda i: (i, 0, 0)),
+                pl.BlockSpec((TILE_ROWS, P), lambda i: (i, 0)),
+            ],
+            out_specs=(
+                pl.BlockSpec((d, P), lambda i: (0, 0)),
+                pl.BlockSpec((d, P), lambda i: (0, 0)),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((d, P), jnp.float32),
+                jax.ShapeDtypeStruct((d, P), jnp.float32),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((d, P), jnp.float32),
+                pltpu.VMEM((d, P), jnp.float32),
+            ],
+            interpret=interpret,
+        )(gid2, planes)
+    return hi.astype(jnp.float64) + lo.astype(jnp.float64)
+
+
+def use_pallas_fused(num_segments: int, rows: int) -> bool:
+    """The fused kernel needs the [SUB, d] one-hot + [d, P] accumulators in
+    VMEM; d <= 4096 keeps the one-hot tile at 4MB."""
+    if not config.conf.get(config.PALLAS_FUSED_ENABLE):
+        return False
+    if num_segments > 4096:
+        return False
+    if config.conf.get(config.PALLAS_INTERPRET):
+        return True  # testing on CPU: no row floor
+    return jax.default_backend() == "tpu" and rows >= (1 << 15)
+
+
+class SumBatcher:
+    """Cross-column fusion: collect every count/sum plane of one GROUP BY,
+    run ONE fused kernel, hand back per-request slices.
+
+    Requests return closures resolved after finalize(); integer sums ride
+    four 16-bit magnitude planes (exact, see onehot_segment_sum), floats
+    ride hi/lo f32 splitting.
+    """
+
+    def __init__(self, gid32, num_segments: int, interpret: bool = False):
+        self.gid = gid32
+        self.d = int(num_segments)
+        self.planes = []
+        self.interpret = interpret
+        self._sums = None
+
+    def _add(self, plane) -> int:
+        self.planes.append(plane.astype(jnp.float32))
+        return len(self.planes) - 1
+
+    def request_count(self, flags):
+        idx = self._add(flags.astype(jnp.float32))
+        return lambda: self._sums[:, idx].astype(jnp.int64)
+
+    def request_sum(self, vals):
+        if jnp.issubdtype(vals.dtype, jnp.integer) or \
+                vals.dtype == jnp.bool_:
+            v = vals.astype(jnp.int64)
+            # 12-bit magnitude planes: plane value < 4096, so a SUB-row
+            # f32 dot stays exact (extra planes are free — the MXU lane
+            # dimension pads to 128 anyway)
+            idxs = []
+            rest = v
+            for _ in range(5):
+                idxs.append(self._add((rest & 0xFFF).astype(jnp.float32)))
+                rest = rest >> 12
+            idxs.append(self._add(rest.astype(jnp.float32)))  # signed top
+
+            def resolve_int():
+                total = jnp.zeros(self.d, jnp.int64)
+                for k, i in enumerate(idxs):
+                    total = total + \
+                        (self._sums[:, i].astype(jnp.int64) << (12 * k))
+                return total
+            return resolve_int
+        v64 = vals.astype(jnp.float64)
+        hi = v64.astype(jnp.float32)
+        lo = (v64 - hi.astype(jnp.float64)).astype(jnp.float32)
+        ih, il = self._add(hi), self._add(lo)
+        return lambda: self._sums[:, ih] + self._sums[:, il]
+
+    def finalize(self):
+        if not self.planes:
+            return
+        mat = jnp.stack(self.planes, axis=1)
+        self._sums = pallas_segment_sum_planes(
+            mat, self.gid, self.d, interpret=self.interpret)

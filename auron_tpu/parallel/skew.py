@@ -122,3 +122,96 @@ def _compact_into(block: TableBlock, capacity: int) -> TableBlock:
     overflow.record("skew_heavy", n, capacity)
     new_mask = jnp.arange(capacity) < n
     return take_block(block, idx, new_mask)
+
+
+# ---------------------------------------------------------------------------
+# Planner-side auto-detection (north-star item; the reference delegates skew
+# to Spark AQE's stage-granular splitting, SURVEY.md §2.5). Concrete table
+# stats are available before the SPMD program compiles — sample the probe
+# key's heavy-hitter fraction and rewrite qualifying partitioned joins to
+# the skew-handled form (dropping the hash exchanges the handler replaces).
+# ---------------------------------------------------------------------------
+
+_PROBE_SIDE_TYPES = ("inner", "left", "left_semi", "left_anti", "existence")
+
+
+def _scan_under(node):
+    from auron_tpu.plan import nodes as PN
+    while isinstance(node, (PN.Filter, PN.Rename)):
+        node = node.child
+    return node if isinstance(node, PN.MemoryScan) else None
+
+
+def _heavy_fraction(blocks, key: str, sample: int = 1 << 16) -> float:
+    """Max single-key row share across the table (host-side, sampled)."""
+    taken = 0
+    vals = []
+    for b in blocks:
+        if key not in b.columns:
+            return 0.0
+        c = b.columns[key]
+        import jax.core
+        if isinstance(c.values, jax.core.Tracer):
+            return 0.0
+        sel = np.asarray(b.row_mask)
+        if c.validity is not None:
+            sel = sel & np.asarray(c.validity)
+        v = np.asarray(c.values)[sel]
+        vals.append(v[: max(sample - taken, 0)])
+        taken += len(vals[-1])
+        if taken >= sample:
+            break
+    if not vals:
+        return 0.0
+    allv = np.concatenate(vals)
+    if allv.size == 0:
+        return 0.0
+    _, counts = np.unique(allv, return_counts=True)
+    return float(counts.max() / allv.size)
+
+
+def auto_skew_rewrite(plan, tables):
+    """Rewrite Join[partitioned] -> Join[skewed] when the probe key's
+    heavy-hitter fraction exceeds SKEW_HEAVY_HITTER_FRACTION.
+
+    Honors SKEW_DETECT_ENABLE; only probe-side join types qualify (the
+    handler's correctness envelope). The hash exchanges the builder placed
+    under a partitioned join are dropped — the skew handler routes both
+    sides itself.
+    """
+    import dataclasses
+    from auron_tpu.plan import nodes as PN
+    if not config.conf.get(config.SKEW_DETECT_ENABLE):
+        return plan
+    thresh = config.conf.get(config.SKEW_HEAVY_HITTER_FRACTION)
+
+    def walk(node):
+        if isinstance(node, PN.Join) and node.strategy == "partitioned" \
+                and len(node.left_keys) == 1 \
+                and node.join_type in _PROBE_SIDE_TYPES \
+                and node.condition is None \
+                and isinstance(node.left, PN.Exchange) \
+                and isinstance(node.right, PN.Exchange):
+            sc = _scan_under(node.left.child)
+            if sc is not None and sc.table in tables:
+                frac = _heavy_fraction(tables[sc.table], node.left_keys[0])
+                if frac > thresh:
+                    return dataclasses.replace(
+                        node,
+                        left=walk(node.left.child),
+                        right=walk(node.right.child),
+                        strategy="skewed")
+        kids = {}
+        for f in node.__dataclass_fields__:
+            v = getattr(node, f)
+            if isinstance(v, PN.PlanNode):
+                kids[f] = walk(v)
+            elif isinstance(v, tuple) and v and \
+                    all(isinstance(x, PN.PlanNode) for x in v):
+                kids[f] = tuple(walk(x) for x in v)
+        if kids:
+            import dataclasses as dc
+            return dc.replace(node, **kids)
+        return node
+
+    return walk(plan)

@@ -277,6 +277,10 @@ def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
         stats_session.register(name, list(blocks))
     from auron_tpu.plan.prune import prune_plan
     plan = annotate_plan(prune_plan(plan, stats_session), stats_session)
+    # skew auto-detection: heavy-hitter probe keys flip partitioned joins
+    # to the skew-handled form before the program compiles
+    from auron_tpu.parallel.skew import auto_skew_rewrite
+    plan = auto_skew_rewrite(plan, tables)
 
     stacked = {}
     for name, blocks in tables.items():

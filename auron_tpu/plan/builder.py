@@ -249,23 +249,30 @@ class Frame:
             plan = annotate_plan(prune_plan(self.plan, self.session),
                                  self.session)
             meta_cell: list = []
+            opkeys_cell: list = []
 
             def step(tbls):
+                from auron_tpu.runtime.metrics import collect_op_counters
                 s2 = Session()
                 for n, bs in tbls.items():
                     s2.register(n, bs)
-                with OV.collect() as sc:
+                with OV.collect() as sc, collect_op_counters() as oc:
                     res = execute_plan(plan, s2, annotate=False)
                 meta_cell[:] = sc.meta()
-                return res, list(sc.values())
+                opkeys_cell[:] = oc.keys()
+                return res, list(sc.values()), oc.values()
 
             # pin self.plan in the entry: its id() keys the cache and must
             # not be recycled for a different plan while the entry lives
-            cached = (jax.jit(step), meta_cell, self.plan)
+            cached = (jax.jit(step), meta_cell, opkeys_cell, self.plan)
             _JIT_CACHE[key] = cached
-        fn, meta_cell, _ = cached
+        fn, meta_cell, opkeys_cell, _ = cached
         tables = {n: list(bs) for n, bs in self.session.tables.items()}
-        out, values = fn(tables)
+        out, values, op_rows = fn(tables)
+        # per-operator traced rows_out -> the session metrics tree
+        for k, r in zip(opkeys_cell, op_rows):
+            m = self.session.metrics.setdefault(k, {})
+            m["rows_out"] = int(np.asarray(r))
         return out, list(meta_cell), [np.asarray(v) for v in values]
 
     def collect(self, jit: bool = False):

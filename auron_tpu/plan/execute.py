@@ -78,12 +78,23 @@ class Session:
 
     def metrics_report(self) -> str:
         """Formatted per-operator metrics (the Spark SQL metrics tree analog,
-        reference NativeHelper.scala:167-199 + metrics push-back)."""
+        reference NativeHelper.scala:167-199 + metrics push-back). After a
+        jitted run, ``rows_out`` comes from traced counters riding the
+        program outputs; eager runs additionally carry per-node wall time."""
         lines = []
         for key, m in self.metrics.items():
-            lines.append(f"{key}: calls={m.get('calls', 0)} "
-                         f"wall_s={m.get('wall_s', 0.0):.4f} "
-                         f"partitions={m.get('partitions', '-')}")
+            parts = [key + ":"]
+            if "calls" in m:
+                parts.append(f"calls={m['calls']}")
+            if m.get("wall_s"):
+                parts.append(f"wall_s={m['wall_s']:.4f}")
+            if "partitions" in m:
+                parts.append(f"partitions={m['partitions']}")
+            if "rows_out" in m:
+                parts.append(f"rows_out={m['rows_out']}")
+            if "bytes_est" in m:
+                parts.append(f"bytes_est={m['bytes_est']}")
+            lines.append(" ".join(parts))
         return "\n".join(lines)
 
     def sql_result(self, plan: PN.PlanNode):
@@ -117,6 +128,11 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         m["calls"] += 1
         m["wall_s"] += time.perf_counter() - t0
         m["partitions"] = len(out)
+        # under whole-plan jit the wall time above is trace time; the
+        # traced rows_out counters ride the program outputs instead
+        # (runtime/metrics.py collect_op_counters)
+        from auron_tpu.runtime.metrics import record_op_rows
+        record_op_rows(key, out)
     return out
 
 

@@ -142,3 +142,56 @@ def timed_run(name: str, fn, *args, bytes_touched: int = 0) -> tuple:
         out = fn(*args)
         jax.block_until_ready(jax.tree.leaves(out))
     return out, m
+
+
+# ---------------------------------------------------------------------------
+# Traced per-operator counters for JITTED runs (metrics.rs:9-45 push-back
+# analog). Wall-clock per op is meaningless inside one fused XLA program;
+# what IS observable per operator are its traced output-row counts, which
+# ride the program outputs like the overflow counters do, plus the static
+# bytes-touched estimates. The host assembles both into the metrics tree
+# after execution.
+# ---------------------------------------------------------------------------
+
+import threading as _threading
+
+_op_tls = _threading.local()
+
+
+class OpCounterScope:
+    def __init__(self):
+        self.entries: List = []  # (key, traced rows_out scalar)
+
+    def keys(self):
+        return [k for k, _ in self.entries]
+
+    def values(self):
+        return [v for _, v in self.entries]
+
+
+def record_op_rows(key: str, blocks) -> None:
+    """Called from the executor per node; no-op outside a scope."""
+    scope = getattr(_op_tls, "scope", None)
+    if scope is None:
+        return
+    import jax.numpy as jnp
+    total = None
+    for b in blocks:
+        r = jnp.sum(b.row_mask.astype(jnp.int32))
+        total = r if total is None else total + r
+    if total is not None:
+        scope.entries.append((key, total))
+
+
+from contextlib import contextmanager as _ctx
+
+
+@_ctx
+def collect_op_counters():
+    prev = getattr(_op_tls, "scope", None)
+    sc = OpCounterScope()
+    _op_tls.scope = sc
+    try:
+        yield sc
+    finally:
+        _op_tls.scope = prev

@@ -122,3 +122,29 @@ def test_scalar_subquery_q6_lite(sess):
            .collect())
     want = sess._fact[sess._fact["w"] > sess._fact["w"].mean() * 1.2]
     assert len(out) == len(want)
+
+
+def test_per_op_metrics_under_jit():
+    """Jitted runs report traced per-operator rows_out (metrics.rs analog);
+    trace-time wall clocks are not presented as run time."""
+    import numpy as np
+    import pandas as pd
+    from auron_tpu.expr.nodes import col, lit
+    from auron_tpu.plan import Session
+    from auron_tpu.plan.builder import table
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"k": rng.integers(0, 8, 500).astype(np.int64),
+                       "v": rng.normal(size=500)})
+    s = Session()
+    s.register_pandas("t", df)
+    f = (table(s, "t").filter(col("v") > lit(0.0))
+         .groupby("k").agg(sv=("sum", col("v"))))
+    got = f.collect(jit=True)
+    rows = {k.split("@")[0]: m["rows_out"] for k, m in s.metrics.items()
+            if "rows_out" in m}
+    n_filtered = int((df["v"] > 0).sum())
+    assert rows["Filter"] == n_filtered
+    assert rows["Agg"] == df[df["v"] > 0]["k"].nunique() == len(got)
+    assert rows["MemoryScan"] == 500
+    report = s.metrics_report()
+    assert "rows_out" in report

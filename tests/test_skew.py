@@ -96,3 +96,30 @@ def test_skewed_join_balances_load(skewed_data):
     assert sum(sizes) == len(fact)  # all keys in dim -> inner == all rows
     # the hot key's rows must be spread, not funneled to one device
     assert max(sizes) < 0.5 * sum(sizes)
+
+
+def test_auto_skew_detection(skewed_data):
+    """Planner-side auto-skew (no skewed=True anywhere): the partitioned
+    join over a hot key is rewritten to the skew-handled form. Proof that
+    the rewrite (not capacity regrow) saves the run: overflow check is set
+    to 'raise', so un-handled lane overflow would error."""
+    from auron_tpu import config
+    from auron_tpu.plan import Join
+    fact, dim = skewed_data
+    tables = _tables(fact, dim)
+    plan = Join(
+        Exchange(MemoryScan("fact"), HashPartitioning(("k",), 8)),
+        Exchange(MemoryScan("dim"), HashPartitioning(("k2",), 8)),
+        ("k",), ("k2",), join_type="inner", strategy="partitioned",
+        out_capacity=2048)
+    with config.conf.scoped(auron__overflow__check="raise"):
+        stacked = run_plan_spmd(plan, _mesh(), tables)
+    out = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.merge(dim, left_on="k", right_on="k2")
+    assert sorted_rows(out) == sorted_rows(want)
+    # with detection disabled the same plan must overflow-raise
+    with config.conf.scoped(auron__skew__detect__enable=False,
+                            auron__overflow__check="raise"):
+        with pytest.raises(RuntimeError, match="overflow"):
+            run_plan_spmd(plan, _mesh(), tables)
