@@ -213,9 +213,11 @@ EXCHANGE_PAIR_SLACK = ConfigOption(
     "all_to_all staging capacity per (src,dst) pair = slack * capacity/n. "
     "Covers moderate skew; heavy keys are pre-split by the skew handler.")
 
-EXCHANGE_CODEC = ConfigOption(
-    "auron.exchange.codec", "none", str,
-    "Compression codec for host-boundary exchange staging: none|zlib.")
+STAGING_ZSTD_LEVEL = ConfigOption(
+    "auron.staging.zstd.level", 1, int,
+    "zstd level for host-RAM staging payloads (io/staging.py); higher "
+    "trades CPU for host memory. The wire format is always zstd-framed "
+    "(io/serde.py), matching the reference's IPC compression framing.")
 
 SHUFFLE_PARTITION_SEED = ConfigOption(
     "auron.shuffle.hash.seed", 42, int,

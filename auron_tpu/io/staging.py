@@ -30,12 +30,18 @@ class StagedTable:
         self.payloads = payloads
 
     @staticmethod
-    def from_blocks(blocks, level: int = 1) -> "StagedTable":
+    def from_blocks(blocks, level: Optional[int] = None) -> "StagedTable":
+        if level is None:
+            from auron_tpu import config
+            level = config.conf.get(config.STAGING_ZSTD_LEVEL)
         return StagedTable([serialize_block(b, level=level) for b in blocks])
 
     @staticmethod
     def from_pandas(df, chunk_rows: int = 1 << 20,
-                    level: int = 1) -> "StagedTable":
+                    level: Optional[int] = None) -> "StagedTable":
+        if level is None:
+            from auron_tpu import config
+            level = config.conf.get(config.STAGING_ZSTD_LEVEL)
         payloads = []
         for start in range(0, max(len(df), 1), chunk_rows):
             chunk = df.iloc[start:start + chunk_rows]

@@ -110,16 +110,16 @@ class Frame:
         return Frame(self.session, plan, n)
 
     def _estimated_rows(self) -> Optional[int]:
-        node = self.plan
-        while True:
-            if isinstance(node, PN.MemoryScan):
-                import numpy as np
-                return sum(int(np.asarray(b.row_mask).sum())
-                           for b in self.session.tables[node.table])
-            kids = node.children
-            if len(kids) != 1:
-                return None
-            node = kids[0]
+        """Sound row-count upper bound from plan statistics (the
+        AuronConvertStrategy broadcast-sizing analog): derived dimensions —
+        filtered joins, aggregates — broadcast when provably small, not
+        just bare scans."""
+        from auron_tpu.plan.stats import annotate_plan, estimated_rows
+        try:
+            plan = annotate_plan(self.plan, self.session)
+        except Exception:
+            plan = self.plan
+        return estimated_rows(plan, self.session)
 
     # -- aggregation --------------------------------------------------------
     def groupby(self, *keys) -> "GroupedFrame":

@@ -250,3 +250,74 @@ def _column_of(e: E.Expr) -> Optional[str]:
     if isinstance(e, E.Column):
         return e.name
     return None
+
+
+# ---------------------------------------------------------------------------
+# Row-count upper-bound propagation — the broadcast-sizing stat
+# (AuronConvertStrategy.scala:126-194 sizes builds from plan statistics;
+# the scan-chain walk it replaces returned None for anything but a bare
+# scan, so derived dimensions never broadcast).
+# ---------------------------------------------------------------------------
+
+def estimated_rows(plan: PN.PlanNode, session) -> Optional[int]:
+    """Upper bound on the live-row count of ``plan``'s result, or None when
+    no sound bound exists (e.g. a fan-out join). Upper bounds are the right
+    polarity for the broadcast decision: a broadcast chosen under the
+    threshold can never blow past it."""
+    import jax.core
+
+    def walk(node) -> Optional[int]:
+        if isinstance(node, PN.MemoryScan):
+            total = 0
+            for b in session.tables[node.table]:
+                if isinstance(b.row_mask, jax.core.Tracer):
+                    return None
+                total += int(np.asarray(b.row_mask).sum())
+            return total
+        if isinstance(node, (PN.Filter, PN.Project, PN.Rename,
+                             PN.Window, PN.Coalesce, PN.Exchange)):
+            return walk(node.child)
+        if isinstance(node, PN.Limit):
+            c = walk(node.child)
+            return node.limit if c is None else min(c, node.limit)
+        if isinstance(node, PN.Sort):
+            c = walk(node.child)
+            if node.fetch is not None:
+                return node.fetch if c is None else min(c, node.fetch)
+            return c
+        if isinstance(node, PN.Agg):
+            if not node.keys:
+                return 1
+            return walk(node.child)  # <= input rows
+        if isinstance(node, PN.Union):
+            parts = [walk(c) for c in node.children_nodes]
+            return None if any(p is None for p in parts) else sum(parts)
+        if isinstance(node, PN.Join):
+            probe = walk(node.left)
+            if probe is None:
+                return None
+            if node.join_type in ("left_semi", "left_anti", "existence"):
+                return probe  # probe-only outputs
+            build = walk(node.right)
+            # inner/left joins cannot expand past probe rows when the build
+            # key set is at most one row per key; without uniqueness the
+            # fan-out is unbounded. A 1-row bound on either side is always
+            # safe for inner.
+            if node.join_type in ("inner", "left"):
+                if node.build_unique or (build is not None and build <= 1):
+                    return probe  # at most one build row per probe row
+            if node.join_type == "full" and node.build_unique \
+                    and build is not None:
+                return probe + build
+            return None
+        if isinstance(node, PN.Expand):
+            c = walk(node.child)
+            return None if c is None else c * len(node.projections)
+        if isinstance(node, PN.Generate):
+            return None  # data-dependent expansion
+        kids = node.children
+        if len(kids) == 1:
+            return walk(kids[0])
+        return None
+
+    return walk(plan)

@@ -90,3 +90,35 @@ def test_unique_build_detected_across_queries():
     for q in ("q3", "q42", "q52", "q55"):
         got = _normalized_plan(q, 1)
         assert "unique-build" in got, q
+
+
+def test_broadcast_from_derived_dimension():
+    """A filtered JOIN of two small dims is provably small (unique-build
+    stats), so joining it against the fact side chooses broadcast — the
+    AuronConvertStrategy.scala:126-194 sizing analog. The old scan-chain
+    walk returned None for any derived build side."""
+    import numpy as np
+    import pandas as pd
+    from auron_tpu.expr.nodes import col, lit
+    from auron_tpu.plan import Session
+    from auron_tpu.plan.builder import table
+    rng = np.random.default_rng(51)
+    fact = pd.DataFrame({"k": rng.integers(0, 50, 5000).astype(np.int64),
+                         "v": rng.normal(size=5000)})
+    d1 = pd.DataFrame({"a": np.arange(50, dtype=np.int64),
+                       "x": rng.integers(0, 5, 50).astype(np.int64)})
+    d2 = pd.DataFrame({"b": np.arange(50, dtype=np.int64),
+                       "y": rng.normal(size=50)})
+    s = Session()
+    s.register_pandas("fact", fact, num_partitions=4)
+    s.register_pandas("d1", d1)
+    s.register_pandas("d2", d2)
+    derived = (table(s, "d1").filter(col("x") > lit(1))
+               .join(table(s, "d2"), ("a",), ("b",)))
+    j = table(s, "fact").join(derived, ("k",), ("a",))
+    assert j.plan.strategy == "broadcast", j.plan.strategy
+    got = j.collect()
+    want = (fact.merge(d1[d1["x"] > 1].merge(d2, left_on="a",
+                                             right_on="b"),
+                       left_on="k", right_on="a"))
+    assert len(got) == len(want)
