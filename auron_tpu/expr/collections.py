@@ -56,12 +56,17 @@ def _array_contains(block, name: str, value) -> Column:
 
 @register("map_get")
 def _map_get(block, name: str, key) -> Column:
-    """element_at(map, key) — NULL when absent (get_map_value.rs)."""
+    """element_at(map, key) — NULL when absent (get_map_value.rs). String
+    keys resolve through the key dictionary; first lane match wins (so
+    map_concat places later maps first for LAST_WIN semantics)."""
     keys, length = _planes(block, name, "keys")
     vals = block.columns[f"{name}#vals"]
     cap, L = keys.values.shape
     lane = jax.lax.broadcasted_iota(jnp.int32, (cap, L), 1)
     in_len = lane < length.values[:, None].astype(jnp.int32)
+    if isinstance(key, str):
+        from auron_tpu.expr.strings import code_of_literal
+        key = code_of_literal(keys.dict_values, key)
     eq = (keys.values == jnp.asarray(key, keys.values.dtype)) & in_len
     found = jnp.any(eq, axis=1)
     idx = jnp.argmax(eq, axis=1)
@@ -122,3 +127,145 @@ def make_struct_columns(block: TableBlock, name: str, **fields) -> TableBlock:
     for f, e in fields.items():
         cols[f"{name}.{f}"] = materialize(evaluate(e, block), block.capacity)
     return TableBlock(cols, block.row_mask)
+
+
+# ---------------------------------------------------------------------------
+# Block transforms: functions whose OUTPUT is multiple plane columns
+# (array/map constructors — spark_map.rs:1516 str_to_map / map_concat,
+# spark_strings.rs split). Invoked through the BlockTransform plan node so
+# they compose inside plans and under whole-plan jit (string dictionaries
+# are host-side even when values are traced).
+# ---------------------------------------------------------------------------
+
+BLOCK_TRANSFORMS = {}
+
+
+def _transform(name, out_names):
+    def deco(fn):
+        BLOCK_TRANSFORMS[name] = (fn, out_names)
+        return fn
+    return deco
+
+
+def transform_output_names(fn: str, params) -> list:
+    return BLOCK_TRANSFORMS[fn][1](params)
+
+
+def apply_transform(block: TableBlock, fn: str, params) -> TableBlock:
+    return BLOCK_TRANSFORMS[fn][0](block, *params)
+
+
+@_transform("split", lambda p: [f"{p[0]}#vals", f"{p[0]}#len"])
+def _split(block: TableBlock, out: str, src: str, delim: str,
+           max_parts: int = 16) -> TableBlock:
+    """split(str, delim) -> array planes. Each DISTINCT dictionary entry
+    splits once host-side; per-row planes are pure gathers."""
+    from auron_tpu.dtypes import STRING
+    c = block.columns[src]
+    parts_per = [s.split(delim) if s else [""] for s in c.dict_values]
+    all_parts = sorted({p for ps in parts_per for p in ps[:max_parts]})
+    code = {p: i for i, p in enumerate(all_parts)}
+    nd = len(c.dict_values)
+    plane = np.zeros((nd, max_parts), np.int32)
+    lens = np.zeros(nd, np.int32)
+    for i, ps in enumerate(parts_per):
+        ps = ps[:max_parts]
+        lens[i] = len(ps)
+        for j, p in enumerate(ps):
+            plane[i, j] = code[p]
+    codes = jnp.clip(c.values, 0, nd - 1)
+    cols = dict(block.columns)
+    cols[f"{out}#vals"] = Column(jnp.asarray(plane)[codes], None, STRING,
+                                 np.array(all_parts, dtype=object))
+    cols[f"{out}#len"] = Column(jnp.asarray(lens)[codes], c.validity, INT32,
+                                None)
+    return TableBlock(cols, block.row_mask)
+
+
+@_transform("str_to_map",
+            lambda p: [f"{p[0]}#keys", f"{p[0]}#vals", f"{p[0]}#len"])
+def _str_to_map(block: TableBlock, out: str, src: str,
+                pair_delim: str = ",", kv_delim: str = ":",
+                max_parts: int = 16) -> TableBlock:
+    """str_to_map('a:1,b:2') -> string-keyed map planes (spark_map.rs)."""
+    from auron_tpu.dtypes import STRING
+    c = block.columns[src]
+    keys_per, vals_per = [], []
+    for s in c.dict_values:
+        ks, vs = [], []
+        for pair in (s.split(pair_delim) if s else [""])[:max_parts]:
+            k, _, v = pair.partition(kv_delim)
+            ks.append(k)
+            vs.append(v)
+        keys_per.append(ks)
+        vals_per.append(vs)
+    kd = sorted({k for ks in keys_per for k in ks})
+    vd = sorted({v for vs in vals_per for v in vs})
+    kcode = {k: i for i, k in enumerate(kd)}
+    vcode = {v: i for i, v in enumerate(vd)}
+    nd = len(c.dict_values)
+    kplane = np.zeros((nd, max_parts), np.int32)
+    vplane = np.zeros((nd, max_parts), np.int32)
+    lens = np.zeros(nd, np.int32)
+    for i, (ks, vs) in enumerate(zip(keys_per, vals_per)):
+        lens[i] = len(ks)
+        for j, (k, v) in enumerate(zip(ks, vs)):
+            kplane[i, j] = kcode[k]
+            vplane[i, j] = vcode[v]
+    codes = jnp.clip(c.values, 0, nd - 1)
+    cols = dict(block.columns)
+    cols[f"{out}#keys"] = Column(jnp.asarray(kplane)[codes], None, STRING,
+                                 np.array(kd, dtype=object))
+    cols[f"{out}#vals"] = Column(jnp.asarray(vplane)[codes], None, STRING,
+                                 np.array(vd, dtype=object))
+    cols[f"{out}#len"] = Column(jnp.asarray(lens)[codes], c.validity,
+                                INT32, None)
+    return TableBlock(cols, block.row_mask)
+
+
+@_transform("map_concat",
+            lambda p: [f"{p[0]}#keys", f"{p[0]}#vals", f"{p[0]}#len"])
+def _map_concat(block: TableBlock, out: str, m1: str, m2: str) -> TableBlock:
+    """map_concat(m1, m2): later maps win on duplicate keys (Spark
+    LAST_WIN) — m2's lanes are placed FIRST because map_get returns the
+    first lane match."""
+    from auron_tpu.expr.strings import unify_string_columns
+    k1, v1 = block.columns[f"{m1}#keys"], block.columns[f"{m1}#vals"]
+    k2, v2 = block.columns[f"{m2}#keys"], block.columns[f"{m2}#vals"]
+    l1 = block.columns[f"{m1}#len"]
+    l2 = block.columns[f"{m2}#len"]
+    if k1.dtype.is_string:
+        (k1, k2), _ = unify_string_columns([k1, k2])
+    if v1.dtype.is_string:
+        (v1, v2), _ = unify_string_columns([v1, v2])
+    # compact m2's lanes against m1's by shifting m1 behind m2's length?
+    # Static-lane layout: [m2 lanes | m1 lanes]; lookups scan lanes in
+    # order and respect per-row lengths via a combined validity trick:
+    # place m2's entries at [0, len2) and m1's at [L2, L2+len1) by rolling
+    # m1's plane — a gather per lane.
+    cap, L2 = k2.values.shape
+    _, L1 = k1.values.shape
+    keys = jnp.concatenate([k2.values, k1.values], axis=1)
+    vals = jnp.concatenate([v2.values, v1.values], axis=1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, L1 + L2), 1)
+    len2 = l2.values.astype(jnp.int32)[:, None]
+    # m1 entries must sit immediately after m2's live entries: shift left
+    src = jnp.where(lane < len2, lane, lane - len2 + L2)
+    src = jnp.clip(src, 0, L1 + L2 - 1)
+    keys = jnp.take_along_axis(keys, src, axis=1)
+    vals = jnp.take_along_axis(vals, src, axis=1)
+    total = (l1.values.astype(jnp.int32) + l2.values.astype(jnp.int32))
+    from auron_tpu.expr.eval import _combine_validity
+    validity = _combine_validity(l1, l2)
+    cols = dict(block.columns)
+    cols[f"{out}#keys"] = Column(keys, None, k1.dtype, k1.dict_values)
+    cols[f"{out}#vals"] = Column(vals, None, v1.dtype, v1.dict_values)
+    cols[f"{out}#len"] = Column(total, validity, INT32, None)
+    return TableBlock(cols, block.row_mask)
+
+
+@_transform("map_from_arrays",
+            lambda p: [f"{p[0]}#keys", f"{p[0]}#vals", f"{p[0]}#len"])
+def _map_from_arrays(block: TableBlock, out: str, keys_col: str,
+                     vals_col: str) -> TableBlock:
+    return make_map_columns(block, out, keys_col, vals_col)

@@ -132,6 +132,94 @@ def _last_day(block, c: Column) -> Column:
     return Column.of((first_next - 1).astype(jnp.int32), DATE32, c.validity)
 
 
+def _month_end_days(y, m):
+    ny = jnp.where(m == 12, y + 1, y)
+    nm = jnp.where(m == 12, 1, m + 1)
+    return _days_from_civil(ny, nm, jnp.ones_like(nm)) - \
+        _days_from_civil(y, m, jnp.ones_like(m))
+
+
+@register("add_months")
+def _add_months(block, c: Column, n) -> Column:
+    """Spark add_months: day clamps to the target month's end
+    (spark_dates.rs add_months arm)."""
+    nn = n.values if isinstance(n, Column) else jnp.asarray(int(n))
+    y, m, d = _civil_from_days(c.values)
+    tot = (y.astype(jnp.int64) * 12 + (m - 1) + nn)
+    ny = (tot // 12).astype(jnp.int32)
+    nm = (tot % 12 + 1).astype(jnp.int32)
+    dmax = _month_end_days(ny, nm)
+    nd = jnp.minimum(d, dmax.astype(jnp.int32))
+    validity = c.validity
+    if isinstance(n, Column) and n.validity is not None:
+        validity = n.validity if validity is None else (validity & n.validity)
+    return Column.of(_days_from_civil(ny, nm, nd), DATE32, validity)
+
+
+@register("months_between")
+def _months_between(block, a: Column, b: Column,
+                    round_off: bool = True) -> Column:
+    """Spark months_between(date1, date2) (spark_dates.rs:1177 family):
+    whole months when both days match or both are month-ends, otherwise a
+    31-day-month fraction, rounded to 8 digits."""
+    from auron_tpu.expr.eval import _combine_validity
+    y1, m1, d1 = _civil_from_days(a.values)
+    y2, m2, d2 = _civil_from_days(b.values)
+    last1 = _month_end_days(y1, m1).astype(jnp.int32)
+    last2 = _month_end_days(y2, m2).astype(jnp.int32)
+    months = ((y1 - y2) * 12 + (m1 - m2)).astype(jnp.float64)
+    whole = (d1 == d2) | ((d1 == last1) & (d2 == last2))
+    frac = (d1 - d2).astype(jnp.float64) / 31.0
+    out = jnp.where(whole, months, months + frac)
+    if round_off:
+        out = jnp.round(out * 1e8) / 1e8
+    return Column.of(out, FLOAT64, _combine_validity(a, b))
+
+
+@register("trunc")
+def _trunc_date(block, c: Column, fmt: str) -> Column:
+    """trunc(date, fmt): year/quarter/month/week starts (spark_dates.rs)."""
+    f = fmt.lower()
+    y, m, d = _civil_from_days(c.values)
+    one = jnp.ones_like(m)
+    if f in ("year", "yyyy", "yy"):
+        out = _days_from_civil(y, one, one)
+    elif f in ("quarter",):
+        qm = ((m - 1) // 3) * 3 + 1
+        out = _days_from_civil(y, qm, one)
+    elif f in ("month", "mon", "mm"):
+        out = _days_from_civil(y, m, one)
+    elif f in ("week",):
+        # Monday start; epoch day 0 (1970-01-01) was a Thursday (dow 3)
+        dow = (c.values.astype(jnp.int64) + 3) % 7
+        out = (c.values.astype(jnp.int64) - dow).astype(jnp.int32)
+    else:
+        # unknown format -> NULL (Spark behavior)
+        return Column(c.values, jnp.zeros(c.values.shape[0], jnp.bool_),
+                      DATE32, None)
+    return Column.of(out.astype(jnp.int32), DATE32, c.validity)
+
+
+_DAY_NAMES = {"su": 0, "mo": 1, "tu": 2, "we": 3, "th": 4, "fr": 5,
+              "sa": 6}
+
+
+@register("next_day")
+def _next_day(block, c: Column, day_name: str) -> Column:
+    """next_day(date, 'Mon'): the first date later than `date` falling on
+    that weekday; invalid day names yield NULL."""
+    key = (day_name or "")[:2].lower()
+    if key not in _DAY_NAMES:
+        return Column(c.values, jnp.zeros(c.values.shape[0], jnp.bool_),
+                      DATE32, None)
+    target = _DAY_NAMES[key]
+    dow = (c.values.astype(jnp.int64) + 4) % 7  # 0 = Sunday
+    delta = (target - dow) % 7
+    delta = jnp.where(delta == 0, 7, delta)
+    return Column.of((c.values + delta).astype(jnp.int32), DATE32,
+                     c.validity)
+
+
 # -- math --------------------------------------------------------------------
 
 @register("abs")
@@ -341,6 +429,47 @@ def _concat(block, *cols, sep: str = "") -> Column:
     for c in cols[1:]:
         out = pair(out, c)
     return out
+
+
+@register("concat_ws")
+def _concat_ws(block, *args) -> Column:
+    """concat_ws(col..., sep): separator-joined concat that SKIPS null
+    operands (Spark semantics — never returns NULL; all-null rows yield
+    the empty string). Pairwise fold where 'null' means 'no content yet',
+    so a null middle operand never leaves a doubled separator."""
+    from auron_tpu.dtypes import STRING as _S
+    sep = args[-1]
+    cols = list(args[:-1])
+
+    def pair(a: Column, b: Column) -> Column:
+        da, db = a.dict_values, b.dict_values
+        nA, nB = len(da), len(db)
+        if nA * nB > (1 << 16):
+            raise NotImplementedError(
+                f"concat_ws dictionary product {nA}x{nB} too large")
+        d = np.array([x + sep + y for x in da for y in db] +
+                     list(da) + list(db), dtype=object)
+        ca = jnp.clip(a.values, 0, nA - 1).astype(jnp.int32)
+        cb = jnp.clip(b.values, 0, nB - 1).astype(jnp.int32)
+        va = a.valid_at() if a.validity is not None \
+            else jnp.ones(ca.shape[0], jnp.bool_)
+        vb = b.valid_at() if b.validity is not None \
+            else jnp.ones(cb.shape[0], jnp.bool_)
+        codes = jnp.where(va & vb, ca * nB + cb,
+                          jnp.where(va, nA * nB + ca, nA * nB + nA + cb))
+        return Column(codes, va | vb, _S, d)
+
+    out = cols[0]
+    for c in cols[1:]:
+        out = pair(out, c)
+    # finalize: all-null -> empty string, never NULL
+    if out.validity is None:
+        return out
+    d = np.concatenate([out.dict_values,
+                        np.array([""], dtype=object)])
+    codes = jnp.where(out.validity, out.values,
+                      jnp.asarray(len(d) - 1, jnp.int32))
+    return Column(codes.astype(jnp.int32), None, _S, d)
 
 
 def _predicate(name):

@@ -47,25 +47,136 @@ def _convert(e: E.Expr, pc):
     raise NotImplementedError
 
 
-def read_parquet_blocks(node) -> List[TableBlock]:
-    """Read files into one block per partition (row-group granularity)."""
-    import pyarrow.parquet as pq
+# Last scan's pruning accounting (parquet_exec.rs:163-189 metrics analog):
+# {"row_groups_total", "row_groups_read", "rows_total", "rows_scanned"}.
+LAST_SCAN_STATS: Dict[str, int] = {}
 
-    frames = []
+
+def _arrow_to_block(table, const_cols=None) -> TableBlock:
+    """Arrow table -> TableBlock directly (no pandas intermediary): values
+    land as numpy views/fills, strings dictionary-encode via arrow, nulls
+    become validity planes. ``const_cols`` injects hive partition values as
+    constant columns (auron.proto:410-416)."""
+    import pyarrow as pa
+    n = table.num_rows
+    data, dts, validity, dicts = {}, {}, {}, {}
+    for name in table.column_names:
+        arr = table.column(name).combine_chunks()
+        if arr.null_count:
+            validity[name] = np.asarray(arr.is_valid())
+        t = arr.type
+        if pa.types.is_string(t) or pa.types.is_large_string(t) or \
+                pa.types.is_dictionary(t):
+            darr = arr if pa.types.is_dictionary(t) \
+                else arr.dictionary_encode()
+            codes = np.asarray(darr.indices.fill_null(0)).astype(np.int32)
+            data[name] = codes
+            dicts[name] = np.asarray(darr.dictionary).astype(object)
+            from auron_tpu.dtypes import STRING as _S
+            dts[name] = _S
+        else:
+            data[name] = arr.fill_null(0).to_numpy(zero_copy_only=False)
+    for name, value in (const_cols or {}).items():
+        if isinstance(value, str):
+            data[name] = np.zeros(n, np.int32)
+            dicts[name] = np.array([value], dtype=object)
+            from auron_tpu.dtypes import STRING as _S
+            dts[name] = _S
+        else:
+            data[name] = np.full(n, value)
+    return TableBlock.from_numpy(data, dts, None, validity, dicts)
+
+
+def read_parquet_blocks(node) -> List[TableBlock]:
+    """One-pass scan: pyarrow dataset fragments split at ROW-GROUP
+    granularity with statistics-based pruning (the reference's row-group +
+    page filtering, parquet_exec.rs:163-189), surviving groups read once
+    with projection + filter pushdown, hive partition values injected as
+    constant columns, arrow -> blocks without a pandas detour. Pruning
+    accounting lands in LAST_SCAN_STATS."""
+    import pyarrow.dataset as ds
+
     filt = _expr_to_arrow_filter(node.predicate)
     columns = list(node.projection) if node.projection else None
-    for path in node.paths:
-        table = pq.read_table(path, columns=columns, filters=None)
+    src = node.paths[0] if len(node.paths) == 1 else list(node.paths)
+    dataset = ds.dataset(src, format="parquet", partitioning="hive")
+    rg_total = rg_read = rows_total = rows_scanned = 0
+    tables = []  # (arrow table, const partition cols)
+    # the dataset-level fragment iteration prunes WHOLE fragments via hive
+    # partition expressions; row-group stats prune within fragments
+    all_frags = list(dataset.get_fragments())
+    kept = list(dataset.get_fragments(filter=filt)) if filt is not None \
+        else all_frags
+    for frag in all_frags:
+        frag.ensure_complete_metadata()
+        rg_total += frag.metadata.num_row_groups
+        rows_total += frag.metadata.num_rows
+    import pyarrow.lib as _palib
+    for frag in kept:
+        frag.ensure_complete_metadata()
+        try:
+            from pyarrow.dataset import get_partition_keys
+            consts = get_partition_keys(frag.partition_expression)
+        except ImportError:  # older pyarrow
+            consts = {}
+        # statistics-based row-group pruning; a filter referencing hive
+        # partition fields is not in the physical schema — fall back to
+        # unpruned reads (the plan's Filter re-applies on device)
+        piece_filter = filt
         if filt is not None:
-            import pyarrow.compute as pc  # noqa: F401
-            import pyarrow.dataset as ds
-            table = ds.dataset(path).to_table(columns=columns, filter=filt)
-        frames.append(table.to_pandas())
-    import pandas as pd
-    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    n = node.num_partitions
-    parts = np.array_split(np.arange(len(df)), n)
-    return [TableBlock.from_pandas(df.iloc[idx]) for idx in parts]
+            try:
+                pieces = frag.split_by_row_group(filter=filt,
+                                                 schema=frag.physical_schema)
+            except _palib.ArrowInvalid:
+                piece_filter = None
+                pieces = frag.split_by_row_group()
+        else:
+            pieces = frag.split_by_row_group()
+        for piece in pieces:
+            rg_read += 1
+            rows_scanned += sum(rg.num_rows for rg in piece.row_groups)
+            cols = None
+            if columns is not None:
+                cols = [c for c in columns if c not in consts]
+            t = piece.to_table(columns=cols, filter=piece_filter)
+            want_consts = {k: v for k, v in consts.items()
+                           if columns is None or k in columns}
+            tables.append((t, want_consts))
+
+    LAST_SCAN_STATS.update({
+        "row_groups_total": rg_total, "row_groups_read": rg_read,
+        "rows_total": rows_total, "rows_scanned": rows_scanned})
+
+    n_parts = node.num_partitions
+    if not tables:
+        # every row group pruned: an empty block with the dataset schema
+        empty = dataset.schema.empty_table()
+        if columns is not None:
+            empty = empty.select([c for c in columns
+                                  if c in empty.column_names])
+        tables = [(empty, {})]
+    # round-robin row groups over partitions (row-group granularity)
+    import pyarrow as pa
+    out: List[TableBlock] = []
+    groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
+    for i, item in enumerate(tables):
+        groups[i % len(groups)].append(item)
+    for grp in groups:
+        consts0 = grp[0][1]
+        merged = pa.concat_tables([t for t, _ in grp]) \
+            if len(grp) > 1 else grp[0][0]
+        # constant injection is only valid when every piece in the group
+        # shares the value; mixed groups materialize per-piece instead
+        same = all(c == consts0 for _, c in grp)
+        if same:
+            out.append(_arrow_to_block(merged, consts0))
+        else:
+            from auron_tpu.ops.join import concat_blocks
+            out.append(concat_blocks([_arrow_to_block(t, c)
+                                      for t, c in grp]))
+    while len(out) < n_parts:
+        out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
+    return out
 
 
 def write_parquet(blocks: Sequence[TableBlock], path: str,

@@ -46,6 +46,8 @@ class AggSpec:
     kind: str
     merge: bool = False
     max_len: int = 64
+    fn: object = None        # py_udaf host function
+    udaf_dtype: object = None
 
 
 def _masked(values, ok, fill):
@@ -203,6 +205,36 @@ def segment_aggregate(
             out[f"{spec.out_name}#vals"] = Column(vals2d, None, col.dtype,
                                                   col.dict_values)
             out[f"{spec.out_name}#len"] = Column.of(lens, INT64)
+            continue
+        if kind == "py_udaf":
+            # spark_udaf_wrapper.rs:451 analog: the group's non-null values
+            # round-trip to host python via pure_callback; rows were
+            # co-located by the key exchange, so a per-partition pass is
+            # exact. fn(np.ndarray) -> scalar per group.
+            out_dt = spec.udaf_dtype or FLOAT64
+            fnc = spec.fn
+
+            def _host(gid_np, vals_np, ok_np):
+                res = np.zeros(num_segments, out_dt.np_dtype)
+                seen = np.zeros(num_segments, np.bool_)
+                sel = ok_np
+                order = np.argsort(gid_np[sel], kind="stable")
+                g_sorted = gid_np[sel][order]
+                v_sorted = vals_np[sel][order]
+                bounds = np.searchsorted(g_sorted,
+                                         np.arange(num_segments + 1))
+                for g in range(num_segments):
+                    lo_, hi_ = bounds[g], bounds[g + 1]
+                    if hi_ > lo_:
+                        res[g] = fnc(v_sorted[lo_:hi_])
+                        seen[g] = True
+                return res, seen
+            res, seen = jax.pure_callback(
+                _host,
+                (jax.ShapeDtypeStruct((num_segments,), out_dt.np_dtype),
+                 jax.ShapeDtypeStruct((num_segments,), np.bool_)),
+                gid, col.values, ok)
+            out[spec.out_name] = Column(res, seen, out_dt, None)
             continue
         if kind in ("first", "first_ignores_null"):
             cap = gid.shape[0]

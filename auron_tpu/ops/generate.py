@@ -11,6 +11,7 @@ max(length,1) for OUTER), owner lookup via searchsorted.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from auron_tpu import config
 from auron_tpu.block import Column, TableBlock, round_capacity
@@ -18,6 +19,8 @@ from auron_tpu.dtypes import INT32
 
 
 def generate_block(block: TableBlock, node) -> TableBlock:
+    if node.kind == "json_tuple":
+        return json_tuple_block(block, node)
     vals_col = block.columns[f"{node.column}#vals"]
     len_col = block.columns[f"{node.column}#len"]
     cap, max_len = vals_col.values.shape
@@ -58,3 +61,50 @@ def generate_block(block: TableBlock, node) -> TableBlock:
     cols[node.out_name] = Column(elem, elem_valid, vals_col.dtype,
                                  vals_col.dict_values)
     return TableBlock(cols, live)
+
+
+def json_tuple_block(block: TableBlock, node) -> TableBlock:
+    """json_tuple generator (generate/json_tuple.rs:102): extract N fields
+    from a json string column into string columns, row-aligned.
+
+    Strings are host dictionaries, so each DISTINCT json document parses
+    exactly once; per-field outputs are new dictionaries + a code-mapping
+    gather — fully traceable under whole-plan jit."""
+    import json
+
+    src = block.columns[node.column]
+    if src.dict_values is None:
+        raise ValueError("json_tuple requires a string column")
+    parsed = []
+    for s in src.dict_values:
+        try:
+            doc = json.loads(s)
+            parsed.append(doc if isinstance(doc, dict) else None)
+        except (ValueError, TypeError):
+            parsed.append(None)
+
+    cols = dict(block.columns)
+    from auron_tpu.dtypes import STRING
+    codes_in = jnp.clip(src.values, 0, len(src.dict_values) - 1)
+    for i, field in enumerate(node.fields):
+        vals, ok = [], np.zeros(len(parsed), np.bool_)
+        for j, doc in enumerate(parsed):
+            v = None if doc is None else doc.get(field)
+            if v is None:
+                vals.append("")
+            else:
+                # Spark json_tuple: scalars as their json text (strings
+                # unquoted), nested values as json
+                vals.append(v if isinstance(v, str) else json.dumps(v))
+                ok[j] = True
+        uniq, inv = np.unique(np.array(vals, dtype=object).astype(str),
+                              return_inverse=True)
+        code_map = jnp.asarray(inv.astype(np.int32))
+        ok_map = jnp.asarray(ok)
+        out_codes = code_map[codes_in]
+        validity = ok_map[codes_in]
+        if src.validity is not None:
+            validity = validity & src.validity
+        cols[f"{node.out_name}{i}"] = Column(out_codes, validity, STRING,
+                                             uniq.astype(object))
+    return TableBlock(cols, block.row_mask)

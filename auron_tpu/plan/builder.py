@@ -127,6 +127,22 @@ class Frame:
             (k, col_(k)) if isinstance(k, str) else k for k in keys)
         return GroupedFrame(self, key_items)
 
+    def block_transform(self, fn: str, *params) -> "Frame":
+        """Array/map constructor transforms (split, str_to_map, map_concat,
+        map_from_arrays): outputs land as plane columns (expr/collections)."""
+        return Frame(self.session, PN.BlockTransform(self.plan, fn,
+                                                     tuple(params)),
+                     self.num_partitions)
+
+    def json_tuple(self, column: str, *fields: str,
+                   out_name: str = "c") -> "Frame":
+        """LATERAL VIEW json_tuple(column, fields...) — row-aligned field
+        extraction into string columns <out_name>0..N
+        (generate/json_tuple.rs:102 analog)."""
+        plan = PN.Generate(self.plan, column, kind="json_tuple",
+                           out_name=out_name, fields=tuple(fields))
+        return Frame(self.session, plan, self.num_partitions)
+
     def distinct(self) -> "Frame":
         keys = tuple((n, col_(n)) for n in self._names())
         return self.groupby(*keys).agg()
@@ -296,8 +312,12 @@ class GroupedFrame:
         """calls: name=(kind, expr) or name=(kind, expr, filter_expr).
         ``domains``: optional {key: (lo, hi)} int-range hints enabling the
         dense direct-aggregation path (validated eagerly, trusted in jit)."""
+        import dataclasses
         agg_calls = []
         for name, spec in calls.items():
+            if isinstance(spec, PN.AggCall):  # pre-built (e.g. udaf())
+                agg_calls.append(dataclasses.replace(spec, name=name))
+                continue
             kind, expr, *rest = spec if isinstance(spec, tuple) else (spec, None)
             filt = rest[0] if rest else None
             agg_calls.append(PN.AggCall(name, kind, expr, filt))
@@ -314,7 +334,8 @@ class GroupedFrame:
                           domains=dom)
             return Frame(f.session, plan, 1)
         collects = any(c.kind in ("collect_list", "collect_set",
-                                  "count_distinct", "approx_count_distinct")
+                                  "count_distinct", "approx_count_distinct",
+                                  "py_udaf")
                        for c in agg_calls)
         if collects:
             # set-valued aggregates can't merge partial state; co-locate all
@@ -335,6 +356,16 @@ class GroupedFrame:
         final = PN.Agg(ex, self.keys, tuple(agg_calls), mode="final",
                        domains=dom)
         return Frame(f.session, final, f.num_partitions)
+
+
+def udaf(fn, expr: Expr, dtype=None) -> PN.AggCall:
+    """Python UDAF escape hatch (spark_udaf_wrapper.rs:451 analog):
+    ``fn(np.ndarray of one group's non-null values) -> scalar``. Rows are
+    co-located by a key exchange before the host callback, so results are
+    exact under any partitioning. Use: ``.agg(med=udaf(np.median, col("v")))``."""
+    from auron_tpu.dtypes import FLOAT64
+    return PN.AggCall("", "py_udaf", expr, fn=fn,
+                      udaf_dtype=dtype or FLOAT64)
 
 
 def table(session: Session, name: str) -> Frame:

@@ -187,6 +187,10 @@ def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
     if isinstance(node, PN.Generate):
         from auron_tpu.ops.generate import generate_block
         return [generate_block(b, node) for b in _exec(node.child, s)]
+    if isinstance(node, PN.BlockTransform):
+        from auron_tpu.expr.collections import apply_transform
+        return [apply_transform(b, node.fn, node.params)
+                for b in _exec(node.child, s)]
     if isinstance(node, PN.Rename):
         mapping = dict(node.mapping)
         return [b.rename(mapping) for b in _exec(node.child, s)]
@@ -446,7 +450,7 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
     drop: List[str] = []
     k = call.kind
     if k in ("collect_list", "collect_set", "count_distinct",
-             "approx_count_distinct") and mode != "single":
+             "approx_count_distinct", "py_udaf") and mode != "single":
         raise NotImplementedError(
             f"{k} requires mode='single' (gather rows to one partition "
             "first); partial/final set merge is a later milestone")
@@ -459,6 +463,9 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
             factor = config.conf.get(config.COLLECT_LEN_FACTOR)
             eff_len = max(int(math.ceil(call.max_len * factor)), 1)
             specs.append((AggSpec(call.name, k, max_len=eff_len), col))
+        elif k == "py_udaf":
+            specs.append((AggSpec(call.name, k, fn=call.fn,
+                                  udaf_dtype=call.udaf_dtype), col))
         elif k == "avg":
             specs.append((AggSpec(f"{call.name}#s", "sum"), col))
             specs.append((AggSpec(f"{call.name}#c", "count"), col))

@@ -100,6 +100,10 @@ class AggCall:
     expr: Optional[Expr] = None
     filter: Optional[Expr] = None
     max_len: int = 64  # collect_list/collect_set array bound
+    # py_udaf escape hatch (spark_udaf_wrapper.rs:451 analog): host python
+    # fn(np.ndarray of one group's non-null values) -> scalar
+    fn: Any = None
+    udaf_dtype: Any = None
 
 
 @_ident
@@ -199,6 +203,18 @@ class Expand(PlanNode):
 
 @_ident
 @dataclass(frozen=True, eq=False)
+class BlockTransform(PlanNode):
+    """Named block-level transform producing plane columns (array/map
+    constructors: split, str_to_map, map_concat, map_from_arrays —
+    spark_map.rs:1516 family). Registry: expr/collections.BLOCK_TRANSFORMS."""
+
+    child: PlanNode
+    fn: str
+    params: Tuple[Any, ...] = ()
+
+
+@_ident
+@dataclass(frozen=True, eq=False)
 class Window(PlanNode):
     child: PlanNode
     partition_by: Tuple[str, ...]
@@ -219,11 +235,14 @@ class Generate(PlanNode):
 
     child: PlanNode
     column: str
-    kind: str = "explode"  # explode | posexplode
+    kind: str = "explode"  # explode | posexplode | json_tuple
     outer: bool = False
     pos_name: str = "pos"
     out_name: str = "col"
     out_capacity: Optional[int] = None
+    # json_tuple (generate/json_tuple.rs:102): extracted field names; output
+    # columns are "<out_name>0".."<out_name>N", row-aligned (no expansion)
+    fields: tuple = ()
 
 
 @_ident

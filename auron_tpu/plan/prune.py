@@ -68,12 +68,20 @@ def output_names(node: PN.PlanNode, session) -> List[str]:
         return out
     if isinstance(node, PN.Union):
         return output_names(node.children_nodes[0], session)
+    if isinstance(node, PN.BlockTransform):
+        from auron_tpu.expr.collections import transform_output_names
+        return output_names(node.child, session) + \
+            [n for n in transform_output_names(node.fn, node.params)
+             if n not in output_names(node.child, session)]
     if isinstance(node, PN.Expand):
         return [n for n, _ in node.projections[0]]
     if isinstance(node, PN.Window):
         return output_names(node.child, session) + \
             ([f.name for f in node.funcs] if node.output_window_cols else [])
     if isinstance(node, PN.Generate):
+        if node.kind == "json_tuple":
+            return output_names(node.child, session) + \
+                [f"{node.out_name}{i}" for i in range(len(node.fields))]
         base = [n for n in output_names(node.child, session)
                 if n not in (f"{node.column}#vals", f"{node.column}#len")]
         extra = [node.pos_name] if node.kind == "posexplode" else []
@@ -166,6 +174,11 @@ def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
         return dataclasses.replace(
             node, child=_prune(node.child, needed | extra, session))
     if isinstance(node, PN.Generate):
+        if node.kind == "json_tuple":
+            gen = {f"{node.out_name}{i}" for i in range(len(node.fields))}
+            return dataclasses.replace(
+                node, child=_prune(node.child,
+                                   (needed | {node.column}) - gen, session))
         extra = {f"{node.column}#vals", f"{node.column}#len"}
         return dataclasses.replace(
             node, child=_prune(node.child, (needed | extra) -
@@ -173,6 +186,18 @@ def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
     if isinstance(node, PN.Rename):
         inv = {b: a for a, b in node.mapping}
         child_needed = {inv.get(n, n) for n in needed}
+        return dataclasses.replace(
+            node, child=_prune(node.child, child_needed, session))
+    if isinstance(node, PN.BlockTransform):
+        from auron_tpu.expr.collections import transform_output_names
+        gen = set(transform_output_names(node.fn, node.params))
+        child_needed = (needed - gen) | set(node.params[1:2])
+        # params[1] is the source column for split/str_to_map; map ops name
+        # their inputs via plane prefixes — keep those too
+        for prefix in node.params[1:]:
+            if isinstance(prefix, str):
+                child_needed |= {f"{prefix}#keys", f"{prefix}#vals",
+                                 f"{prefix}#len", prefix} &                     set(output_names(node.child, session))
         return dataclasses.replace(
             node, child=_prune(node.child, child_needed, session))
     if isinstance(node, PN.Expand):

@@ -1,0 +1,276 @@
+"""SQL AST -> wire-contract plan (front-end #2's conversion layer).
+
+The Frame builder plays the role Spark's AuronConverters plays for
+front-end #1; this module is the same conversion for SQL text. The output
+is NOT a Frame — it is wire JSON (plan/wire.py), which `Session.sql`
+round-trips through `plan_from_json` before executing: the engine consumes
+only the neutral contract, proving a third-party front-end could drive it
+the same way (the reference proves this with auron-flink, SURVEY §2.3).
+
+Scoping rules (kept deliberately simple, like the early Spark converter):
+column references resolve by FLAT name (qualifiers strip); self-joins need
+pre-renamed subqueries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+from auron_tpu.dtypes import (BOOL, DATE32, DECIMAL64, FLOAT32, FLOAT64,
+                              INT16, INT32, INT64, INT8, STRING, TIMESTAMP64)
+from auron_tpu.expr import nodes as E
+from auron_tpu.ops.sort import SortKey
+from auron_tpu.plan.builder import Frame, table
+from auron_tpu.sql import parser as A
+
+_AGG_FNS = {"sum", "avg", "min", "max", "count", "count_distinct",
+            "collect_list", "collect_set", "first"}
+
+_TYPES = {"int": INT32, "integer": INT32, "bigint": INT64, "long": INT64,
+          "smallint": INT16, "tinyint": INT8, "double": FLOAT64,
+          "float": FLOAT32, "real": FLOAT32, "string": STRING,
+          "varchar": STRING, "date": DATE32, "timestamp": TIMESTAMP64,
+          "boolean": BOOL, "decimal": DECIMAL64(18, 2)}
+
+# scalar functions whose trailing literal arguments are STATIC params
+_PARAM_FNS = {"substring": 1, "substr": 1, "concat_ws": None, "trunc": 1,
+              "next_day": 1, "round": 1, "bround": 1, "like": 1}
+
+
+def _is_agg(e) -> bool:
+    if isinstance(e, A.Fn) and (e.name in _AGG_FNS or e.star):
+        return True
+    for f in getattr(e, "__dataclass_fields__", {}):
+        v = getattr(e, f)
+        vs = v if isinstance(v, (list, tuple)) else [v]
+        for item in vs:
+            if isinstance(item, tuple):
+                item = list(item)
+            for x in (item if isinstance(item, list) else [item]):
+                if hasattr(x, "__dataclass_fields__") and _is_agg(x):
+                    return True
+    return False
+
+
+def _expr(e) -> E.Expr:
+    """SQL expression AST -> engine expression."""
+    if isinstance(e, A.Ident):
+        return E.col(e.name)
+    if isinstance(e, A.Lit):
+        return E.lit(e.value)
+    if isinstance(e, A.Un):
+        if e.op == "not":
+            return ~_expr(e.operand)
+        return E.lit(0) - _expr(e.operand)
+    if isinstance(e, A.Bin):
+        l, r = _expr(e.left), _expr(e.right)
+        ops = {"=": lambda: l == r, "<>": lambda: l != r,
+               "!=": lambda: l != r, "<": lambda: l < r,
+               "<=": lambda: l <= r, ">": lambda: l > r,
+               ">=": lambda: l >= r, "+": lambda: l + r,
+               "-": lambda: l - r, "*": lambda: l * r,
+               "/": lambda: l / r, "%": lambda: l % r,
+               "and": lambda: l & r, "or": lambda: l | r}
+        return ops[e.op]()
+    if isinstance(e, A.InE):
+        vals = []
+        for v in e.values:
+            if not isinstance(v, A.Lit):
+                raise NotImplementedError("IN subquery/expr lists")
+            vals.append(v.value)
+        out = _expr(e.operand).isin(vals)
+        return ~out if e.negated else out
+    if isinstance(e, A.LikeE):
+        out = E.func("like", _expr(e.operand), params=(e.pattern,))
+        return ~out if e.negated else out
+    if isinstance(e, A.BetweenE):
+        op = _expr(e.operand)
+        out = (op >= _expr(e.lo)) & (op <= _expr(e.hi))
+        return ~out if e.negated else out
+    if isinstance(e, A.IsNullE):
+        op = _expr(e.operand)
+        return op.is_not_null() if e.negated else op.is_null()
+    if isinstance(e, A.CastE):
+        if e.to not in _TYPES:
+            raise NotImplementedError(f"cast type {e.to}")
+        return _expr(e.operand).cast(_TYPES[e.to])
+    if isinstance(e, A.CaseE):
+        chain = None
+        for cond, val in e.branches:
+            if chain is None:
+                chain = E.when(_expr(cond), _expr(val))
+            else:
+                chain = chain.when(_expr(cond), _expr(val))
+        if e.otherwise is not None:
+            return chain.otherwise(_expr(e.otherwise))
+        return chain.end()
+    if isinstance(e, A.Fn):
+        name = {"substr": "substring"}.get(e.name, e.name)
+        n_params = _PARAM_FNS.get(name)
+        args = [_expr(a) for a in e.args]
+        if n_params is not None:
+            # trailing literal args become static params
+            lits = []
+            while e.args and isinstance(e.args[-1 - len(lits)], A.Lit) \
+                    and (n_params == 0 or len(lits) < 2):
+                lits.append(e.args[-1 - len(lits)].value)
+            if lits:
+                lits.reverse()
+                return E.func(name, *args[:len(args) - len(lits)],
+                              params=tuple(lits))
+        return E.func(name, *args)
+    raise NotImplementedError(f"expression {type(e).__name__}")
+
+
+def _equi_keys(on) -> Tuple[List[str], List[str], Optional[E.Expr]]:
+    """Split an ON clause into equi-key pairs + residual condition."""
+    conjs: List[Any] = []
+
+    def flatten(x):
+        if isinstance(x, A.Bin) and x.op == "and":
+            flatten(x.left)
+            flatten(x.right)
+        else:
+            conjs.append(x)
+    flatten(on)
+    lk, rk, residual = [], [], None
+    for c in conjs:
+        if isinstance(c, A.Bin) and c.op == "=" and \
+                isinstance(c.left, A.Ident) and isinstance(c.right, A.Ident):
+            lk.append(c.left.name)
+            rk.append(c.right.name)
+        else:
+            r = _expr(c)
+            residual = r if residual is None else (residual & r)
+    if not lk:
+        raise NotImplementedError("JOIN requires at least one equi-key")
+    return lk, rk, residual
+
+
+def _rel(rel, session) -> Frame:
+    if isinstance(rel, A.TableRef):
+        return table(session, rel.name)
+    if isinstance(rel, A.SubqueryRef):
+        return _query(rel.query, session)
+    if isinstance(rel, A.JoinRel):
+        left = _rel(rel.left, session)
+        right = _rel(rel.right, session)
+        lk, rk, residual = _equi_keys(rel.on)
+        # key sides may arrive swapped relative to left/right relations
+        lnames = set(left._names())
+        lk2, rk2 = [], []
+        for a, b in zip(lk, rk):
+            if a in lnames:
+                lk2.append(a)
+                rk2.append(b)
+            else:
+                lk2.append(b)
+                rk2.append(a)
+        return left.join(right, tuple(lk2), tuple(rk2), how=rel.how,
+                         condition=residual)
+    raise NotImplementedError(type(rel).__name__)
+
+
+def _agg_kwargs(projs: List[A.Proj], group_names: List[str]):
+    """Split projections into key selections + aggregate calls."""
+    from auron_tpu.expr.nodes import col
+    aggs: Dict[str, tuple] = {}
+    out_cols: List[str] = []
+    post: List[Tuple[str, Optional[E.Expr]]] = []  # final projection
+    n = 0
+    for p in projs:
+        alias = p.alias
+        if isinstance(p.expr, A.Ident) and not _is_agg(p.expr):
+            name = p.expr.name
+            out_cols.append(alias or name)
+            post.append((alias or name,
+                         col(name) if alias and alias != name else None))
+            continue
+        if not _is_agg(p.expr):
+            raise NotImplementedError(
+                "non-aggregate projection over GROUP BY must be a key")
+        e = p.expr
+        if isinstance(e, A.Fn):
+            name = alias or f"_c{n}"
+            n += 1
+            if e.star or (e.name == "count" and not e.args):
+                aggs[name] = ("count_star", None)
+            elif e.name == "count" and e.distinct:
+                aggs[name] = ("count_distinct", _expr(e.args[0]))
+            else:
+                aggs[name] = (e.name, _expr(e.args[0]))
+            post.append((name, None))
+            out_cols.append(name)
+        else:
+            raise NotImplementedError(
+                "composite aggregate expressions (wrap in a subquery)")
+    return aggs, out_cols, post
+
+
+def _select(sel: A.Select, session) -> Frame:
+    f = _rel(sel.rel, session)
+    if sel.where is not None:
+        f = f.filter(_expr(sel.where))
+    has_agg = any(_is_agg(p.expr) for p in sel.projs) or sel.group_by
+    if has_agg:
+        keys = []
+        for g in sel.group_by:
+            if isinstance(g, A.Ident):
+                keys.append(g.name)
+            else:
+                raise NotImplementedError("GROUP BY expressions")
+        aggs, out_cols, post = _agg_kwargs(sel.projs, keys)
+        f = f.groupby(*keys).agg(**aggs)
+        if sel.having is not None:
+            f = f.filter(_expr(sel.having))
+        f = f.select(*[c for c in out_cols])
+    else:
+        if not (len(sel.projs) == 1 and isinstance(sel.projs[0].expr,
+                                                   A.Star)):
+            items = {}
+            for i, p in enumerate(sel.projs):
+                if isinstance(p.expr, A.Star):
+                    raise NotImplementedError("mixed * and expressions")
+                name = p.alias or (p.expr.name if isinstance(p.expr, A.Ident)
+                                   else f"_c{i}")
+                items[name] = _expr(p.expr)
+            f = f.select(**items)
+        if sel.distinct:
+            f = f.distinct()
+    if sel.order_by:
+        sort_keys = []
+        for o in sel.order_by:
+            if isinstance(o.expr, A.Ident):
+                sort_keys.append(SortKey(o.expr.name, ascending=o.ascending))
+            else:
+                raise NotImplementedError(
+                    "ORDER BY expressions (alias them in SELECT)")
+        f = f.sort(*sort_keys, limit=sel.limit)
+    elif sel.limit is not None:
+        f = f.limit(sel.limit)
+    return f
+
+
+def _query(ast, session) -> Frame:
+    if isinstance(ast, A.UnionAll):
+        f = _select(ast.selects[0], session)
+        for s in ast.selects[1:]:
+            f = f.union(_select(s, session))
+        return f
+    return _select(ast, session)
+
+
+def compile_sql(sql: str, session) -> str:
+    """SQL text -> wire-contract JSON (the front-end's only output)."""
+    from auron_tpu.plan.wire import plan_to_json
+    return plan_to_json(_query(A.parse_sql(sql), session).plan)
+
+
+def run_sql(sql: str, session, jit: bool = False):
+    """Execute SQL through the NEUTRAL wire contract: text -> wire JSON ->
+    plan_from_json -> engine. The engine never sees this front-end's
+    objects."""
+    from auron_tpu.plan.wire import plan_from_json
+    wire = compile_sql(sql, session)
+    plan = plan_from_json(wire)
+    return session.sql_result(plan)

@@ -1,0 +1,489 @@
+"""SQL front-end: text -> AST (tokenizer + recursive-descent/Pratt parser).
+
+This is the engine's SECOND front-end. The reference proves its plan IR is
+engine-neutral by driving the same native engine from Spark and from Flink
+(auron-flink, SURVEY §2.3); here the Frame builder is front-end #1 and this
+SQL layer is front-end #2 — it compiles to the SAME wire contract
+(plan/wire.py JSON), which the engine executes without knowing which
+front-end produced it.
+
+Supported grammar (the TPC-DS working subset):
+
+  query     := select (UNION ALL select)*
+  select    := SELECT [DISTINCT] proj ("," proj)* FROM rel
+               [WHERE expr] [GROUP BY expr ("," expr)*] [HAVING expr]
+               [ORDER BY ord ("," ord)*] [LIMIT n]
+  rel       := table [alias] | "(" query ")" alias
+               | rel join_type JOIN rel ON expr
+  join_type := [INNER|LEFT [OUTER|SEMI|ANTI]|RIGHT [OUTER]|FULL [OUTER]]
+  expr      := the usual precedence tower: OR > AND > NOT > cmp
+               (=, <>, !=, <, <=, >, >=, [NOT] IN, [NOT] LIKE, [NOT]
+               BETWEEN, IS [NOT] NULL) > add > mul > unary > primary
+  primary   := literal | ident[.ident] | fn(args) | CAST(e AS type)
+               | CASE WHEN ... END | "(" expr ")" | *
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Tuple
+
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d+|\.\d+|\d+)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
+""", re.VERBOSE)
+
+_KEYWORDS = {
+    "select", "distinct", "from", "where", "group", "by", "having",
+    "order", "limit", "join", "inner", "left", "right", "full", "outer",
+    "semi", "anti", "on", "and", "or", "not", "in", "like", "between",
+    "is", "null", "as", "case", "when", "then", "else", "end", "cast",
+    "union", "all", "asc", "desc", "true", "false", "exists"}
+
+
+@dataclass
+class Tok:
+    kind: str  # num | str | op | ident | kw | eof
+    text: str
+
+
+def tokenize(sql: str) -> List[Tok]:
+    out, i = [], 0
+    while i < len(sql):
+        m = _TOKEN_RE.match(sql, i)
+        if not m:
+            raise SyntaxError(f"cannot tokenize at: {sql[i:i+20]!r}")
+        i = m.end()
+        if m.lastgroup == "ws":
+            continue
+        text = m.group()
+        kind = m.lastgroup
+        if kind == "ident" and text.lower() in _KEYWORDS:
+            kind, text = "kw", text.lower()
+        out.append(Tok(kind, text))
+    out.append(Tok("eof", ""))
+    return out
+
+
+# ---- AST -------------------------------------------------------------------
+
+@dataclass
+class Ident:
+    parts: Tuple[str, ...]  # possibly qualified a.b
+
+    @property
+    def name(self):
+        return self.parts[-1]
+
+
+@dataclass
+class Lit:
+    value: Any
+
+
+@dataclass
+class Bin:
+    op: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class Un:
+    op: str  # not | neg
+    operand: Any
+
+
+@dataclass
+class Fn:
+    name: str
+    args: List[Any]
+    distinct: bool = False
+    star: bool = False
+
+
+@dataclass
+class CastE:
+    operand: Any
+    to: str
+
+
+@dataclass
+class CaseE:
+    branches: List[Tuple[Any, Any]]
+    otherwise: Optional[Any]
+
+
+@dataclass
+class InE:
+    operand: Any
+    values: List[Any]
+    negated: bool
+
+
+@dataclass
+class LikeE:
+    operand: Any
+    pattern: str
+    negated: bool
+
+
+@dataclass
+class BetweenE:
+    operand: Any
+    lo: Any
+    hi: Any
+    negated: bool
+
+
+@dataclass
+class IsNullE:
+    operand: Any
+    negated: bool
+
+
+@dataclass
+class Star:
+    pass
+
+
+@dataclass
+class Proj:
+    expr: Any
+    alias: Optional[str]
+
+
+@dataclass
+class OrderItem:
+    expr: Any
+    ascending: bool = True
+
+
+@dataclass
+class TableRef:
+    name: str
+    alias: Optional[str] = None
+
+
+@dataclass
+class SubqueryRef:
+    query: "Select"
+    alias: str
+
+
+@dataclass
+class JoinRel:
+    left: Any
+    right: Any
+    how: str
+    on: Any
+
+
+@dataclass
+class Select:
+    projs: List[Proj]
+    rel: Any
+    where: Optional[Any] = None
+    group_by: List[Any] = field(default_factory=list)
+    having: Optional[Any] = None
+    order_by: List[OrderItem] = field(default_factory=list)
+    limit: Optional[int] = None
+    distinct: bool = False
+
+
+@dataclass
+class UnionAll:
+    selects: List[Select]
+
+
+class Parser:
+    def __init__(self, sql: str):
+        self.toks = tokenize(sql)
+        self.i = 0
+
+    # -- token helpers ------------------------------------------------------
+    def peek(self, k=0) -> Tok:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def accept(self, kind, text=None) -> Optional[Tok]:
+        t = self.peek()
+        if t.kind == kind and (text is None or t.text == text):
+            return self.next()
+        return None
+
+    def expect(self, kind, text=None) -> Tok:
+        t = self.accept(kind, text)
+        if t is None:
+            got = self.peek()
+            raise SyntaxError(
+                f"expected {text or kind}, got {got.kind} {got.text!r}")
+        return t
+
+    # -- entry --------------------------------------------------------------
+    def parse(self):
+        q = self.query()
+        self.expect("eof")
+        return q
+
+    def query(self):
+        selects = [self.select()]
+        while self.accept("kw", "union"):
+            self.expect("kw", "all")
+            selects.append(self.select())
+        return selects[0] if len(selects) == 1 else UnionAll(selects)
+
+    def select(self) -> Select:
+        self.expect("kw", "select")
+        distinct = bool(self.accept("kw", "distinct"))
+        projs = [self.proj()]
+        while self.accept("op", ","):
+            projs.append(self.proj())
+        self.expect("kw", "from")
+        rel = self.rel()
+        where = self.expr() if self.accept("kw", "where") else None
+        group_by = []
+        if self.accept("kw", "group"):
+            self.expect("kw", "by")
+            group_by = [self.expr()]
+            while self.accept("op", ","):
+                group_by.append(self.expr())
+        having = self.expr() if self.accept("kw", "having") else None
+        order_by = []
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order_by = [self.order_item()]
+            while self.accept("op", ","):
+                order_by.append(self.order_item())
+        limit = None
+        if self.accept("kw", "limit"):
+            limit = int(self.expect("num").text)
+        return Select(projs, rel, where, group_by, having, order_by, limit,
+                      distinct)
+
+    def proj(self) -> Proj:
+        if self.accept("op", "*"):
+            return Proj(Star(), None)
+        e = self.expr()
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("ident").text
+        elif self.peek().kind == "ident":
+            alias = self.next().text
+        return Proj(e, alias)
+
+    def order_item(self) -> OrderItem:
+        e = self.expr()
+        asc = True
+        if self.accept("kw", "desc"):
+            asc = False
+        else:
+            self.accept("kw", "asc")
+        return OrderItem(e, asc)
+
+    # -- relations ----------------------------------------------------------
+    def rel(self):
+        left = self.rel_primary()
+        while True:
+            how = self.join_type()
+            if how is None:
+                return left
+            right = self.rel_primary()
+            self.expect("kw", "on")
+            on = self.expr()
+            left = JoinRel(left, right, how, on)
+
+    def join_type(self) -> Optional[str]:
+        if self.accept("kw", "join") or (
+                self.accept("kw", "inner") and self.expect("kw", "join")):
+            return "inner"
+        for lead, hows in (("left", {"outer": "left", "semi": "left_semi",
+                                     "anti": "left_anti", None: "left"}),
+                           ("right", {"outer": "right", None: "right"}),
+                           ("full", {"outer": "full", None: "full"})):
+            if self.peek().kind == "kw" and self.peek().text == lead and \
+                    self.peek(1).kind == "kw" and \
+                    self.peek(1).text in ("join", "outer", "semi", "anti"):
+                self.next()
+                sub = None
+                t = self.peek()
+                if t.kind == "kw" and t.text in ("outer", "semi", "anti"):
+                    sub = self.next().text
+                self.expect("kw", "join")
+                return hows[sub]
+        return None
+
+    def rel_primary(self):
+        if self.accept("op", "("):
+            q = self.query()
+            self.expect("op", ")")
+            self.accept("kw", "as")
+            alias = self.expect("ident").text
+            return SubqueryRef(q, alias)
+        name = self.expect("ident").text
+        alias = None
+        if self.accept("kw", "as"):
+            alias = self.expect("ident").text
+        elif self.peek().kind == "ident":
+            alias = self.next().text
+        return TableRef(name, alias)
+
+    # -- expressions (precedence climbing) -----------------------------------
+    def expr(self):
+        return self.or_()
+
+    def or_(self):
+        e = self.and_()
+        while self.accept("kw", "or"):
+            e = Bin("or", e, self.and_())
+        return e
+
+    def and_(self):
+        e = self.not_()
+        while self.accept("kw", "and"):
+            e = Bin("and", e, self.not_())
+        return e
+
+    def not_(self):
+        if self.accept("kw", "not"):
+            return Un("not", self.not_())
+        return self.cmp()
+
+    def cmp(self):
+        e = self.add()
+        t = self.peek()
+        if t.kind == "op" and t.text in ("=", "<>", "!=", "<", "<=", ">",
+                                         ">="):
+            self.next()
+            return Bin(t.text, e, self.add())
+        negated = False
+        if t.kind == "kw" and t.text == "not" and \
+                self.peek(1).kind == "kw" and \
+                self.peek(1).text in ("in", "like", "between"):
+            self.next()
+            negated = True
+            t = self.peek()
+        if t.kind == "kw" and t.text == "in":
+            self.next()
+            self.expect("op", "(")
+            vals = [self.expr()]
+            while self.accept("op", ","):
+                vals.append(self.expr())
+            self.expect("op", ")")
+            return InE(e, vals, negated)
+        if t.kind == "kw" and t.text == "like":
+            self.next()
+            pat = self.expect("str").text
+            return LikeE(e, pat[1:-1].replace("''", "'"), negated)
+        if t.kind == "kw" and t.text == "between":
+            self.next()
+            lo = self.add()
+            self.expect("kw", "and")
+            hi = self.add()
+            return BetweenE(e, lo, hi, negated)
+        if t.kind == "kw" and t.text == "is":
+            self.next()
+            neg = bool(self.accept("kw", "not"))
+            self.expect("kw", "null")
+            return IsNullE(e, neg)
+        return e
+
+    def add(self):
+        e = self.mul()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("+", "-"):
+                self.next()
+                e = Bin(t.text, e, self.mul())
+            else:
+                return e
+
+    def mul(self):
+        e = self.unary()
+        while True:
+            t = self.peek()
+            if t.kind == "op" and t.text in ("*", "/", "%"):
+                self.next()
+                e = Bin(t.text, e, self.unary())
+            else:
+                return e
+
+    def unary(self):
+        if self.accept("op", "-"):
+            return Un("neg", self.unary())
+        return self.primary()
+
+    def primary(self):
+        t = self.peek()
+        if t.kind == "num":
+            self.next()
+            v = float(t.text) if "." in t.text else int(t.text)
+            return Lit(v)
+        if t.kind == "str":
+            self.next()
+            return Lit(t.text[1:-1].replace("''", "'"))
+        if t.kind == "kw" and t.text in ("true", "false"):
+            self.next()
+            return Lit(t.text == "true")
+        if t.kind == "kw" and t.text == "null":
+            self.next()
+            return Lit(None)
+        if t.kind == "kw" and t.text == "cast":
+            self.next()
+            self.expect("op", "(")
+            e = self.expr()
+            self.expect("kw", "as")
+            ty = self.expect("ident").text.lower()
+            if self.accept("op", "("):  # decimal(p, s) — params ignored
+                while not self.accept("op", ")"):
+                    self.next()
+            self.expect("op", ")")
+            return CastE(e, ty)
+        if t.kind == "kw" and t.text == "case":
+            self.next()
+            branches = []
+            while self.accept("kw", "when"):
+                cond = self.expr()
+                self.expect("kw", "then")
+                branches.append((cond, self.expr()))
+            other = self.expr() if self.accept("kw", "else") else None
+            self.expect("kw", "end")
+            return CaseE(branches, other)
+        if t.kind == "op" and t.text == "(":
+            self.next()
+            e = self.expr()
+            self.expect("op", ")")
+            return e
+        if t.kind == "ident":
+            self.next()
+            if self.accept("op", "("):  # function call
+                distinct = bool(self.accept("kw", "distinct"))
+                if self.accept("op", "*"):
+                    self.expect("op", ")")
+                    return Fn(t.text.lower(), [], star=True)
+                args = []
+                if not self.accept("op", ")"):
+                    args = [self.expr()]
+                    while self.accept("op", ","):
+                        args.append(self.expr())
+                    self.expect("op", ")")
+                return Fn(t.text.lower(), args, distinct=distinct)
+            parts = [t.text]
+            while self.peek().kind == "op" and self.peek().text == "." and \
+                    self.peek(1).kind == "ident":
+                self.next()
+                parts.append(self.expect("ident").text)
+            return Ident(tuple(parts))
+        raise SyntaxError(f"unexpected token {t.kind} {t.text!r}")
+
+
+def parse_sql(sql: str):
+    return Parser(sql).parse()

@@ -1,0 +1,142 @@
+"""Date family (add_months / months_between / trunc / next_day) and
+array/map constructors (split / str_to_map / map_concat / concat_ws) vs
+pandas-python oracles.
+
+Reference surface: spark_dates.rs:1177, spark_map.rs:1516,
+spark_strings.rs (concat_ws/split)."""
+
+import datetime
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auron_tpu import TableBlock
+from auron_tpu.expr import col, lit, evaluate
+from auron_tpu.expr.eval import materialize, project_block
+from auron_tpu.expr.nodes import func
+from auron_tpu.plan import Session
+from auron_tpu.plan.builder import table
+
+EPOCH = datetime.date(1970, 1, 1)
+
+
+def _days(d):
+    return (d - EPOCH).days
+
+
+def mkblock(**data):
+    return TableBlock.from_pandas(pd.DataFrame(data))
+
+
+def mkdates(**cols):
+    """date32 blocks (datetime64 passes through pandas as [s]/[ns], which
+    infers timestamp64 — force DATE32 like the engine's scan boundary)."""
+    from auron_tpu.dtypes import DATE32
+    data = {k: np.asarray(v, dtype="datetime64[D]").astype(np.int32)
+            for k, v in cols.items()}
+    return TableBlock.from_numpy(data, dtypes={k: DATE32 for k in cols})
+
+
+def out(block, expr, name="_c"):
+    res = project_block(block, [expr.alias(name)])
+    res = TableBlock(res.columns, block.row_mask)
+    return res.to_pandas()[name]
+
+
+DATES = [datetime.date(2020, 1, 31), datetime.date(2019, 2, 28),
+         datetime.date(2000, 12, 15), datetime.date(1999, 6, 1)]
+
+
+def test_add_months():
+    b = mkdates(d=np.array(DATES, dtype="datetime64[D]"))
+    got = out(b, func("add_months", col("d"), params=(1,)))
+    # Jan 31 + 1mo -> Feb 29 2020 (leap clamp); Feb 28 + 1 -> Mar 28
+    want = [datetime.date(2020, 2, 29), datetime.date(2019, 3, 28),
+            datetime.date(2001, 1, 15), datetime.date(1999, 7, 1)]
+    assert [x.date() for x in got] == want
+    got = out(b, func("add_months", col("d"), params=(-13,)))
+    want = [datetime.date(2018, 12, 31), datetime.date(2018, 1, 28),
+            datetime.date(1999, 11, 15), datetime.date(1998, 5, 1)]
+    assert [x.date() for x in got] == want
+
+
+def test_months_between():
+    b = mkdates(
+        a=np.array(["2020-03-31", "2020-03-15", "2020-01-01"],
+                   dtype="datetime64[D]"),
+        b_=np.array(["2020-01-31", "2020-01-15", "2020-03-11"],
+                    dtype="datetime64[D]"))
+    got = out(b, func("months_between", col("a"), col("b_")))
+    # both month-ends -> 2.0; same day -> 2.0; fractional 31-day rule
+    np.testing.assert_allclose(
+        got.to_numpy(),
+        [2.0, 2.0, -2.0 + (1 - 11) / 31.0], atol=1e-8)  # roundOff=8 digits
+
+
+def test_trunc_and_next_day():
+    b = mkdates(d=np.array(["2020-08-17"], dtype="datetime64[D]"))  # Monday
+    assert out(b, func("trunc", col("d"), params=("year",)))[0].date() == \
+        datetime.date(2020, 1, 1)
+    assert out(b, func("trunc", col("d"), params=("month",)))[0].date() == \
+        datetime.date(2020, 8, 1)
+    assert out(b, func("trunc", col("d"), params=("quarter",)))[0].date() \
+        == datetime.date(2020, 7, 1)
+    assert out(b, func("trunc", col("d"), params=("week",)))[0].date() == \
+        datetime.date(2020, 8, 17)  # already Monday
+    assert out(b, func("next_day", col("d"), params=("Mon",)))[0].date() \
+        == datetime.date(2020, 8, 24)
+    assert out(b, func("next_day", col("d"), params=("Sunday",)))[0].date() \
+        == datetime.date(2020, 8, 23)
+    assert out(b, func("next_day", col("d"),
+                       params=("noday",))).isna().all()
+
+
+def test_concat_ws_skips_nulls():
+    b = mkblock(a=["x", None, "z", None],
+                b_=["1", "2", None, None])
+    got = out(b, func("concat_ws", col("a"), col("b_"), params=("-",)))
+    assert got.tolist() == ["x-1", "2", "z", ""]
+
+
+def test_split_and_element_at():
+    s = Session()
+    s.register_pandas("t", pd.DataFrame(
+        {"s": ["a,b,c", "x", "", "a,b"]}))
+    f = (table(s, "t").block_transform("split", "parts", "s", ",")
+         .select(n=func("size", params=("parts",)),
+                 first=func("element_at_array", params=("parts", 1)),
+                 last=func("element_at_array", params=("parts", -1))))
+    got = f.collect()
+    assert got["n"].tolist() == [3, 1, 1, 2]
+    assert got["first"].tolist() == ["a", "x", "", "a"]
+    assert got["last"].tolist() == ["c", "x", "", "b"]
+
+
+def test_str_to_map_and_get():
+    s = Session()
+    s.register_pandas("t", pd.DataFrame(
+        {"s": ["a:1,b:2", "b:9", "c:7,a:0"]}))
+    f = (table(s, "t").block_transform("str_to_map", "m", "s")
+         .select(a=func("map_get", params=("m", "a")),
+                 b=func("map_get", params=("m", "b"))))
+    got = f.collect()
+    assert got["a"].fillna("?").tolist() == ["1", "?", "0"]
+    assert got["b"].fillna("?").tolist() == ["2", "9", "?"]
+
+
+def test_map_concat_last_wins():
+    s = Session()
+    s.register_pandas("t", pd.DataFrame(
+        {"s1": ["a:1,b:2", "a:5"], "s2": ["b:9", "c:3"]}))
+    f = (table(s, "t")
+         .block_transform("str_to_map", "m1", "s1")
+         .block_transform("str_to_map", "m2", "s2")
+         .block_transform("map_concat", "m", "m1", "m2")
+         .select(a=func("map_get", params=("m", "a")),
+                 b=func("map_get", params=("m", "b")),
+                 c=func("map_get", params=("m", "c"))))
+    got = f.collect()
+    assert got["a"].fillna("?").tolist() == ["1", "5"]
+    assert got["b"].fillna("?").tolist() == ["9", "?"]  # m2 wins on b
+    assert got["c"].fillna("?").tolist() == ["?", "3"]
