@@ -54,6 +54,8 @@ def evaluate(expr: N.Expr, block: TableBlock) -> Column:
                            domain=getattr(expr, "domain", None))
     if isinstance(expr, N.CaseWhen):
         return _case_when(expr, block)
+    if isinstance(expr, N.ScalarSubquery):
+        return _scalar_subquery(expr)
     if isinstance(expr, N.InList):
         return _in_list(expr, block)
     if isinstance(expr, N.ScalarFunc):
@@ -460,3 +462,24 @@ def _py_udf(expr: "N.PyUDF", block: TableBlock) -> Column:
         vmap_method="sequential")
     validity = _combine_validity(*cols)
     return Column.of(result, expr.dtype, validity)
+
+
+def _scalar_subquery(expr) -> Column:
+    """Run the embedded 1x1 subplan against the innermost session (traced
+    tables under whole-plan jit) and return a broadcastable 0-d Column."""
+    from auron_tpu.plan.execute import current_session, execute_plan
+    s = current_session()
+    if s is None:
+        raise RuntimeError(
+            "ScalarSubquery evaluated outside execute_plan (no session)")
+    blocks = execute_plan(expr.plan, s)
+    from auron_tpu.ops.join import concat_blocks
+    b = blocks[0] if len(blocks) == 1 else concat_blocks(list(blocks))
+    name = b.names[0]
+    c = b.columns[name]
+    idx = jnp.argmax(b.row_mask)
+    v = c.values[idx]
+    have = b.row_mask[idx]
+    if c.validity is not None:
+        have = have & c.validity[idx]
+    return Column(v, have, c.dtype, c.dict_values)

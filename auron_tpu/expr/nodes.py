@@ -182,6 +182,20 @@ class CaseWhen(Expr):
 
 @_ident_eq
 @dataclass(frozen=True, eq=False)
+class ScalarSubquery(Expr):
+    """A 1x1 subplan embedded as an expression — evaluated INSIDE the same
+    traced program, so whole-plan jit still compiles one XLA program (the
+    eager alternative, Frame.scalar(), bakes a literal). Reference analog:
+    spark_scalar_subquery_wrapper.rs:141."""
+
+    plan: object  # plan.nodes.PlanNode (1 row x 1 column result)
+
+    def children(self):
+        return ()
+
+
+@_ident_eq
+@dataclass(frozen=True, eq=False)
 class InList(Expr):
     child: Expr
     values: Tuple[Any, ...]

@@ -162,6 +162,18 @@ def repartition(blocks: Sequence[TableBlock], part,
     blocks never leave HBM.
     """
     n = part.num_partitions
+    if isinstance(part, RangePartitioning) and not part.bounds:
+        # deferred splitter sampling from the blocks actually being
+        # exchanged (Spark samples driver-side pre-shuffle; here the child
+        # ran once and its outputs are in hand). Under tracing the sample
+        # is unavailable — fall back to a single destination, which keeps
+        # results correct (one globally-sorted partition) at the cost of
+        # balance.
+        import dataclasses
+        import jax.core
+        if not any(isinstance(b.row_mask, jax.core.Tracer) for b in blocks):
+            part = dataclasses.replace(
+                part, bounds=sample_range_bounds(blocks, part.sort_keys, n))
     outs: List[List[TableBlock]] = [[] for _ in range(n)]
     for bi, b in enumerate(blocks):
         p_eff = part

@@ -156,10 +156,11 @@ class Frame:
             plan = PN.Sort(self.plan, tuple(keys), fetch=limit)
             return Frame(self.session, plan, 1)
         if strategy == "range":
-            blocks = execute_plan(self.plan, self.session)
-            bounds = sample_range_bounds(blocks, keys, self.num_partitions)
+            # bounds=() defers splitter sampling to the exchange itself
+            # (parallel/partition.py repartition): the child executes ONCE —
+            # no separate plan-time sampling pass / double execution
             ex = PN.Exchange(self.plan, RangePartitioning(
-                tuple(keys), self.num_partitions, bounds))
+                tuple(keys), self.num_partitions, ()))
             plan = PN.Sort(ex, tuple(keys), fetch=limit)
             return Frame(self.session, plan, self.num_partitions)
         if limit is not None:
@@ -205,6 +206,13 @@ class Frame:
         plan = PN.Window(plan, tuple(partition_by), tuple(order_by),
                          tuple(funcs), group_limit)
         return Frame(self.session, plan, n)
+
+    def as_scalar_expr(self):
+        """This (1x1) frame as an EXPRESSION: evaluated inside the outer
+        plan's traced program, so whole-plan jit stays one XLA program
+        (unlike .scalar(), which executes eagerly and bakes a literal)."""
+        from auron_tpu.expr.nodes import ScalarSubquery
+        return ScalarSubquery(self.plan)
 
     # -- execution ----------------------------------------------------------
     def scalar(self):

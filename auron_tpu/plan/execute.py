@@ -104,6 +104,19 @@ class Session:
         return pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
 
 
+import threading as _threading
+
+_EXEC_TLS = _threading.local()
+
+
+def current_session() -> Optional[Session]:
+    """The session of the innermost running execute_plan (scalar-subquery
+    expressions resolve their scans against it, so under whole-plan jit
+    they see the TRACED table arguments, not stale concrete copies)."""
+    stack = getattr(_EXEC_TLS, "stack", None)
+    return stack[-1] if stack else None
+
+
 def execute_plan(plan: PN.PlanNode, session: Session,
                  annotate: bool = True) -> List[TableBlock]:
     """Evaluate the plan bottom-up; traceable (jit the caller for fusion).
@@ -116,7 +129,14 @@ def execute_plan(plan: PN.PlanNode, session: Session,
         from auron_tpu.plan.prune import prune_plan
         from auron_tpu.plan.stats import annotate_plan
         plan = annotate_plan(prune_plan(plan, session), session)
-    return _exec(plan, session)
+    stack = getattr(_EXEC_TLS, "stack", None)
+    if stack is None:
+        stack = _EXEC_TLS.stack = []
+    stack.append(session)
+    try:
+        return _exec(plan, session)
+    finally:
+        stack.pop()
 
 
 def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
@@ -124,9 +144,9 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
     out = _dispatch(node, s)
     if s.conf.get(config.METRICS_ENABLE):
         key = f"{type(node).__name__}@{id(node):x}"
-        m = s.metrics.setdefault(key, {"calls": 0, "wall_s": 0.0})
-        m["calls"] += 1
-        m["wall_s"] += time.perf_counter() - t0
+        m = s.metrics.setdefault(key, {})
+        m["calls"] = m.get("calls", 0) + 1
+        m["wall_s"] = m.get("wall_s", 0.0) + (time.perf_counter() - t0)
         m["partitions"] = len(out)
         # under whole-plan jit the wall time above is trace time; the
         # traced rows_out counters ride the program outputs instead

@@ -34,7 +34,8 @@ def register_udf(name: str, fn: Callable) -> str:
 
 _EXPR_TYPES = {c.__name__: c for c in (
     E.Column, E.Literal, E.BinaryOp, E.Not, E.IsNull, E.Cast, E.CaseWhen,
-    E.InList, E.ScalarFunc, E.Alias, E.PyUDF)}
+    E.InList, E.ScalarFunc, E.Alias, E.PyUDF,
+    E.ScalarSubquery)}
 _PLAN_TYPES = {c.__name__: c for c in (
     PN.MemoryScan, PN.ParquetScan, PN.OrcScan, PN.Filter, PN.Project, PN.Agg,
     PN.Sort, PN.Limit, PN.Join, PN.Exchange, PN.Union, PN.Expand, PN.Window,

@@ -148,3 +148,62 @@ def test_per_op_metrics_under_jit():
     assert rows["MemoryScan"] == 500
     report = s.metrics_report()
     assert "rows_out" in report
+
+
+def test_range_sort_single_execution():
+    """Range-strategy sort samples splitters at the exchange, not via a
+    separate plan-time execution — the child runs exactly once."""
+    import numpy as np
+    import pandas as pd
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.plan import Session
+    from auron_tpu.plan.builder import table
+    rng = np.random.default_rng(71)
+    df = pd.DataFrame({"k": rng.integers(0, 1000, 4000).astype(np.int64),
+                       "v": rng.normal(size=4000)})
+    s = Session()
+    s.register_pandas("t", df, num_partitions=4)
+    f = table(s, "t").sort(SortKey("k"), strategy="range")
+    blocks = f.blocks()
+    # each output partition sorted; partitions globally ordered; balanced
+    last = None
+    total = 0
+    sizes = []
+    for b in blocks:
+        p = b.to_pandas()
+        total += len(p)
+        sizes.append(len(p))
+        if len(p) == 0:
+            continue
+        assert (p["k"].to_numpy() == np.sort(p["k"].to_numpy())).all()
+        if last is not None:
+            assert p["k"].iloc[0] >= last
+        last = p["k"].iloc[-1]
+    assert total == len(df)
+    assert max(sizes) < 0.6 * total  # splitters actually spread rows
+    # the scan executed exactly once (metrics 'calls' counts eager evals)
+    scan_calls = [m["calls"] for k, m in s.metrics.items()
+                  if k.startswith("MemoryScan")]
+    assert scan_calls and max(scan_calls) == 1, s.metrics
+
+
+def test_scalar_subquery_inside_jit():
+    """as_scalar_expr keeps the whole query one XLA program: the subquery's
+    aggregate evaluates against the SAME traced tables."""
+    import numpy as np
+    import pandas as pd
+    from auron_tpu.expr.nodes import col
+    from auron_tpu.plan import Session
+    from auron_tpu.plan.builder import table
+    rng = np.random.default_rng(72)
+    df = pd.DataFrame({"k": rng.integers(0, 20, 2000).astype(np.int64),
+                       "v": rng.normal(size=2000).round(4)})
+    s = Session()
+    s.register_pandas("t", df)
+    avg_v = table(s, "t").groupby().agg(a=("avg", col("v"))).as_scalar_expr()
+    f = table(s, "t").filter(col("v") > avg_v)
+    got = f.collect(jit=True)
+    want = df[df["v"] > df["v"].mean()]
+    assert len(got) == len(want)
+    got2 = f.collect(jit=False)
+    assert len(got2) == len(want)
