@@ -485,3 +485,7 @@ QUERIES.update(QUERIES_WEB)
 from auron_tpu.tpcds.queries_misc import QUERIES_MISC  # noqa: E402
 
 QUERIES.update(QUERIES_MISC)
+
+from auron_tpu.tpcds.queries_rollup import QUERIES_ROLLUP  # noqa: E402
+
+QUERIES.update(QUERIES_ROLLUP)  # replaces the earlier simplified q67
