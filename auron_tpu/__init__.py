@@ -16,9 +16,23 @@ to an HBM budget and fall back to multi-pass chunked algorithms.
 SQL engines need 64-bit integers and doubles; enable x64 before anything else.
 """
 
+import os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: first compiles through the remote-compile
+# tunnel run 40s-10min; cached reloads are sub-second. Opt out with
+# AURON_TPU_COMPILE_CACHE=off.
+_cache_dir = os.environ.get("AURON_TPU_COMPILE_CACHE",
+                            os.path.expanduser("~/.cache/auron_tpu_xla"))
+if _cache_dir.lower() not in ("off", "0", "false"):
+    try:
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax without the knobs
+        pass
 
 from auron_tpu.config import AuronConf, conf  # noqa: E402
 from auron_tpu.block import Column, TableBlock  # noqa: E402
