@@ -38,6 +38,8 @@ _PARAM_FNS = {"substring": 1, "substr": 1, "concat_ws": None, "trunc": 1,
 
 
 def _is_agg(e) -> bool:
+    if isinstance(e, A.WindowFn):
+        return False  # window aggregates are not GROUP BY aggregates
     if isinstance(e, A.Fn) and (e.name in _AGG_FNS or e.star):
         return True
     for f in getattr(e, "__dataclass_fields__", {}):
@@ -211,6 +213,9 @@ def _select(sel: A.Select, session) -> Frame:
     f = _rel(sel.rel, session)
     if sel.where is not None:
         f = f.filter(_expr(sel.where))
+    win = [p for p in sel.projs if isinstance(p.expr, A.WindowFn)]
+    if win:
+        return _select_window(sel, f, win)
     has_agg = any(_is_agg(p.expr) for p in sel.projs) or sel.group_by
     if has_agg:
         keys = []
@@ -246,6 +251,70 @@ def _select(sel: A.Select, session) -> Frame:
                 raise NotImplementedError(
                     "ORDER BY expressions (alias them in SELECT)")
         f = f.sort(*sort_keys, limit=sel.limit)
+    elif sel.limit is not None:
+        f = f.limit(sel.limit)
+    return f
+
+
+_WINDOW_KINDS = {"row_number", "rank", "dense_rank", "percent_rank",
+                 "cume_dist", "sum", "min", "max", "count", "avg",
+                 "lead", "lag", "first_value", "last_value", "ntile"}
+
+
+def _select_window(sel: A.Select, f: Frame, win) -> Frame:
+    """SELECT with window functions (no GROUP BY mixing): group window
+    calls by identical (PARTITION BY, ORDER BY) spec, apply Frame.window
+    per spec, then project the requested columns."""
+    from auron_tpu.ops.window import WindowFunc
+    specs: Dict[tuple, list] = {}
+    names: Dict[int, str] = {}
+    for i, p in enumerate(sel.projs):
+        if not isinstance(p.expr, A.WindowFn):
+            continue
+        w = p.expr
+        if w.fn.name not in _WINDOW_KINDS:
+            raise NotImplementedError(f"window function {w.fn.name}")
+        part = tuple(g.name if isinstance(g, A.Ident) else None
+                     for g in w.partition_by)
+        if None in part:
+            raise NotImplementedError("PARTITION BY expressions")
+        order = tuple((o.expr.name, o.ascending) for o in w.order_by
+                      if isinstance(o.expr, A.Ident))
+        if len(order) != len(w.order_by):
+            raise NotImplementedError("ORDER BY expressions in OVER")
+        name = p.alias or f"_w{i}"
+        names[i] = name
+        inp = None
+        if w.fn.args:
+            if not isinstance(w.fn.args[0], A.Ident):
+                raise NotImplementedError("window arg must be a column")
+            inp = w.fn.args[0].name
+        specs.setdefault((part, order), []).append(
+            WindowFunc(name, w.fn.name, input=inp))
+    for (part, order), funcs in specs.items():
+        f = f.window(list(part),
+                     [SortKey(c, ascending=a) for c, a in order],
+                     tuple(funcs))
+    items = {}
+    for i, p in enumerate(sel.projs):
+        if isinstance(p.expr, A.WindowFn):
+            items[names[i]] = None  # already a column
+        elif isinstance(p.expr, A.Ident):
+            items[p.alias or p.expr.name] = (
+                _expr(p.expr) if p.alias and p.alias != p.expr.name
+                else None)
+        else:
+            items[p.alias or f"_c{i}"] = _expr(p.expr)
+    sel_names = [n for n, e in items.items() if e is None]
+    sel_exprs = {n: e for n, e in items.items() if e is not None}
+    f = f.select(*sel_names, **sel_exprs)
+    if sel.order_by:
+        keys = []
+        for o in sel.order_by:
+            if not isinstance(o.expr, A.Ident):
+                raise NotImplementedError("ORDER BY expressions")
+            keys.append(SortKey(o.expr.name, ascending=o.ascending))
+        f = f.sort(*keys, limit=sel.limit)
     elif sel.limit is not None:
         f = f.limit(sel.limit)
     return f

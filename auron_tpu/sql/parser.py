@@ -42,7 +42,8 @@ _KEYWORDS = {
     "order", "limit", "join", "inner", "left", "right", "full", "outer",
     "semi", "anti", "on", "and", "or", "not", "in", "like", "between",
     "is", "null", "as", "case", "when", "then", "else", "end", "cast",
-    "union", "all", "asc", "desc", "true", "false", "exists"}
+    "union", "all", "asc", "desc", "true", "false", "exists", "over",
+    "partition"}
 
 
 @dataclass
@@ -104,6 +105,13 @@ class Fn:
     args: List[Any]
     distinct: bool = False
     star: bool = False
+
+
+@dataclass
+class WindowFn:
+    fn: "Fn"
+    partition_by: List[Any]
+    order_by: List["OrderItem"]
 
 
 @dataclass
@@ -279,6 +287,24 @@ class Parser:
         elif self.peek().kind == "ident":
             alias = self.next().text
         return Proj(e, alias)
+
+    def maybe_over(self, fn):
+        if not self.accept("kw", "over"):
+            return fn
+        self.expect("op", "(")
+        part, order = [], []
+        if self.accept("kw", "partition"):
+            self.expect("kw", "by")
+            part = [self.expr()]
+            while self.accept("op", ","):
+                part.append(self.expr())
+        if self.accept("kw", "order"):
+            self.expect("kw", "by")
+            order = [self.order_item()]
+            while self.accept("op", ","):
+                order.append(self.order_item())
+        self.expect("op", ")")
+        return WindowFn(fn, part, order)
 
     def order_item(self) -> OrderItem:
         e = self.expr()
@@ -468,14 +494,16 @@ class Parser:
                 distinct = bool(self.accept("kw", "distinct"))
                 if self.accept("op", "*"):
                     self.expect("op", ")")
-                    return Fn(t.text.lower(), [], star=True)
+                    fn = Fn(t.text.lower(), [], star=True)
+                    return self.maybe_over(fn)
                 args = []
                 if not self.accept("op", ")"):
                     args = [self.expr()]
                     while self.accept("op", ","):
                         args.append(self.expr())
                     self.expect("op", ")")
-                return Fn(t.text.lower(), args, distinct=distinct)
+                fn = Fn(t.text.lower(), args, distinct=distinct)
+                return self.maybe_over(fn)
             parts = [t.text]
             while self.peek().kind == "op" and self.peek().text == "." and \
                     self.peek(1).kind == "ident":

@@ -120,3 +120,29 @@ def test_cast_and_distinct(sess):
                 "WHERE qty < 4 ORDER BY q")
     want = sorted({str(q) for q in sales[sales["qty"] < 4]["qty"]})
     assert got["q"].tolist() == want
+
+
+def test_window_functions(sess):
+    s, sales, items = sess
+    got = s.sql(
+        "SELECT store, price, "
+        "rank() OVER (PARTITION BY store ORDER BY price DESC) AS rk, "
+        "sum(price) OVER (PARTITION BY store ORDER BY price DESC) AS run "
+        "FROM sales WHERE qty = 1 ORDER BY store, rk LIMIT 50")
+    t = sales[sales["qty"] == 1].copy()
+    t = t.sort_values(["store", "price"], ascending=[True, False],
+                      kind="stable")
+    t["rk"] = t.groupby("store")["price"].rank(
+        method="min", ascending=False).astype(np.int64)
+    # engine 'sum' over an ordered window = Spark's RANGE-cumulative frame
+    t["run"] = t.groupby("store")["price"].transform(
+        lambda x: x.cumsum())
+    # peers (equal price) share the cumulative value under RANGE frames
+    t["run"] = t.groupby(["store", "price"])["run"].transform("max")
+    want = t.sort_values(["store", "rk", "price"], kind="stable").head(50)
+    np.testing.assert_array_equal(got["store"].to_numpy(),
+                                  want["store"].to_numpy())
+    np.testing.assert_array_equal(got["rk"].to_numpy(),
+                                  want["rk"].to_numpy())
+    np.testing.assert_allclose(got["run"].to_numpy(),
+                               want["run"].to_numpy(), rtol=1e-9)
