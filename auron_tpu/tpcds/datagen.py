@@ -317,11 +317,14 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ss_quantity": quantity,
         "ss_sales_price": sales_price,
         "ss_list_price": list_price,
+        "ss_wholesale_cost": wholesale,
+        "ss_net_paid": (sales_price * quantity * 0.97).round(2),
         "ss_ext_sales_price": (sales_price * quantity).round(2),
         "ss_ext_list_price": (list_price * quantity).round(2),
         "ss_ext_wholesale_cost": (wholesale * quantity).round(2),
         "ss_ext_tax": (sales_price * quantity * 0.08).round(2),
         "ss_coupon_amt": money(nss, 0, 40),
+        "ss_ext_discount_amt": money(nss, 0, 60),
         "ss_net_profit": (rng.normal(25, 120, nss)).round(2),
     })
     t["store_sales"] = ss

@@ -489,3 +489,7 @@ QUERIES.update(QUERIES_MISC)
 from auron_tpu.tpcds.queries_rollup import QUERIES_ROLLUP  # noqa: E402
 
 QUERIES.update(QUERIES_ROLLUP)  # replaces the earlier simplified q67
+
+from auron_tpu.tpcds.queries_misc2 import QUERIES_MISC2  # noqa: E402
+
+QUERIES.update(QUERIES_MISC2)
