@@ -194,10 +194,12 @@ class TableBlock:
                                     for v, na in zip(npa, isna)])
             if npa.dtype == object or str(npa.dtype).startswith(("str", "<U")) \
                     or (dtypes and name in dtypes and dtypes[name].is_string):
-                # dictionary-encode on host
+                # dictionary-encode on host (native/strings.cpp when
+                # available; np.unique-compatible sorted dictionary)
                 filled = np.where(isna, "", npa.astype(object))
-                uniq, codes = np.unique(filled.astype(str), return_inverse=True)
-                data[name] = codes.astype(np.int32)
+                from auron_tpu.expr.strings_host import dict_encode
+                codes, uniq = dict_encode(filled)
+                data[name] = codes
                 dicts[name] = uniq
                 dts[name] = STRING
             elif isna.any():

@@ -17,29 +17,36 @@ from typing import Optional
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _SRC = os.path.join(_REPO, "native", "serde.cpp")
+_SRC_STRINGS = os.path.join(_REPO, "native", "strings.cpp")
 _BUILD_DIR = os.path.join(_REPO, "native", "build")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_strlib: Optional[ctypes.CDLL] = None
+_strtried = False
 
 
-def _build_so() -> Optional[str]:
-    if not os.path.exists(_SRC):
+def _compile(src: str, stem: str, extra=()) -> Optional[str]:
+    if not os.path.exists(src):
         return None
-    with open(_SRC, "rb") as f:
+    with open(src, "rb") as f:
         tag = hashlib.sha256(f.read()).hexdigest()[:16]
-    so = os.path.join(_BUILD_DIR, f"libauronserde-{tag}.so")
+    so = os.path.join(_BUILD_DIR, f"lib{stem}-{tag}.so")
     if os.path.exists(so):
         return so
     os.makedirs(_BUILD_DIR, exist_ok=True)
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-           "-o", so + ".tmp", "-lzstd"]
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", src,
+           "-o", so + ".tmp", *extra]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so + ".tmp", so)
         return so
     except (subprocess.SubprocessError, OSError):
         return None
+
+
+def _build_so() -> Optional[str]:
+    return _compile(_SRC, "auronserde", ("-lzstd",))
 
 
 def lib() -> Optional[ctypes.CDLL]:
@@ -79,3 +86,30 @@ def lib() -> Optional[ctypes.CDLL]:
 
 def _as_u8p(arr):
     return arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def strings_lib() -> Optional[ctypes.CDLL]:
+    """Native string-ingest kernels (native/strings.cpp), or None."""
+    global _strlib, _strtried
+    if _strtried:
+        return _strlib
+    _strtried = True
+    so = _compile(_SRC_STRINGS, "auronstrings")
+    if so is None:
+        return None
+    try:
+        L = ctypes.CDLL(so)
+    except OSError:
+        return None
+    c_u8p = ctypes.POINTER(ctypes.c_uint8)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    c_u32p = ctypes.POINTER(ctypes.c_uint32)
+    L.auron_dict_encode.argtypes = [c_i32p, c_u8p, ctypes.c_int64,
+                                    c_i32p, c_i64p]
+    L.auron_dict_encode.restype = ctypes.c_int64
+    L.auron_remap_codes.argtypes = [c_i32p, ctypes.c_int64, c_i32p]
+    L.auron_byte_planes.argtypes = [c_i32p, c_u8p, ctypes.c_int64,
+                                    ctypes.c_int32, c_u32p, c_i32p]
+    _strlib = L
+    return _strlib

@@ -196,6 +196,13 @@ def dictionary_byte_planes(dict_values: Optional[np.ndarray]):
     hit = _DICT_PLANE_CACHE.get(key)
     if hit is not None:
         return hit[1]
+    from auron_tpu.expr.strings_host import byte_planes as _native_planes
+    np_planes = _native_planes(dict_values) if all(
+        isinstance(s, str) for s in dict_values) else None
+    if np_planes is not None:
+        words, lens = np_planes
+        _DICT_PLANE_CACHE[key] = (dict_values, (words, lens))
+        return words, lens
     encoded = [s.encode("utf-8") if isinstance(s, str) else bytes(s)
                for s in dict_values]
     max_len = max((len(b) for b in encoded), default=0)
