@@ -264,6 +264,15 @@ PALLAS_FUSED_ENABLE = ConfigOption(
     "shapes where a hand-scheduled pipeline may win and as the Mosaic "
     "reference kernel (BENCH_NOTES.md).")
 
+MXU_GATHER_MAX_TABLE = ConfigOption(
+    "auron.gather.mxu.max.table", 0, int,
+    "Route random gathers from tables up to this many rows through the "
+    "blocked one-hot MXU matmul (ops/mxu_gather.py). Default 0 (off): "
+    "measured on v5e, it wins only for tiny single-plane tables (36 vs "
+    "65ms at 8M indices x 16k rows) and loses heavily for multi-plane "
+    "stacks, where XLA's stacked 2-D gather amortizes per-index cost "
+    "(BENCH_NOTES). Kept as the measured reference implementation.")
+
 PALLAS_INTERPRET = ConfigOption(
     "auron.pallas.interpret", False, bool,
     "Run Pallas kernels in interpreter mode on non-TPU backends (testing).")

@@ -69,7 +69,12 @@ def batched_take(arrays: dict, indices) -> dict:
                 out[k] = got[:, j]
     if not cols:
         return out
-    if len(cols) == 1:
+    from auron_tpu.ops.mxu_gather import mxu_gather_i32_planes, use_mxu_gather
+    n_rows = cols[0].shape[0]
+    if use_mxu_gather(n_rows, indices.shape[0]):
+        got = mxu_gather_i32_planes(jnp.stack(cols, axis=1),
+                                    indices.astype(jnp.int32))
+    elif len(cols) == 1:
         got = jnp.take(cols[0], indices)[:, None]
     else:
         got = jnp.take(jnp.stack(cols, axis=1), indices, axis=0)

@@ -83,3 +83,32 @@ def test_groupby_through_fused_kernel():
     np.testing.assert_array_equal(got["c"], want["c"])
     np.testing.assert_array_equal(got["cv"], want["cv"])
     np.testing.assert_allclose(got["av"], want["av"], rtol=2e-5, atol=1e-6)
+
+
+def test_mxu_gather_through_join():
+    """The one-hot MXU gather path (forced via interpret mode) produces the
+    same join results as XLA's gather."""
+    import pandas as pd
+    from auron_tpu.plan import Session
+    from auron_tpu.plan.builder import table
+    rng = np.random.default_rng(91)
+    n = 70_000
+    fact = pd.DataFrame({"k": rng.integers(0, 500, n).astype(np.int32),
+                         "v": rng.normal(size=n)})
+    dim = pd.DataFrame({"j": np.arange(500, dtype=np.int32),
+                        "grp": (np.arange(500) % 7).astype(np.int32),
+                        "w": rng.normal(size=500).astype(np.float32)})
+    s = Session()
+    s.register_pandas("f", fact)
+    s.register_pandas("d", dim)
+    from auron_tpu.expr.nodes import col
+    q = (table(s, "f").join(table(s, "d"), ("k",), ("j",))
+         .groupby("grp").agg(sv=("sum", col("v")),
+                             sw=("sum", col("w"))))
+    base = q.collect().sort_values("grp").reset_index(drop=True)
+    with config.conf.scoped(auron__pallas__interpret=True,
+                            auron__gather__mxu__max__table=1 << 17):
+        mxu = q.collect().sort_values("grp").reset_index(drop=True)
+    np.testing.assert_array_equal(base["grp"], mxu["grp"])
+    np.testing.assert_allclose(base["sv"], mxu["sv"], rtol=1e-12)
+    np.testing.assert_allclose(base["sw"], mxu["sw"], rtol=1e-12)
