@@ -31,10 +31,20 @@ import pandas as pd
 EPOCH = datetime.date(1998, 1, 1)
 N_DAYS = 2191  # 1998-01-01 .. 2003-12-31
 
-BRANDS = [f"brand#{i}" for i in range(1, 61)]
+# brand/class pools include the literal names the q47/q53/q63/q89 matrix
+# predicates select (verbatim from the reference SQL, incl. dsdgen's
+# 'refernece'/'birdal' typos)
+BRANDS = [f"brand#{i}" for i in range(1, 53)] + [
+    "scholaramalgamalg #14", "scholaramalgamalg #7",
+    "exportiunivamalg #9", "scholaramalgamalg #9",
+    "amalgimporto #1", "edu packscholar #1", "exportiimporto #1",
+    "importoamalg #1"]
 CATEGORIES = ["Books", "Electronics", "Home", "Jewelry", "Men", "Music",
-              "Shoes", "Sports", "Toys", "Women"]
-CLASSES = [f"class#{i}" for i in range(1, 17)]
+              "Shoes", "Sports", "Toys", "Women", "Children"]
+CLASSES = [f"class#{i}" for i in range(1, 9)] + [
+    "personal", "portable", "refernece", "reference", "self-help",
+    "accessories", "classical", "fragrances", "pants", "computers",
+    "stereo", "football", "shirts", "birdal", "dresses"]
 STATES = ["TN", "CA", "TX", "NY", "WA", "GA", "OH", "IL", "FL", "MI",
           "OR", "NM", "KY", "VA", "MS", "CO", "MN", "IN", "NJ", "WI",
           "CT", "LA", "IA", "AR"]
@@ -178,6 +188,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "s_suite_number": [f"Suite {k * 10}" for k in range(ns_)],
         "s_gmt_offset": rng.choice([-5.0, -6.0], ns_),
         "s_number_employees": rng.integers(180, 320, ns_).astype(np.int32),
+        "s_company_name": rng.choice(["Unknown", "ation", "bar"], ns_),
         "s_company_id": rng.integers(1, 4, ns_).astype(np.int32),
     })
 
@@ -308,7 +319,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ss_customer_sk": rng.integers(0, nc, nss).astype(np.int32),
         "ss_cdemo_sk": rng.integers(0, ncd, nss).astype(np.int32),
         "ss_hdemo_sk": rng.integers(0, nhd, nss).astype(np.int32),
-        "ss_addr_sk": rng.integers(0, na, nss).astype(np.int32),
+        "ss_addr_sk": nullable_fk(nss, na, 0.03),
         "ss_store_sk": nullable_fk(nss, ns_, 0.02),
         "ss_promo_sk": rng.integers(0, n["promotion"], nss).astype(np.int32),
         # several line items share one ticket (dsdgen sells baskets)

@@ -493,3 +493,7 @@ QUERIES.update(QUERIES_ROLLUP)  # replaces the earlier simplified q67
 from auron_tpu.tpcds.queries_misc2 import QUERIES_MISC2  # noqa: E402
 
 QUERIES.update(QUERIES_MISC2)
+
+from auron_tpu.tpcds.queries_window import QUERIES_WINDOW  # noqa: E402
+
+QUERIES.update(QUERIES_WINDOW)

@@ -192,8 +192,10 @@ def q79_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
          .merge(st, left_on="ss_store_sk", right_on="s_store_sk")
          .merge(hd, left_on="ss_hdemo_sk", right_on="hd_demo_sk"))
+    # ss_addr_sk is nullable and a GROUP key: SQL (and the engine) keep
+    # the NULL group
     ms = j.groupby(["ss_ticket_number", "ss_customer_sk", "ss_addr_sk",
-                    "s_city"]).agg(
+                    "s_city"], dropna=False).agg(
         amt=("ss_coupon_amt", "sum"),
         profit=("ss_net_profit", "sum")).reset_index()
     out = ms.merge(t["customer"], left_on="ss_customer_sk",
