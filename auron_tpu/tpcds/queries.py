@@ -497,3 +497,7 @@ QUERIES.update(QUERIES_MISC2)
 from auron_tpu.tpcds.queries_window import QUERIES_WINDOW  # noqa: E402
 
 QUERIES.update(QUERIES_WINDOW)
+
+from auron_tpu.tpcds.queries_lag import QUERIES_LAG  # noqa: E402
+
+QUERIES.update(QUERIES_LAG)
