@@ -141,10 +141,15 @@ def generate(sf: float = 1.0, seed: int = 0,
 
     t["date_dim"] = _date_dim()
 
+    hours = (np.arange(1440) // 60).astype(np.int32)
+    meal = np.where(
+        (hours >= 6) & (hours < 9), "breakfast",
+        np.where((hours >= 17) & (hours < 20), "dinner", "")).astype(object)
     t["time_dim"] = pd.DataFrame({
         "t_time_sk": np.arange(1440, dtype=np.int32),
-        "t_hour": (np.arange(1440) // 60).astype(np.int32),
+        "t_hour": hours,
         "t_minute": (np.arange(1440) % 60).astype(np.int32),
+        "t_meal_time": meal,
     })
 
     ni = n["item"]
@@ -251,6 +256,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "p_promo_sk": np.arange(n["promotion"], dtype=np.int32),
         "p_channel_email": rng.choice(["N", "Y"], n["promotion"]),
         "p_channel_event": rng.choice(["N", "Y"], n["promotion"]),
+        "p_channel_dmail": rng.choice(["N", "Y"], n["promotion"]),
+        "p_channel_tv": rng.choice(["N", "Y"], n["promotion"]),
     })
 
     nw = n["warehouse"]
@@ -282,6 +289,7 @@ def generate(sf: float = 1.0, seed: int = 0,
     t["call_center"] = pd.DataFrame({
         "cc_call_center_sk": np.arange(n["call_center"], dtype=np.int32),
         "cc_name": [f"call center {k}" for k in range(n["call_center"])],
+        "cc_county": rng.choice(COUNTIES, n["call_center"]),
     })
 
     t["reason"] = pd.DataFrame({
@@ -366,6 +374,7 @@ def generate(sf: float = 1.0, seed: int = 0,
     cs_sold = rng.integers(0, N_DAYS - 130, ncs).astype(np.int32)
     cs = pd.DataFrame({
         "cs_sold_date_sk": cs_sold,
+        "cs_sold_time_sk": rng.integers(0, 1440, ncs).astype(np.int32),
         "cs_ship_date_sk": (cs_sold +
                             rng.integers(1, 130, ncs)).astype(np.int32),
         "cs_item_sk": item_fk(ncs),
@@ -387,6 +396,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_ext_sales_price": (csales * cquantity).round(2),
         "cs_coupon_amt": money(ncs, 0, 40),
         "cs_ext_discount_amt": money(ncs, 0, 60),
+        "cs_ext_ship_cost": money(ncs, 0, 50),
         "cs_net_profit": (rng.normal(25, 120, ncs)).round(2),
     })
     t["catalog_sales"] = cs
@@ -436,6 +446,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ws_ext_ship_cost": money(nws, 0, 50),
         "ws_ext_discount_amt": money(nws, 0, 60),
         "ws_net_profit": (rng.normal(25, 120, nws)).round(2),
+        "ws_net_paid": (wsales * wquantity * 0.97).round(2),
     })
     t["web_sales"] = ws
 

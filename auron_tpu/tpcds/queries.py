@@ -501,3 +501,7 @@ QUERIES.update(QUERIES_WINDOW)
 from auron_tpu.tpcds.queries_lag import QUERIES_LAG  # noqa: E402
 
 QUERIES.update(QUERIES_LAG)
+
+from auron_tpu.tpcds.queries_misc3 import QUERIES_MISC3  # noqa: E402
+
+QUERIES.update(QUERIES_MISC3)
