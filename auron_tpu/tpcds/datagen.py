@@ -247,6 +247,14 @@ def generate(sf: float = 1.0, seed: int = 0,
         "c_salutation": rng.choice(SALUTATIONS, nc),
         "c_preferred_cust_flag": rng.choice(["Y", "N"], nc),
         "c_birth_year": rng.integers(1930, 2000, nc).astype(np.int32),
+        "c_birth_month": rng.integers(1, 13, nc).astype(np.int32),
+        "c_birth_day": rng.integers(1, 29, nc).astype(np.int32),
+        "c_birth_country": rng.choice(["UNITED STATES", "CANADA",
+                                       "MEXICO"], nc),
+        "c_login": [f"login{k}" for k in range(nc)],
+        "c_email_address": [f"c{k}@example.com" for k in range(nc)],
+        "c_last_review_date_sk": rng.integers(0, N_DAYS,
+                                              nc).astype(np.int32),
         "c_current_addr_sk": rng.integers(0, na, nc).astype(np.int32),
         "c_current_cdemo_sk": rng.integers(0, ncd, nc).astype(np.int32),
         "c_current_hdemo_sk": rng.integers(0, nhd, nc).astype(np.int32),
@@ -410,6 +418,11 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cr_item_sk": cs["cs_item_sk"].to_numpy()[picks],
         "cr_order_number": cs["cs_order_number"].to_numpy()[picks],
         "cr_refunded_cash": money(ncr, 0, 400),
+        "cr_returning_customer_sk": cs["cs_bill_customer_sk"]
+            .to_numpy()[picks],
+        "cr_returning_addr_sk": rng.integers(0, na, ncr).astype(np.int32),
+        "cr_return_amt_inc_tax": money(ncr, 0, 550),
+        "cr_net_loss": money(ncr, 0, 300),
     })
 
     # ---- web_sales + returns ----------------------------------------------
@@ -464,6 +477,10 @@ def generate(sf: float = 1.0, seed: int = 0,
         "wr_reason_sk": rng.integers(0, n["reason"], nwr).astype(np.int32),
         "wr_refunded_cash": money(nwr, 0, 400),
         "wr_fee": money(nwr, 0, 80),
+        "wr_returning_customer_sk": ws["ws_bill_customer_sk"]
+            .to_numpy()[picks],
+        "wr_returning_addr_sk": rng.integers(0, na, nwr).astype(np.int32),
+        "wr_return_amt": money(nwr, 0, 500),
     })
 
     # ---- inventory ---------------------------------------------------------

@@ -505,3 +505,7 @@ QUERIES.update(QUERIES_LAG)
 from auron_tpu.tpcds.queries_misc3 import QUERIES_MISC3  # noqa: E402
 
 QUERIES.update(QUERIES_MISC3)
+
+from auron_tpu.tpcds.queries_returns import QUERIES_RETURNS  # noqa: E402
+
+QUERIES.update(QUERIES_RETURNS)
