@@ -214,13 +214,20 @@ def generate(sf: float = 1.0, seed: int = 0,
     # cross-product demographics like dsdgen (gender x marital x education)
     cd = [(g, m, e) for g in ("M", "F") for m in MARITAL for e in EDUCATION]
     cd = cd * 8  # multiple sks share a profile, as in dsdgen
+    ncd = len(cd)
     t["customer_demographics"] = pd.DataFrame({
-        "cd_demo_sk": np.arange(len(cd), dtype=np.int32),
+        "cd_demo_sk": np.arange(ncd, dtype=np.int32),
         "cd_gender": [x[0] for x in cd],
         "cd_marital_status": [x[1] for x in cd],
         "cd_education_status": [x[2] for x in cd],
+        "cd_dep_count": rng.integers(0, 7, ncd).astype(np.int32),
+        "cd_dep_employed_count": rng.integers(0, 7, ncd).astype(np.int32),
+        "cd_dep_college_count": rng.integers(0, 7, ncd).astype(np.int32),
+        "cd_purchase_estimate": (rng.integers(1, 12, ncd) *
+                                 500).astype(np.int32),
+        "cd_credit_rating": rng.choice(["Low Risk", "Good", "High Risk",
+                                        "Unknown"], ncd),
     })
-    ncd = len(cd)
 
     nib = n["income_band"]
     t["income_band"] = pd.DataFrame({
@@ -387,6 +394,7 @@ def generate(sf: float = 1.0, seed: int = 0,
                             rng.integers(1, 130, ncs)).astype(np.int32),
         "cs_item_sk": item_fk(ncs),
         "cs_bill_customer_sk": rng.integers(0, nc, ncs).astype(np.int32),
+        "cs_ship_customer_sk": rng.integers(0, nc, ncs).astype(np.int32),
         "cs_bill_cdemo_sk": rng.integers(0, ncd, ncs).astype(np.int32),
         "cs_bill_addr_sk": rng.integers(0, na, ncs).astype(np.int32),
         "cs_ship_addr_sk": nullable_fk(ncs, na),

@@ -509,3 +509,7 @@ QUERIES.update(QUERIES_MISC3)
 from auron_tpu.tpcds.queries_returns import QUERIES_RETURNS  # noqa: E402
 
 QUERIES.update(QUERIES_RETURNS)
+
+from auron_tpu.tpcds.queries_demo import QUERIES_DEMO  # noqa: E402
+
+QUERIES.update(QUERIES_DEMO)
