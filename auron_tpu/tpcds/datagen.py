@@ -51,7 +51,9 @@ STATES = ["TN", "CA", "TX", "NY", "WA", "GA", "OH", "IL", "FL", "MI",
 CITIES = ["Fairview", "Midway", "Edgewood", "Pleasant Hill", "Oakland",
           "Riverside", "Centerville", "Liberty", "Salem", "Glendale"]
 COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
-            "Orange County", "Ziebach County", "Walker County"]
+            "Orange County", "Ziebach County", "Walker County",
+            "Rush County", "Toole County", "Jefferson County",
+            "Dona Ana County", "La Porte County"]
 MAGIC_ZIPS = ["85669", "86197", "88274", "83405", "86475", "85392",
               "85460", "80348", "81792"]
 STORE_NAMES = ["ese", "ought", "able", "pri", "bar", "anti", "cally"]

@@ -513,3 +513,7 @@ QUERIES.update(QUERIES_RETURNS)
 from auron_tpu.tpcds.queries_demo import QUERIES_DEMO  # noqa: E402
 
 QUERIES.update(QUERIES_DEMO)
+
+from auron_tpu.tpcds.queries_weeks import QUERIES_WEEKS  # noqa: E402
+
+QUERIES.update(QUERIES_WEEKS)
