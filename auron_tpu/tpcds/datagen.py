@@ -151,6 +151,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "t_time_sk": np.arange(1440, dtype=np.int32),
         "t_hour": hours,
         "t_minute": (np.arange(1440) % 60).astype(np.int32),
+        "t_time": (np.arange(1440) * 60).astype(np.int32),
         "t_meal_time": meal,
     })
 
@@ -282,12 +283,18 @@ def generate(sf: float = 1.0, seed: int = 0,
         "w_warehouse_sk": np.arange(nw, dtype=np.int32),
         "w_warehouse_name": [f"Warehouse number {k} of many" for k in
                              range(nw)],
+        "w_warehouse_sq_ft": ((np.arange(nw) + 1) *
+                              50_000).astype(np.int32),
+        "w_city": rng.choice(CITIES, nw),
+        "w_county": rng.choice(COUNTIES, nw),
         "w_state": rng.choice(STATES[:8], nw),
+        "w_country": np.array(["United States"] * nw, dtype=object),
     })
 
     t["ship_mode"] = pd.DataFrame({
         "sm_ship_mode_sk": np.arange(len(SM_TYPES) * 4, dtype=np.int32),
         "sm_type": SM_TYPES * 4,
+        "sm_carrier": (["DHL", "BARIAN", "UPS", "FEDEX"] * 5),
     })
 
     t["web_site"] = pd.DataFrame({
@@ -380,7 +387,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "sr_reason_sk": rng.integers(0, n["reason"], nsr).astype(np.int32),
         "sr_return_quantity": rng.integers(
             1, 1 + ss["ss_quantity"].to_numpy()[picks]).astype(np.int32),
-        "sr_return_amt": money(nsr, 0, 500),
+        "sr_return_amt": (rng.random(nsr) ** 4 * 20_000).round(2),
         "sr_net_loss": money(nsr, 0, 300),
     })
 
@@ -415,6 +422,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_coupon_amt": money(ncs, 0, 40),
         "cs_ext_discount_amt": money(ncs, 0, 60),
         "cs_ext_ship_cost": money(ncs, 0, 50),
+        "cs_net_paid_inc_tax": (csales * cquantity * 1.08).round(2),
         "cs_net_profit": (rng.normal(25, 120, ncs)).round(2),
     })
     t["catalog_sales"] = cs
@@ -433,6 +441,9 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cr_returning_addr_sk": rng.integers(0, na, ncr).astype(np.int32),
         "cr_return_amt_inc_tax": money(ncr, 0, 550),
         "cr_net_loss": money(ncr, 0, 300),
+        "cr_return_amount": (rng.random(ncr) ** 4 * 20_000).round(2),
+        "cr_return_quantity": rng.integers(
+            1, 1 + cs["cs_quantity"].to_numpy()[picks]).astype(np.int32),
     })
 
     # ---- web_sales + returns ----------------------------------------------
@@ -487,10 +498,13 @@ def generate(sf: float = 1.0, seed: int = 0,
         "wr_reason_sk": rng.integers(0, n["reason"], nwr).astype(np.int32),
         "wr_refunded_cash": money(nwr, 0, 400),
         "wr_fee": money(nwr, 0, 80),
+        "wr_return_quantity": rng.integers(
+            1, 1 + ws["ws_quantity"].to_numpy()[picks]).astype(np.int32),
         "wr_returning_customer_sk": ws["ws_bill_customer_sk"]
             .to_numpy()[picks],
         "wr_returning_addr_sk": rng.integers(0, na, nwr).astype(np.int32),
-        "wr_return_amt": money(nwr, 0, 500),
+        # heavy-tailed: some returns clear q49's 10k threshold
+        "wr_return_amt": (rng.random(nwr) ** 4 * 20_000).round(2),
     })
 
     # ---- inventory ---------------------------------------------------------

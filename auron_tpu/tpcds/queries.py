@@ -517,3 +517,7 @@ QUERIES.update(QUERIES_DEMO)
 from auron_tpu.tpcds.queries_weeks import QUERIES_WEEKS  # noqa: E402
 
 QUERIES.update(QUERIES_WEEKS)
+
+from auron_tpu.tpcds.queries_ship import QUERIES_SHIP  # noqa: E402
+
+QUERIES.update(QUERIES_SHIP)

@@ -97,8 +97,8 @@ def _q44_ranked(s: Session, ascending: bool) -> Frame:
     v1 = (base.groupby("ss_item_sk")
           .agg(rank_col=("avg", col("ss_net_profit")))
           .filter(col("rank_col") > lit(0.9) * thresh))
-    ranked = v1.window((), (SortKey("rank_col", ascending=ascending),
-                            SortKey("ss_item_sk")),
+    # ORDER BY rank_col alone: tied averages share a rank (SQL rank())
+    ranked = v1.window((), (SortKey("rank_col", ascending=ascending),),
                        (WindowFunc("rnk", "rank"),))
     return ranked.filter(col("rnk") < lit(11))
 
