@@ -419,6 +419,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_sales_price": csales,
         "cs_list_price": (csales * (1.0 + rng.random(ncs))).round(2),
         "cs_ext_sales_price": (csales * cquantity).round(2),
+        "cs_ext_list_price": (csales * cquantity * 1.3).round(2),
+        "cs_ext_wholesale_cost": (csales * cquantity * 0.6).round(2),
         "cs_coupon_amt": money(ncs, 0, 40),
         "cs_ext_discount_amt": money(ncs, 0, 60),
         "cs_ext_ship_cost": money(ncs, 0, 50),
@@ -479,6 +481,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ws_ext_list_price": (wsales * wquantity * 1.3).round(2),
         "ws_ext_ship_cost": money(nws, 0, 50),
         "ws_ext_discount_amt": money(nws, 0, 60),
+        "ws_ext_wholesale_cost": (wsales * wquantity * 0.6).round(2),
         "ws_net_profit": (rng.normal(25, 120, nws)).round(2),
         "ws_net_paid": (wsales * wquantity * 0.97).round(2),
     })

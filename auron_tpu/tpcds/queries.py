@@ -521,3 +521,7 @@ QUERIES.update(QUERIES_WEEKS)
 from auron_tpu.tpcds.queries_ship import QUERIES_SHIP  # noqa: E402
 
 QUERIES.update(QUERIES_SHIP)
+
+from auron_tpu.tpcds.queries_years import QUERIES_YEARS  # noqa: E402
+
+QUERIES.update(QUERIES_YEARS)
