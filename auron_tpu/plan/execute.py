@@ -24,7 +24,7 @@ import numpy as np
 
 from auron_tpu import config
 from auron_tpu.block import Column, TableBlock
-from auron_tpu.dtypes import INT64
+from auron_tpu.dtypes import FLOAT64 as _F64, INT64
 from auron_tpu.expr import nodes as E
 from auron_tpu.expr.eval import (evaluate, filter_block, materialize,
                                  project_block)
@@ -423,6 +423,18 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
                 validity = validity & sc.validity
             from auron_tpu.dtypes import FLOAT64
             cols[name] = Column.of(vals, FLOAT64, validity)
+        elif kind == "std_div":
+            snm, qnm, cnm = f"{name}#s", f"{name}#q", f"{name}#c"
+            sc, qc, cc = cols[snm], cols[qnm], cols[cnm]
+            n = cc.values.astype(jnp.float64)
+            sv = sc.values.astype(jnp.float64)
+            qv = qc.values.astype(jnp.float64)
+            var = (qv - sv * sv / jnp.maximum(n, 1.0)) / \
+                jnp.maximum(n - 1.0, 1.0)
+            vals = jnp.sqrt(jnp.maximum(var, 0.0))
+            validity = cc.values > 1  # Spark stddev_samp: NULL for n < 2
+            from auron_tpu.dtypes import FLOAT64
+            cols[name] = Column.of(vals, FLOAT64, validity)
     for d in drop:
         cols.pop(d, None)
     # order: keys first, then call outputs
@@ -440,6 +452,8 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
 def _partial_names(call: PN.AggCall) -> List[str]:
     if call.kind == "avg":
         return [f"{call.name}#s", f"{call.name}#c"]
+    if call.kind in ("stddev", "stddev_samp"):
+        return [f"{call.name}#s", f"{call.name}#q", f"{call.name}#c"]
     if call.kind in ("collect_list", "collect_set"):
         return [f"{call.name}#vals", f"{call.name}#len"]
     return [call.name]
@@ -492,6 +506,18 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
             if mode == "single":
                 post.append(("avg_div", call.name))
                 drop += [f"{call.name}#s", f"{call.name}#c"]
+        elif k in ("stddev", "stddev_samp"):
+            # Welford-free distributed form: (sum, sum of squares, count)
+            # merge exactly; stddev_samp = sqrt((q - s^2/n) / (n-1))
+            v64 = col.values.astype(jnp.float64)
+            col2 = Column(v64 * v64, col.validity, _F64, None)
+            specs.append((AggSpec(f"{call.name}#s", "sum"), col))
+            specs.append((AggSpec(f"{call.name}#q", "sum"), col2))
+            specs.append((AggSpec(f"{call.name}#c", "count"), col))
+            if mode == "single":
+                post.append(("std_div", call.name))
+                drop += [f"{call.name}#s", f"{call.name}#q",
+                         f"{call.name}#c"]
         else:
             specs.append((AggSpec(call.name, k), col))
     else:  # final: inputs are partial state columns
@@ -502,6 +528,16 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
                           block.columns[f"{call.name}#c"]))
             post.append(("avg_div", call.name))
             drop += [f"{call.name}#s", f"{call.name}#c"]
+        elif k in ("stddev", "stddev_samp"):
+            specs.append((AggSpec(f"{call.name}#s", "sum"),
+                          block.columns[f"{call.name}#s"]))
+            specs.append((AggSpec(f"{call.name}#q", "sum"),
+                          block.columns[f"{call.name}#q"]))
+            specs.append((AggSpec(f"{call.name}#c", "count", merge=True),
+                          block.columns[f"{call.name}#c"]))
+            post.append(("std_div", call.name))
+            drop += [f"{call.name}#s", f"{call.name}#q",
+                     f"{call.name}#c"]
         elif k in ("count", "count_star"):
             specs.append((AggSpec(call.name, "count", merge=True),
                           block.columns[call.name]))

@@ -55,6 +55,9 @@ def output_names(node: PN.PlanNode, session) -> List[str]:
         for c in node.calls:
             if c.kind == "avg" and node.mode == "partial":
                 out += [f"{c.name}#s", f"{c.name}#c"]
+            elif c.kind in ("stddev", "stddev_samp") and \
+                    node.mode == "partial":
+                out += [f"{c.name}#s", f"{c.name}#q", f"{c.name}#c"]
             elif c.kind in ("collect_list", "collect_set"):
                 out += [f"{c.name}#vals", f"{c.name}#len"]
             else:
@@ -135,6 +138,9 @@ def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
             for c in node.calls:
                 if c.kind == "avg":
                     child_needed |= {f"{c.name}#s", f"{c.name}#c"}
+                elif c.kind in ("stddev", "stddev_samp"):
+                    child_needed |= {f"{c.name}#s", f"{c.name}#q",
+                                     f"{c.name}#c"}
                 else:
                     child_needed.add(c.name)
         return dataclasses.replace(

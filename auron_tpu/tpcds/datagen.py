@@ -129,6 +129,8 @@ def _date_dim() -> pd.DataFrame:
         "d_qoy": (moy - 1) // 3 + 1,
         "d_day_name": [DAY_NAMES[i] for i in dow],
         "d_month_seq": ((years - 1900) * 12 + moy - 1).astype(np.int32),
+        "d_quarter_name": [f"{y}Q{q}" for y, q in
+                           zip(years, (moy - 1) // 3 + 1)],
         "d_week_seq": ((sk + 4) // 7).astype(np.int32),
     })
 

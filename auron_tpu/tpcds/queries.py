@@ -525,3 +525,7 @@ QUERIES.update(QUERIES_SHIP)
 from auron_tpu.tpcds.queries_years import QUERIES_YEARS  # noqa: E402
 
 QUERIES.update(QUERIES_YEARS)
+
+from auron_tpu.tpcds.queries_stats import QUERIES_STATS  # noqa: E402
+
+QUERIES.update(QUERIES_STATS)
