@@ -64,7 +64,8 @@ BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "501-1000", "0-500",
                  "5001-10000"]
 COLORS = ["powder", "khaki", "brown", "honeydew", "floral", "deep",
           "light", "cornflower", "midnight", "snow", "cyan", "papaya",
-          "orange", "frosted", "forest", "ghost", "red", "blue"]
+          "orange", "frosted", "forest", "ghost", "red", "blue",
+          "slate", "blanched", "burnished"]
 UNITS = ["Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound",
          "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle"]
 SIZES = ["medium", "extra large", "N/A", "small", "petite", "large"]

@@ -529,3 +529,7 @@ QUERIES.update(QUERIES_YEARS)
 from auron_tpu.tpcds.queries_stats import QUERIES_STATS  # noqa: E402
 
 QUERIES.update(QUERIES_STATS)
+
+from auron_tpu.tpcds.queries_channels import QUERIES_CHANNELS  # noqa: E402
+
+QUERIES.update(QUERIES_CHANNELS)

@@ -29,3 +29,46 @@ def test_query_skewed_keys():
     for r in run_all(sf=0.5, num_partitions=4, skew=0.5,
                      queries=["q3", "q42"]):
         assert r["match"], r
+
+
+def test_q58_q83_dense_weeks():
+    """q58/q83 are structurally empty on uniform synthetic dates (an item
+    must appear in all three channels inside one literal week), so cluster
+    a slice of each channel onto the target weeks + a small item range to
+    force nonzero differential rows."""
+    import numpy as np
+
+    from auron_tpu.tpcds.datagen import date_sk, generate
+    from auron_tpu.tpcds.queries import QUERIES
+    from auron_tpu.tpcds.runner import frames_match, make_session
+
+    tables = generate(sf=0.5, seed=7)
+    rng = np.random.default_rng(11)
+    week_days = {
+        "q58": [date_sk("2000-01-03") + d for d in range(-4, 3)],
+        "q83": [date_sk(i) + d for d in range(-6, 7)
+                for i in ("2000-06-30", "2000-09-27", "2000-11-17")],
+    }
+    for tbl, date_col, item_col in (
+            ("store_sales", "ss_sold_date_sk", "ss_item_sk"),
+            ("catalog_sales", "cs_sold_date_sk", "cs_item_sk"),
+            ("web_sales", "ws_sold_date_sk", "ws_item_sk"),
+            ("store_returns", "sr_returned_date_sk", "sr_item_sk"),
+            ("catalog_returns", "cr_returned_date_sk", "cr_item_sk"),
+            ("web_returns", "wr_returned_date_sk", "wr_item_sk")):
+        df = tables[tbl]
+        # sales channels need many rows per item so per-channel revenue
+        # sums concentrate enough to pass q58's ±10% band filter
+        n = min(6000 if tbl.endswith("sales") else 600, len(df))
+        days = week_days["q58" if tbl.endswith("sales") else "q83"]
+        df.loc[df.index[:n], date_col] = rng.choice(days, n).astype(
+            df[date_col].dtype)
+        df.loc[df.index[:n], item_col] = rng.integers(1, 40, n).astype(
+            df[item_col].dtype)
+    s = make_session(tables, num_partitions=1)
+    for q in ("q58", "q83"):
+        build, oracle = QUERIES[q]
+        got = build(s).collect()
+        want = oracle(tables)
+        assert len(want) > 0, f"{q}: dense fixture still empty"
+        assert frames_match(got, want), (q, got, want)
