@@ -533,3 +533,7 @@ QUERIES.update(QUERIES_STATS)
 from auron_tpu.tpcds.queries_channels import QUERIES_CHANNELS  # noqa: E402
 
 QUERIES.update(QUERIES_CHANNELS)
+
+from auron_tpu.tpcds.queries_growth import QUERIES_GROWTH  # noqa: E402
+
+QUERIES.update(QUERIES_GROWTH)
