@@ -103,6 +103,7 @@ def scale_rows(sf: float) -> Dict[str, int]:
         "warehouse": 8,
         "web_page": 24,
         "web_site": 6,
+        "catalog_page": 60,
         "call_center": 4,
         "reason": 40,
         "income_band": 20,
@@ -302,9 +303,17 @@ def generate(sf: float = 1.0, seed: int = 0,
 
     t["web_site"] = pd.DataFrame({
         "web_site_sk": np.arange(n["web_site"], dtype=np.int32),
+        "web_site_id": [f"SITE{k:08d}" for k in range(n["web_site"])],
         "web_name": [f"site_{k}" for k in range(n["web_site"])],
         "web_company_name": rng.choice(["pri", "able", "ese", "ought"],
                                        n["web_site"]),
+    })
+
+    t["catalog_page"] = pd.DataFrame({
+        "cp_catalog_page_sk": np.arange(n["catalog_page"],
+                                        dtype=np.int32),
+        "cp_catalog_page_id": [f"PAGE{k:08d}"
+                               for k in range(n["catalog_page"])],
     })
 
     t["web_page"] = pd.DataFrame({
@@ -416,6 +425,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_call_center_sk": rng.integers(0, n["call_center"],
                                           ncs).astype(np.int32),
         "cs_promo_sk": rng.integers(0, n["promotion"], ncs).astype(np.int32),
+        "cs_catalog_page_sk": rng.integers(0, n["catalog_page"],
+                                           ncs).astype(np.int32),
         "cs_order_number": rng.integers(0, max(ncs // 3, 1),
                                         ncs).astype(np.int32),
         "cs_quantity": cquantity,
@@ -446,6 +457,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cr_returning_addr_sk": rng.integers(0, na, ncr).astype(np.int32),
         "cr_return_amt_inc_tax": money(ncr, 0, 550),
         "cr_net_loss": money(ncr, 0, 300),
+        "cr_catalog_page_sk": cs["cs_catalog_page_sk"].to_numpy()[picks],
         "cr_return_amount": (rng.random(ncr) ** 4 * 20_000).round(2),
         "cr_return_quantity": rng.integers(
             1, 1 + cs["cs_quantity"].to_numpy()[picks]).astype(np.int32),
@@ -471,6 +483,8 @@ def generate(sf: float = 1.0, seed: int = 0,
                                        nws).astype(np.int32),
         "ws_web_site_sk": rng.integers(0, n["web_site"],
                                        nws).astype(np.int32),
+        "ws_promo_sk": rng.integers(0, n["promotion"],
+                                    nws).astype(np.int32),
         "ws_ship_mode_sk": rng.integers(0, len(SM_TYPES) * 4,
                                         nws).astype(np.int32),
         "ws_warehouse_sk": rng.integers(0, nw, nws).astype(np.int32),
@@ -511,6 +525,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "wr_returning_addr_sk": rng.integers(0, na, nwr).astype(np.int32),
         # heavy-tailed: some returns clear q49's 10k threshold
         "wr_return_amt": (rng.random(nwr) ** 4 * 20_000).round(2),
+        "wr_net_loss": money(nwr, 0, 300),
+        "wr_web_page_sk": ws["ws_web_page_sk"].to_numpy()[picks],
     })
 
     # ---- inventory ---------------------------------------------------------

@@ -537,3 +537,7 @@ QUERIES.update(QUERIES_CHANNELS)
 from auron_tpu.tpcds.queries_growth import QUERIES_GROWTH  # noqa: E402
 
 QUERIES.update(QUERIES_GROWTH)
+
+from auron_tpu.tpcds.queries_reports import QUERIES_REPORTS  # noqa: E402
+
+QUERIES.update(QUERIES_REPORTS)
