@@ -44,7 +44,7 @@ CATEGORIES = ["Books", "Electronics", "Home", "Jewelry", "Men", "Music",
 CLASSES = [f"class#{i}" for i in range(1, 9)] + [
     "personal", "portable", "refernece", "reference", "self-help",
     "accessories", "classical", "fragrances", "pants", "computers",
-    "stereo", "football", "shirts", "birdal", "dresses"]
+    "stereo", "football", "shirts", "birdal", "dresses", "maternity"]
 STATES = ["TN", "CA", "TX", "NY", "WA", "GA", "OH", "IL", "FL", "MI",
           "OR", "NM", "KY", "VA", "MS", "CO", "MN", "IN", "NJ", "WI",
           "CT", "LA", "IA", "AR"]
@@ -56,6 +56,11 @@ COUNTIES = ["Williamson County", "Franklin Parish", "Bronx County",
             "Dona Ana County", "La Porte County"]
 MAGIC_ZIPS = ["85669", "86197", "88274", "83405", "86475", "85392",
               "85460", "80348", "81792"]
+# a slice of q8's 400-zip IN list so its INTERSECT/HAVING pipeline is
+# non-trivial on synthetic data; stores get zips sharing 2-char prefixes
+Q8_ZIPS = ["24128", "76232", "65084", "87816", "83926", "77556",
+           "20548", "26231", "43848", "15126", "91137", "61265"]
+Q8_STORE_ZIPS = ["24117", "76556", "65201", "87901", "83988", "77050"]
 STORE_NAMES = ["ese", "ought", "able", "pri", "bar", "anti", "cally"]
 MARITAL = ["M", "S", "D", "W", "U"]
 EDUCATION = ["Advanced Degree", "College", "2 yr Degree", "4 yr Degree",
@@ -193,7 +198,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "s_state": rng.choice(STATES[:10], ns_),
         "s_county": rng.choice(COUNTIES, ns_),
         "s_city": rng.choice(CITIES, ns_),
-        "s_zip": rng.choice(MAGIC_ZIPS + ["35709", "12345"], ns_),
+        "s_zip": rng.choice(MAGIC_ZIPS + Q8_STORE_ZIPS + ["35709",
+                                                          "12345"], ns_),
         "s_street_number": [str(100 + k) for k in range(ns_)],
         "s_street_name": rng.choice(["Main", "Oak", "Elm", "Park"], ns_),
         "s_street_type": rng.choice(["St", "Ave", "Blvd"], ns_),
@@ -211,8 +217,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ca_county": rng.choice(COUNTIES, na),
         "ca_state": rng.choice(STATES, na),
         "ca_zip": rng.choice(
-            MAGIC_ZIPS + [f"{z:05d}" for z in
-                          rng.integers(10000, 99999, 40)], na),
+            MAGIC_ZIPS + Q8_ZIPS + [f"{z:05d}" for z in
+                                    rng.integers(10000, 99999, 40)], na),
         "ca_country": rng.choice(
             ["United States", "Canada"], na, p=[0.95, 0.05]),
         "ca_gmt_offset": rng.choice([-5.0, -6.0, -7.0], na),

@@ -541,3 +541,7 @@ QUERIES.update(QUERIES_GROWTH)
 from auron_tpu.tpcds.queries_reports import QUERIES_REPORTS  # noqa: E402
 
 QUERIES.update(QUERIES_REPORTS)
+
+from auron_tpu.tpcds.queries_final import QUERIES_FINAL  # noqa: E402
+
+QUERIES.update(QUERIES_FINAL)

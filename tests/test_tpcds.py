@@ -8,9 +8,10 @@ from auron_tpu.tpcds.runner import run_all
 
 
 # rollup flagships run 9 grouping sets per execution — smaller sf keeps the
-# suite's wall time bounded without losing the differential coverage
+# suite's wall time bounded without losing the differential coverage;
+# q54's maternity-buyer funnel needs a LARGER sf to produce any rows
 _HEAVY_SF = {"q67": 0.15, "q36": 0.3, "q25": 0.3, "q29": 0.3,
-             "q47": 0.25, "q57": 0.25}
+             "q47": 0.25, "q57": 0.25, "q54": 4.0}
 
 
 @pytest.mark.parametrize("q", list(QUERIES))
