@@ -70,7 +70,7 @@ BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "501-1000", "0-500",
 COLORS = ["powder", "khaki", "brown", "honeydew", "floral", "deep",
           "light", "cornflower", "midnight", "snow", "cyan", "papaya",
           "orange", "frosted", "forest", "ghost", "red", "blue",
-          "slate", "blanched", "burnished"]
+          "slate", "blanched", "burnished", "pale", "chiffon"]
 UNITS = ["Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound",
          "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle"]
 SIZES = ["medium", "extra large", "N/A", "small", "petite", "large"]
@@ -195,6 +195,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "s_store_sk": np.arange(ns_, dtype=np.int32),
         "s_store_id": [f"STORE{k:08d}" for k in range(ns_)],
         "s_store_name": rng.choice(STORE_NAMES, ns_),
+        "s_market_id": rng.integers(1, 11, ns_).astype(np.int32),
         "s_state": rng.choice(STATES[:10], ns_),
         "s_county": rng.choice(COUNTIES, ns_),
         "s_city": rng.choice(CITIES, ns_),
@@ -423,6 +424,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_bill_customer_sk": rng.integers(0, nc, ncs).astype(np.int32),
         "cs_ship_customer_sk": rng.integers(0, nc, ncs).astype(np.int32),
         "cs_bill_cdemo_sk": rng.integers(0, ncd, ncs).astype(np.int32),
+        "cs_bill_hdemo_sk": rng.integers(0, 720, ncs).astype(np.int32),
         "cs_bill_addr_sk": rng.integers(0, na, ncs).astype(np.int32),
         "cs_ship_addr_sk": nullable_fk(ncs, na),
         "cs_warehouse_sk": rng.integers(0, nw, ncs).astype(np.int32),
@@ -500,6 +502,7 @@ def generate(sf: float = 1.0, seed: int = 0,
                                         nws).astype(np.int32),
         "ws_quantity": wquantity,
         "ws_sales_price": wsales,
+        "ws_list_price": (wsales * (1.0 + rng.random(nws))).round(2),
         "ws_ext_sales_price": (wsales * wquantity).round(2),
         "ws_ext_list_price": (wsales * wquantity * 1.3).round(2),
         "ws_ext_ship_cost": money(nws, 0, 50),

@@ -545,3 +545,7 @@ QUERIES.update(QUERIES_REPORTS)
 from auron_tpu.tpcds.queries_final import QUERIES_FINAL  # noqa: E402
 
 QUERIES.update(QUERIES_FINAL)
+
+from auron_tpu.tpcds.queries_heavy import QUERIES_HEAVY  # noqa: E402
+
+QUERIES.update(QUERIES_HEAVY)

@@ -11,7 +11,7 @@ from auron_tpu.tpcds.runner import run_all
 # suite's wall time bounded without losing the differential coverage;
 # q54's maternity-buyer funnel needs a LARGER sf to produce any rows
 _HEAVY_SF = {"q67": 0.15, "q36": 0.3, "q25": 0.3, "q29": 0.3,
-             "q47": 0.25, "q57": 0.25, "q54": 4.0}
+             "q47": 0.25, "q57": 0.25, "q54": 4.0, "q72": 2.0}
 
 
 @pytest.mark.parametrize("q", list(QUERIES))
@@ -72,4 +72,49 @@ def test_q58_q83_dense_weeks():
         got = build(s).collect()
         want = oracle(tables)
         assert len(want) > 0, f"{q}: dense fixture still empty"
+        assert frames_match(got, want), (q, got, want)
+
+
+def test_q23_dense_frequent_items():
+    """q23's frequent-items CTE (count > 4 per item/date) is structurally
+    empty on uniform synthetic dates — cluster store sales onto a small
+    item/customer range and Feb 2000 so every stage produces rows."""
+    import numpy as np
+
+    from auron_tpu.tpcds.datagen import date_sk, generate
+    from auron_tpu.tpcds.queries import QUERIES
+    from auron_tpu.tpcds.runner import frames_match, make_session
+
+    tables = generate(sf=0.5, seed=3)
+    rng = np.random.default_rng(5)
+    feb = [date_sk("2000-02-01") + d for d in range(28)]
+    ss = tables["store_sales"]
+    n = min(8000, len(ss))
+    ss.loc[ss.index[:n], "ss_sold_date_sk"] = rng.choice(feb, n).astype(
+        ss["ss_sold_date_sk"].dtype)
+    ss.loc[ss.index[:n], "ss_item_sk"] = rng.integers(1, 41, n).astype(
+        ss["ss_item_sk"].dtype)
+    ss.loc[ss.index[:n], "ss_customer_sk"] = rng.integers(
+        1, 51, n).astype(ss["ss_customer_sk"].dtype)
+    for tbl, date_col, item_col, cust_col in (
+            ("catalog_sales", "cs_sold_date_sk", "cs_item_sk",
+             "cs_bill_customer_sk"),
+            ("web_sales", "ws_sold_date_sk", "ws_item_sk",
+             "ws_bill_customer_sk")):
+        df = tables[tbl]
+        m = min(3000, len(df))
+        df.loc[df.index[:m], date_col] = rng.choice(feb, m).astype(
+            df[date_col].dtype)
+        df.loc[df.index[:m], item_col] = rng.integers(1, 41, m).astype(
+            df[item_col].dtype)
+        df.loc[df.index[:m], cust_col] = rng.integers(1, 51, m).astype(
+            df[cust_col].dtype)
+    s = make_session(tables, num_partitions=1)
+    for q in ("q23a", "q23b"):
+        build, oracle = QUERIES[q]
+        got = build(s).collect()
+        want = oracle(tables)
+        assert len(want) > 0, f"{q}: dense fixture still empty"
+        if q == "q23a":
+            assert want.iloc[0, 0] > 0, "q23a: no qualifying sales"
         assert frames_match(got, want), (q, got, want)
