@@ -70,7 +70,8 @@ BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "501-1000", "0-500",
 COLORS = ["powder", "khaki", "brown", "honeydew", "floral", "deep",
           "light", "cornflower", "midnight", "snow", "cyan", "papaya",
           "orange", "frosted", "forest", "ghost", "red", "blue",
-          "slate", "blanched", "burnished", "pale", "chiffon"]
+          "slate", "blanched", "burnished", "pale", "chiffon",
+          "purple", "medium"]
 UNITS = ["Ounce", "Oz", "Bunch", "Ton", "N/A", "Dozen", "Box", "Pound",
          "Pallet", "Gross", "Cup", "Dram", "Each", "Tbl", "Lb", "Bundle"]
 SIZES = ["medium", "extra large", "N/A", "small", "petite", "large"]
@@ -215,6 +216,9 @@ def generate(sf: float = 1.0, seed: int = 0,
     t["customer_address"] = pd.DataFrame({
         "ca_address_sk": np.arange(na, dtype=np.int32),
         "ca_city": rng.choice(CITIES, na),
+        "ca_street_number": [str(100 + k % 900) for k in range(na)],
+        "ca_street_name": rng.choice(["Main", "Oak", "Elm", "Park",
+                                      "Lake", "Hill"], na),
         "ca_county": rng.choice(COUNTIES, na),
         "ca_state": rng.choice(STATES, na),
         "ca_zip": rng.choice(
@@ -279,6 +283,10 @@ def generate(sf: float = 1.0, seed: int = 0,
         "c_current_addr_sk": rng.integers(0, na, nc).astype(np.int32),
         "c_current_cdemo_sk": rng.integers(0, ncd, nc).astype(np.int32),
         "c_current_hdemo_sk": rng.integers(0, nhd, nc).astype(np.int32),
+        "c_first_sales_date_sk": rng.integers(0, N_DAYS,
+                                              nc).astype(np.int32),
+        "c_first_shipto_date_sk": rng.integers(0, N_DAYS,
+                                               nc).astype(np.int32),
     })
 
     t["promotion"] = pd.DataFrame({
@@ -460,6 +468,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cr_item_sk": cs["cs_item_sk"].to_numpy()[picks],
         "cr_order_number": cs["cs_order_number"].to_numpy()[picks],
         "cr_refunded_cash": money(ncr, 0, 400),
+        "cr_reversed_charge": money(ncr, 0, 200),
+        "cr_store_credit": money(ncr, 0, 200),
         "cr_returning_customer_sk": cs["cs_bill_customer_sk"]
             .to_numpy()[picks],
         "cr_returning_addr_sk": rng.integers(0, na, ncr).astype(np.int32),

@@ -549,3 +549,11 @@ QUERIES.update(QUERIES_FINAL)
 from auron_tpu.tpcds.queries_heavy import QUERIES_HEAVY  # noqa: E402
 
 QUERIES.update(QUERIES_HEAVY)
+
+from auron_tpu.tpcds.queries_cross import QUERIES_CROSS  # noqa: E402
+
+QUERIES.update(QUERIES_CROSS)
+
+from auron_tpu.tpcds.queries_cross14 import QUERIES_CROSS14  # noqa: E402
+
+QUERIES.update(QUERIES_CROSS14)

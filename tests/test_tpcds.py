@@ -118,3 +118,59 @@ def test_q23_dense_frequent_items():
         if q == "q23a":
             assert want.iloc[0, 0] > 0, "q23a: no qualifying sales"
         assert frames_match(got, want), (q, got, want)
+
+
+def test_q64_dense_cross_years():
+    """q64's year-over-year self-join needs the SAME item+store combo
+    surviving the 17-table funnel in both 1999 and 2000 — cluster a few
+    qualifying items at one store across both years, with matching
+    returns and catalog refunds."""
+    import numpy as np
+
+    from auron_tpu.tpcds.datagen import date_sk, generate
+    from auron_tpu.tpcds.queries import QUERIES
+    from auron_tpu.tpcds.runner import frames_match, make_session
+
+    tables = generate(sf=0.5, seed=9)
+    rng = np.random.default_rng(13)
+    it = tables["item"]
+    it.loc[it.index[:6], "i_color"] = "purple"
+    it.loc[it.index[:6], "i_current_price"] = 70.0
+    ss = tables["store_sales"]
+    n = min(4000, len(ss))
+    y99 = [date_sk("1999-03-01") + d for d in range(200)]
+    y00 = [date_sk("2000-03-01") + d for d in range(200)]
+    half = n // 2
+    dt = ss["ss_sold_date_sk"].dtype
+    ss.loc[ss.index[:half], "ss_sold_date_sk"] = rng.choice(
+        y99, half).astype(dt)
+    ss.loc[ss.index[half:n], "ss_sold_date_sk"] = rng.choice(
+        y00, n - half).astype(dt)
+    ss.loc[ss.index[:n], "ss_item_sk"] = rng.integers(0, 6, n).astype(
+        ss["ss_item_sk"].dtype)
+    ss.loc[ss.index[:n], "ss_store_sk"] = np.zeros(
+        n, dtype=ss["ss_store_sk"].dtype.type
+        if hasattr(ss["ss_store_sk"].dtype, "type") else np.int32)
+    sr = tables["store_returns"]
+    m = min(2000, len(sr))
+    sr.loc[sr.index[:m], "sr_item_sk"] = \
+        ss["ss_item_sk"].to_numpy()[:m]
+    sr.loc[sr.index[:m], "sr_ticket_number"] = \
+        ss["ss_ticket_number"].to_numpy()[:m]
+    cs, cr = tables["catalog_sales"], tables["catalog_returns"]
+    k = min(300, len(cr), len(cs))
+    cs.loc[cs.index[:k], "cs_item_sk"] = rng.integers(0, 6, k).astype(
+        cs["cs_item_sk"].dtype)
+    cr.loc[cr.index[:k], "cr_item_sk"] = \
+        cs["cs_item_sk"].to_numpy()[:k]
+    cr.loc[cr.index[:k], "cr_order_number"] = \
+        cs["cs_order_number"].to_numpy()[:k]
+    for c in ("cr_refunded_cash", "cr_reversed_charge",
+              "cr_store_credit"):
+        cr.loc[cr.index[:k], c] = 1.0
+    s = make_session(tables, num_partitions=1)
+    build, oracle = QUERIES["q64"]
+    got = build(s).collect()
+    want = oracle(tables)
+    assert len(want) > 0, "q64: dense fixture still empty"
+    assert frames_match(got, want), (got, want)
