@@ -66,7 +66,7 @@ MARITAL = ["M", "S", "D", "W", "U"]
 EDUCATION = ["Advanced Degree", "College", "2 yr Degree", "4 yr Degree",
              "Secondary", "Primary", "Unknown"]
 BUY_POTENTIAL = [">10000", "unknown", "1001-5000", "501-1000", "0-500",
-                 "5001-10000"]
+                 "5001-10000", "Unknown"]
 COLORS = ["powder", "khaki", "brown", "honeydew", "floral", "deep",
           "light", "cornflower", "midnight", "snow", "cyan", "papaya",
           "orange", "frosted", "forest", "ghost", "red", "blue",
@@ -339,7 +339,12 @@ def generate(sf: float = 1.0, seed: int = 0,
 
     t["call_center"] = pd.DataFrame({
         "cc_call_center_sk": np.arange(n["call_center"], dtype=np.int32),
+        "cc_call_center_id": [f"CC{k:08d}"
+                              for k in range(n["call_center"])],
         "cc_name": [f"call center {k}" for k in range(n["call_center"])],
+        "cc_manager": rng.choice(["Bob Belcher", "Felipe Perkins",
+                                  "Mark Hightower", "Larry Mccray"],
+                                 n["call_center"]),
         "cc_county": rng.choice(COUNTIES, n["call_center"]),
     })
 
@@ -448,6 +453,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_quantity": cquantity,
         "cs_sales_price": csales,
         "cs_list_price": (csales * (1.0 + rng.random(ncs))).round(2),
+        "cs_wholesale_cost": (csales * 0.6).round(2),
         "cs_ext_sales_price": (csales * cquantity).round(2),
         "cs_ext_list_price": (csales * cquantity * 1.3).round(2),
         "cs_ext_wholesale_cost": (csales * cquantity * 0.6).round(2),
@@ -473,6 +479,8 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cr_returning_customer_sk": cs["cs_bill_customer_sk"]
             .to_numpy()[picks],
         "cr_returning_addr_sk": rng.integers(0, na, ncr).astype(np.int32),
+        "cr_call_center_sk": rng.integers(0, n["call_center"],
+                                          ncr).astype(np.int32),
         "cr_return_amt_inc_tax": money(ncr, 0, 550),
         "cr_net_loss": money(ncr, 0, 300),
         "cr_catalog_page_sk": cs["cs_catalog_page_sk"].to_numpy()[picks],
@@ -513,6 +521,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ws_quantity": wquantity,
         "ws_sales_price": wsales,
         "ws_list_price": (wsales * (1.0 + rng.random(nws))).round(2),
+        "ws_wholesale_cost": (wsales * 0.6).round(2),
         "ws_ext_sales_price": (wsales * wquantity).round(2),
         "ws_ext_list_price": (wsales * wquantity * 1.3).round(2),
         "ws_ext_ship_cost": money(nws, 0, 50),

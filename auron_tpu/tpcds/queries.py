@@ -557,3 +557,7 @@ QUERIES.update(QUERIES_CROSS)
 from auron_tpu.tpcds.queries_cross14 import QUERIES_CROSS14  # noqa: E402
 
 QUERIES.update(QUERIES_CROSS14)
+
+from auron_tpu.tpcds.queries_last import QUERIES_LAST  # noqa: E402
+
+QUERIES.update(QUERIES_LAST)
