@@ -74,11 +74,17 @@ def _expr(e) -> E.Expr:
                "/": lambda: l / r, "%": lambda: l % r,
                "and": lambda: l & r, "or": lambda: l | r}
         return ops[e.op]()
+    if isinstance(e, A.ExistsE):
+        raise NotImplementedError(
+            "EXISTS must be a top-level WHERE conjunct")
     if isinstance(e, A.InE):
+        if e.query is not None:
+            raise NotImplementedError(
+                "IN (SELECT ...) must be a top-level WHERE conjunct")
         vals = []
         for v in e.values:
             if not isinstance(v, A.Lit):
-                raise NotImplementedError("IN subquery/expr lists")
+                raise NotImplementedError("IN expr lists")
             vals.append(v.value)
         out = _expr(e.operand).isin(vals)
         return ~out if e.negated else out
@@ -209,10 +215,91 @@ def _agg_kwargs(projs: List[A.Proj], group_names: List[str]):
     return aggs, out_cols, post
 
 
+def _conjuncts(e):
+    if isinstance(e, A.Bin) and e.op == "and":
+        yield from _conjuncts(e.left)
+        yield from _conjuncts(e.right)
+    else:
+        yield e
+
+
+def _is_subquery_pred(c) -> bool:
+    return isinstance(c, A.ExistsE) or (isinstance(c, A.InE) and
+                                        c.query is not None)
+
+
+def _apply_exists(f: Frame, p: A.ExistsE, session) -> Frame:
+    """[NOT] EXISTS with equality correlation -> semi/anti join, exactly
+    how Spark decorrelates it (RewritePredicateSubquery)."""
+    sel = p.query
+    if not isinstance(sel, A.Select):
+        raise NotImplementedError("EXISTS over UNION")
+    inner = _rel(sel.rel, session)
+    inner_names = set(inner._names())
+    outer_names = set(f._names())
+    keys_outer, keys_inner = [], []
+    residual = None
+    for c in (_conjuncts(sel.where) if sel.where is not None else ()):
+        if isinstance(c, A.Bin) and c.op == "=" and \
+                isinstance(c.left, A.Ident) and \
+                isinstance(c.right, A.Ident):
+            ln, rn = c.left.name, c.right.name
+            if ln in inner_names and rn in outer_names \
+                    and rn not in inner_names:
+                keys_inner.append(ln)
+                keys_outer.append(rn)
+                continue
+            if rn in inner_names and ln in outer_names \
+                    and ln not in inner_names:
+                keys_inner.append(rn)
+                keys_outer.append(ln)
+                continue
+        residual = c if residual is None else A.Bin("and", residual, c)
+    if residual is not None:
+        inner = inner.filter(_expr(residual))
+    if not keys_outer:
+        raise NotImplementedError(
+            "EXISTS needs at least one equality correlation")
+    sub = inner.select(**{f"__ex{i}": E.col(k)
+                          for i, k in enumerate(keys_inner)})
+    how = "left_anti" if p.negated else "left_semi"
+    return f.join(sub, tuple(keys_outer),
+                  tuple(f"__ex{i}" for i in range(len(keys_inner))),
+                  how=how)
+
+
+def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
+    """[NOT] IN (SELECT col ...) -> semi join / null-aware anti join."""
+    if not isinstance(p.operand, A.Ident):
+        raise NotImplementedError("IN-subquery operand must be a column")
+    sub = _query(p.query, session)
+    names = sub._names()
+    if len(names) != 1:
+        raise NotImplementedError("IN subquery must select ONE column")
+    sub = sub.select(__in0=E.col(names[0]))
+    how = "left_anti" if p.negated else "left_semi"
+    # NOT IN is null-aware: one build-side NULL suppresses all probe rows
+    return f.join(sub, (p.operand.name,), ("__in0",), how=how,
+                  null_aware=p.negated)
+
+
 def _select(sel: A.Select, session) -> Frame:
     f = _rel(sel.rel, session)
     if sel.where is not None:
-        f = f.filter(_expr(sel.where))
+        plain = None
+        subq = []
+        for c in _conjuncts(sel.where):
+            if _is_subquery_pred(c):
+                subq.append(c)
+            else:
+                e = _expr(c)
+                plain = e if plain is None else (plain & e)
+        if plain is not None:
+            f = f.filter(plain)
+        for c in subq:
+            f = (_apply_exists(f, c, session)
+                 if isinstance(c, A.ExistsE)
+                 else _apply_in_subquery(f, c, session))
     win = [p for p in sel.projs if isinstance(p.expr, A.WindowFn)]
     if win:
         return _select_window(sel, f, win)

@@ -131,6 +131,13 @@ class InE:
     operand: Any
     values: List[Any]
     negated: bool
+    query: Any = None  # IN (SELECT ...): values is empty
+
+
+@dataclass
+class ExistsE:
+    query: Any
+    negated: bool
 
 
 @dataclass
@@ -379,9 +386,23 @@ class Parser:
         return e
 
     def not_(self):
+        if self.peek().kind == "kw" and self.peek().text == "not" and \
+                self.peek(1).kind == "kw" and \
+                self.peek(1).text == "exists":
+            self.next()
+            return self._exists(True)
         if self.accept("kw", "not"):
             return Un("not", self.not_())
+        if self.peek().kind == "kw" and self.peek().text == "exists":
+            return self._exists(False)
         return self.cmp()
+
+    def _exists(self, negated: bool) -> "ExistsE":
+        self.expect("kw", "exists")
+        self.expect("op", "(")
+        q = self.query()
+        self.expect("op", ")")
+        return ExistsE(q, negated)
 
     def cmp(self):
         e = self.add()
@@ -400,6 +421,10 @@ class Parser:
         if t.kind == "kw" and t.text == "in":
             self.next()
             self.expect("op", "(")
+            if self.peek().kind == "kw" and self.peek().text == "select":
+                q = self.query()
+                self.expect("op", ")")
+                return InE(e, [], negated, query=q)
             vals = [self.expr()]
             while self.accept("op", ","):
                 vals.append(self.expr())

@@ -146,3 +146,41 @@ def test_window_functions(sess):
                                   want["rk"].to_numpy())
     np.testing.assert_allclose(got["run"].to_numpy(),
                                want["run"].to_numpy(), rtol=1e-9)
+
+
+def test_exists_semi_anti(sess):
+    s, sales, items = sess
+    got = s.sql(
+        "SELECT id, brand FROM items WHERE EXISTS "
+        "(SELECT 1 FROM sales WHERE item = id AND qty > 15) "
+        "ORDER BY id")
+    heavy = set(sales[sales["qty"] > 15]["item"])
+    want = items[items["id"].isin(heavy)].sort_values("id")
+    np.testing.assert_array_equal(got["id"].to_numpy(),
+                                  want["id"].to_numpy())
+    got2 = s.sql(
+        "SELECT id FROM items WHERE NOT EXISTS "
+        "(SELECT 1 FROM sales WHERE item = id) ORDER BY id")
+    want2 = items[~items["id"].isin(set(sales["item"]))].sort_values("id")
+    np.testing.assert_array_equal(got2["id"].to_numpy(),
+                                  want2["id"].to_numpy())
+
+
+def test_in_subquery(sess):
+    s, sales, items = sess
+    got = s.sql(
+        "SELECT item, qty FROM sales WHERE item IN "
+        "(SELECT id FROM items WHERE brand = 'acme') "
+        "ORDER BY item, qty LIMIT 500")
+    acme = set(items[items["brand"] == "acme"]["id"])
+    want = (sales[sales["item"].isin(acme)][["item", "qty"]]
+            .sort_values(["item", "qty"], kind="stable").head(500))
+    np.testing.assert_array_equal(got["item"].to_numpy(),
+                                  want["item"].to_numpy())
+    np.testing.assert_array_equal(got["qty"].to_numpy(),
+                                  want["qty"].to_numpy())
+    got2 = s.sql(
+        "SELECT count(*) AS c FROM sales WHERE item NOT IN "
+        "(SELECT id FROM items WHERE brand = 'acme')")
+    want2 = (~sales["item"].isin(acme)).sum()
+    assert int(got2["c"].iloc[0]) == int(want2)
