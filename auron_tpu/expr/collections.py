@@ -269,3 +269,61 @@ def _map_concat(block: TableBlock, out: str, m1: str, m2: str) -> TableBlock:
 def _map_from_arrays(block: TableBlock, out: str, keys_col: str,
                      vals_col: str) -> TableBlock:
     return make_map_columns(block, out, keys_col, vals_col)
+
+
+@_transform("make_array", lambda p: [f"{p[0]}#vals", f"{p[0]}#len"])
+def _make_array(block: TableBlock, out: str, *cols: str) -> TableBlock:
+    """array(c1, c2, ...) -> fixed-length array planes
+    (spark_make_array.rs)."""
+    from auron_tpu.expr.strings import unify_string_columns
+    members = [block.columns[c] for c in cols]
+    if members[0].dtype.is_string:
+        members, _ = unify_string_columns(list(members))
+    vals = jnp.stack([m.values for m in members], axis=1)
+    cap = vals.shape[0]
+    length = jnp.full(cap, len(members), jnp.int32)
+    new = dict(block.columns)
+    new[f"{out}#vals"] = Column(vals, None, members[0].dtype,
+                               members[0].dict_values)
+    new[f"{out}#len"] = Column(length, None, INT32, None)
+    return TableBlock(new, block.row_mask)
+
+
+@_transform("array_union", lambda p: [f"{p[0]}#vals", f"{p[0]}#len"])
+def _array_union(block: TableBlock, out: str, a: str, b: str) -> TableBlock:
+    """brickhouse array_union(a, b): per-row distinct union, first
+    occurrence order (brickhouse/array_union.rs)."""
+    from auron_tpu.expr.strings import unify_string_columns
+    va, la = block.columns[f"{a}#vals"], block.columns[f"{a}#len"]
+    vb, lb = block.columns[f"{b}#vals"], block.columns[f"{b}#len"]
+    if va.dtype.is_string:
+        (va, vb), _ = unify_string_columns([va, vb])
+    cap, La = va.values.shape
+    _, Lb = vb.values.shape
+    L = La + Lb
+    lane = jax.lax.broadcasted_iota(jnp.int32, (cap, L), 1)
+    lena = la.values.astype(jnp.int32)[:, None]
+    lenb = lb.values.astype(jnp.int32)[:, None]
+    # [a's live lanes | b's live lanes] via the map_concat shift trick
+    both = jnp.concatenate([va.values, vb.values], axis=1)
+    src = jnp.where(lane < lena, lane, lane - lena + La)
+    src = jnp.clip(src, 0, L - 1)
+    vals = jnp.take_along_axis(both, src, axis=1)
+    live = lane < (lena + lenb)
+    # first-occurrence dedup: O(L^2) lane compare (L is a small static)
+    eq_earlier = (vals[:, :, None] == vals[:, None, :]) & \
+        (lane[:, None, :] < lane[:, :, None]) & live[:, None, :]
+    dup = jnp.any(eq_earlier, axis=2)
+    keep = live & ~dup
+    # compact kept lanes left, preserving order
+    order = jnp.argsort(jnp.where(keep, lane, L + lane), axis=1)
+    vals = jnp.take_along_axis(vals, order, axis=1)
+    nkeep = keep.sum(axis=1).astype(jnp.int32)
+    in_len = lane < nkeep[:, None]
+    vals = jnp.where(in_len, vals, 0)
+    from auron_tpu.expr.eval import _combine_validity
+    validity = _combine_validity(la, lb)
+    new = dict(block.columns)
+    new[f"{out}#vals"] = Column(vals, None, va.dtype, va.dict_values)
+    new[f"{out}#len"] = Column(nkeep, validity, INT32, None)
+    return TableBlock(new, block.row_mask)

@@ -368,6 +368,21 @@ _str_to_str("rtrim", lambda s: s.rstrip())
 _str_to_str("reverse", lambda s: s[::-1])
 _str_to_str("initcap", lambda s: " ".join(
     w[:1].upper() + w[1:].lower() if w else w for w in s.split(" ")))
+_str_to_str("repeat", lambda s, n=1: s * max(int(n), 0))
+
+
+_SPACE_MAX = 128
+
+
+@register("space")
+def _space(block, c: Column) -> Column:
+    """space(n) -> n spaces (spark_strings.rs); n clamps to 128 so the
+    dictionary stays static under tracing."""
+    from auron_tpu.dtypes import STRING
+    n = jnp.clip(c.values.astype(jnp.int32), 0, _SPACE_MAX)
+    dict_values = np.array([" " * k for k in range(_SPACE_MAX + 1)],
+                           dtype=object)
+    return Column(n, c.validity, STRING, dict_values)
 
 
 @register("substring")

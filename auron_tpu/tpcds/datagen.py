@@ -197,7 +197,9 @@ def generate(sf: float = 1.0, seed: int = 0,
         "s_store_id": [f"STORE{k:08d}" for k in range(ns_)],
         "s_store_name": rng.choice(STORE_NAMES, ns_),
         "s_market_id": rng.integers(1, 11, ns_).astype(np.int32),
-        "s_state": rng.choice(STATES[:10], ns_),
+        # always at least one TN store: many queries slice s_state='TN'
+        "s_state": np.concatenate([["TN"],
+                                   rng.choice(STATES[:10], ns_ - 1)]),
         "s_county": rng.choice(COUNTIES, ns_),
         "s_city": rng.choice(CITIES, ns_),
         "s_zip": rng.choice(MAGIC_ZIPS + Q8_STORE_ZIPS + ["35709",

@@ -174,8 +174,9 @@ def q27_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     l2["g_state"] = 1
     cols = ["i_item_id", "s_state", "g_state", "agg1", "agg2", "agg3",
             "agg4"]
-    out = pd.concat([l0[cols], l1[cols], l2[cols]], ignore_index=True) \
-        if len(j) else l0[cols]
+    # the () grouping set emits its row even over EMPTY input (SQL:
+    # aggregate over zero rows = one row of NULLs), so l2 always joins
+    out = pd.concat([l0[cols], l1[cols], l2[cols]], ignore_index=True)
     return out.sort_values(["i_item_id", "s_state"], kind="stable",
                            na_position="first").head(100)
 

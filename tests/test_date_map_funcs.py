@@ -140,3 +140,51 @@ def test_map_concat_last_wins():
     assert got["a"].fillna("?").tolist() == ["1", "5"]
     assert got["b"].fillna("?").tolist() == ["9", "?"]  # m2 wins on b
     assert got["c"].fillna("?").tolist() == ["?", "3"]
+
+
+def test_make_array_and_union():
+    s = Session()
+    s.register_pandas("t", pd.DataFrame(
+        {"a": np.array([1, 2, 3], np.int64),
+         "b": np.array([2, 5, 3], np.int64),
+         "c": np.array([9, 2, 3], np.int64)}))
+    f = (table(s, "t")
+         .block_transform("make_array", "x", "a", "b")
+         .block_transform("make_array", "y", "b", "c")
+         .block_transform("array_union", "u", "x", "y")
+         .select(n=func("size", params=("u",)),
+                 first=func("element_at_array", params=("u", 1)),
+                 second=func("element_at_array", params=("u", 2))))
+    got = f.collect()
+    # row0: [1,2] U [2,9] = [1,2,9]; row1: [2,5] U [5,2] = [2,5];
+    # row2: [3,3] U [3,3] = [3]
+    assert got["n"].tolist() == [3, 2, 1]
+    assert got["first"].tolist() == [1, 2, 3]
+    assert got["second"].tolist()[:2] == [2, 5]
+
+
+def test_make_array_strings_union():
+    s = Session()
+    s.register_pandas("t", pd.DataFrame(
+        {"a": ["x", "y"], "b": ["y", "y"], "c": ["z", "w"]}))
+    f = (table(s, "t")
+         .block_transform("make_array", "p", "a", "b")
+         .block_transform("make_array", "q", "b", "c")
+         .block_transform("array_union", "u", "p", "q")
+         .select(n=func("size", params=("u",)),
+                 first=func("element_at_array", params=("u", 1))))
+    got = f.collect()
+    # row0: [x,y] U [y,z] = [x,y,z]; row1: [y,y] U [y,w] = [y,w]
+    assert got["n"].tolist() == [3, 2]
+    assert got["first"].tolist() == ["x", "y"]
+
+
+def test_repeat_and_space():
+    b = mkblock(a=["ab", "c", None])
+    got = out(b, func("repeat", col("a"), params=(3,)))
+    assert got.tolist()[:2] == ["ababab", "ccc"]
+    s = Session()
+    s.register_pandas("t", pd.DataFrame({"n": np.array([0, 2, 5],
+                                                       np.int64)}))
+    f = table(s, "t").select(sp=func("space", col("n")))
+    assert f.collect()["sp"].tolist() == ["", "  ", "     "]
