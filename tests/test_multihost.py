@@ -1,0 +1,44 @@
+"""Multi-host scaffolding on the virtual 8-device CPU mesh: host-major
+mesh ordering, partition-locality map, global-array assembly from
+"host-local" shards (single process plays every host here)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from auron_tpu.block import TableBlock
+from auron_tpu.parallel.multihost import (global_mesh,
+                                          host_local_partitions,
+                                          init_multihost,
+                                          make_global_table)
+
+
+def test_init_single_process_noop():
+    assert init_multihost() in (False, True)  # no env: stays local
+
+
+def test_mesh_and_locality():
+    mesh = global_mesh("part")
+    n = mesh.devices.size
+    assert n == 8
+    mine = host_local_partitions(n)
+    assert mine == list(range(n))  # single process owns all
+    with pytest.raises(ValueError):
+        host_local_partitions(n + 1)
+
+
+def test_make_global_table_roundtrip():
+    mesh = global_mesh("part")
+    n = mesh.devices.size
+    blocks = {}
+    for i in range(n):
+        df = pd.DataFrame({"a": np.arange(4, dtype=np.int64) + 10 * i})
+        blocks[i] = TableBlock.from_pandas(df, capacity=4)
+    g = make_global_table(mesh, "part", blocks)
+    vals = np.asarray(g.columns["a"].values)
+    assert vals.shape == (n, 4)
+    for i in range(n):
+        np.testing.assert_array_equal(vals[i],
+                                      np.arange(4) + 10 * i)
