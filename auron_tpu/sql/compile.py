@@ -179,9 +179,11 @@ def _rel(rel, session) -> Frame:
     raise NotImplementedError(type(rel).__name__)
 
 
-def _agg_kwargs(projs: List[A.Proj], group_names: List[str]):
+def _agg_kwargs(projs: List[A.Proj], group_names: List[str],
+                group_asts: Optional[Dict[str, Any]] = None):
     """Split projections into key selections + aggregate calls."""
     from auron_tpu.expr.nodes import col
+    group_asts = group_asts or {}
     aggs: Dict[str, tuple] = {}
     out_cols: List[str] = []
     post: List[Tuple[str, Optional[E.Expr]]] = []  # final projection
@@ -193,6 +195,12 @@ def _agg_kwargs(projs: List[A.Proj], group_names: List[str]):
             out_cols.append(alias or name)
             post.append((alias or name,
                          col(name) if alias and alias != name else None))
+            continue
+        if alias and group_asts.get(alias) == p.expr:
+            # projection repeats a GROUP BY expression — it is a key,
+            # already materialized as a column named by its alias
+            out_cols.append(alias)
+            post.append((alias, None))
             continue
         if not _is_agg(p.expr):
             raise NotImplementedError(
@@ -306,12 +314,24 @@ def _select(sel: A.Select, session) -> Frame:
     has_agg = any(_is_agg(p.expr) for p in sel.projs) or sel.group_by
     if has_agg:
         keys = []
-        for g in sel.group_by:
+        pre: Dict[str, E.Expr] = {}
+        group_asts: Dict[str, Any] = {}
+        for i, g in enumerate(sel.group_by):
             if isinstance(g, A.Ident):
                 keys.append(g.name)
-            else:
-                raise NotImplementedError("GROUP BY expressions")
-        aggs, out_cols, post = _agg_kwargs(sel.projs, keys)
+                continue
+            # GROUP BY <expr>: materialize it as a derived column first,
+            # named by the SELECT alias that repeats the same expression
+            # (so it stays addressable) or a synthetic key name
+            alias = next((p.alias for p in sel.projs
+                          if p.alias and p.expr == g), None)
+            name = alias or f"_g{i}"
+            pre[name] = _expr(g)
+            group_asts[name] = g
+            keys.append(name)
+        if pre:
+            f = f.with_columns(**pre)
+        aggs, out_cols, post = _agg_kwargs(sel.projs, keys, group_asts)
         f = f.groupby(*keys).agg(**aggs)
         if sel.having is not None:
             f = f.filter(_expr(sel.having))

@@ -184,3 +184,17 @@ def test_in_subquery(sess):
         "(SELECT id FROM items WHERE brand = 'acme')")
     want2 = (~sales["item"].isin(acme)).sum()
     assert int(got2["c"].iloc[0]) == int(want2)
+
+
+def test_group_by_expression(sess):
+    s, sales, items = sess
+    got = s.sql(
+        "SELECT item % 4 AS bucket, sum(price) AS total FROM sales "
+        "GROUP BY item % 4 ORDER BY bucket")
+    want = (sales.assign(bucket=sales["item"] % 4)
+            .groupby("bucket").agg(total=("price", "sum"))
+            .reset_index().sort_values("bucket"))
+    np.testing.assert_array_equal(got["bucket"].to_numpy(),
+                                  want["bucket"].to_numpy())
+    np.testing.assert_allclose(got["total"].to_numpy(),
+                               want["total"].to_numpy(), rtol=1e-9)
