@@ -351,13 +351,24 @@ def _select(sel: A.Select, session) -> Frame:
             f = f.distinct()
     if sel.order_by:
         sort_keys = []
-        for o in sel.order_by:
+        helpers: Dict[str, E.Expr] = {}
+        for i, o in enumerate(sel.order_by):
             if isinstance(o.expr, A.Ident):
-                sort_keys.append(SortKey(o.expr.name, ascending=o.ascending))
+                sort_keys.append(SortKey(o.expr.name,
+                                         ascending=o.ascending))
             else:
-                raise NotImplementedError(
-                    "ORDER BY expressions (alias them in SELECT)")
-        f = f.sort(*sort_keys, limit=sel.limit)
+                # ORDER BY <expr>: sort on a hidden derived column,
+                # dropped again after the sort
+                name = f"_o{i}"
+                helpers[name] = _expr(o.expr)
+                sort_keys.append(SortKey(name, ascending=o.ascending))
+        if helpers:
+            keep = list(f._names())
+            f = (f.with_columns(**helpers)
+                 .sort(*sort_keys, limit=sel.limit)
+                 .select(*keep))
+        else:
+            f = f.sort(*sort_keys, limit=sel.limit)
     elif sel.limit is not None:
         f = f.limit(sel.limit)
     return f

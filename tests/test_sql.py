@@ -198,3 +198,15 @@ def test_group_by_expression(sess):
                                   want["bucket"].to_numpy())
     np.testing.assert_allclose(got["total"].to_numpy(),
                                want["total"].to_numpy(), rtol=1e-9)
+
+
+def test_order_by_expression(sess):
+    s, sales, items = sess
+    got = s.sql(
+        "SELECT item, price FROM sales ORDER BY price * -1, item LIMIT 20")
+    want = (sales.assign(_o=sales["price"] * -1)
+            .sort_values(["_o", "item"], kind="stable")
+            .head(20)[["item", "price"]])
+    np.testing.assert_allclose(got["price"].to_numpy(),
+                               want["price"].to_numpy(), rtol=1e-9)
+    assert list(got.columns) == ["item", "price"]
