@@ -112,6 +112,11 @@ def start_observability(session=None, port: int = 0
                     q = parse_qs(u.query)
                     secs = float(q.get("seconds", ["3"])[0])
                     self._send(200, {"trace_dir": _profile(secs)})
+                elif u.path == "/memory":
+                    mb = getattr(session, "memory_budget", None)
+                    self._send(200, {
+                        "report": mb.dump_status() if mb else
+                        "no memory budget registered"})
                 elif u.path == "/status":
                     import jax
                     self._send(200, {

@@ -84,3 +84,14 @@ class MemoryBudget:
 
     def fits(self, blocks) -> bool:
         return sum(block_bytes(b) for b in blocks) <= self.headroom
+
+    def dump_status(self) -> str:
+        """Per-consumer residency report (the reference dumps every
+        MemConsumer's status at exit, auron-memmgr/src/lib.rs:143-163)."""
+        lines = [f"memory budget: {self.budget:,} B, "
+                 f"used {self.used:,} B, headroom {self.headroom:,} B"]
+        for name, b in sorted(self.registered.items(),
+                              key=lambda kv: -kv[1]):
+            pct = 100.0 * b / max(self.budget, 1)
+            lines.append(f"  {name}: {b:,} B ({pct:.1f}%)")
+        return "\n".join(lines)

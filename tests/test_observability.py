@@ -38,3 +38,15 @@ def test_endpoints():
         assert e.code == 404
     finally:
         srv.shutdown()
+
+
+def test_memory_dump_endpoint():
+    s = Session()
+    s.register_pandas("big", pd.DataFrame(
+        {"a": np.arange(1000, dtype=np.int64)}), num_partitions=None)
+    srv = start_observability(s)
+    try:
+        rep = _get(srv.url + "/memory")["report"]
+        assert "memory budget" in rep and "big" in rep
+    finally:
+        srv.shutdown()
