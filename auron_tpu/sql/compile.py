@@ -291,8 +291,70 @@ def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
                   null_aware=p.negated)
 
 
+def _compile_cross(rel: "A.CrossRel", where, session):
+    """Comma-FROM implicit joins (the TPC-DS SQL style): pull equality
+    conjuncts out of WHERE as join edges and build the join tree
+    greedily, exactly what a planner does with FROM a, b WHERE a.k=b.k.
+    Returns (joined frame, leftover WHERE ast or None)."""
+    frames = [_rel(r, session) for r in rel.rels]
+    names = [set(fr._names()) for fr in frames]
+    conjs = list(_conjuncts(where)) if where is not None else []
+    edges = []  # (owner_l, owner_r, lname, rname, original ast)
+    rest = []
+    for c in conjs:
+        if isinstance(c, A.Bin) and c.op == "=" and \
+                isinstance(c.left, A.Ident) and \
+                isinstance(c.right, A.Ident):
+            ln, rn = c.left.name, c.right.name
+            ol = [i for i, ns in enumerate(names) if ln in ns]
+            orr = [i for i, ns in enumerate(names) if rn in ns]
+            if len(ol) == 1 and len(orr) == 1 and ol[0] != orr[0]:
+                edges.append((ol[0], orr[0], ln, rn, c))
+                continue
+        rest.append(c)
+    joined = {0}
+    cur = frames[0]
+    remaining = list(edges)
+    while len(joined) < len(frames):
+        pick = None
+        for i, j, *_ in remaining:
+            if (i in joined) != (j in joined):
+                pick = j if i in joined else i
+                break
+        if pick is None:
+            raise NotImplementedError(
+                "implicit cartesian product (no equi-key links the "
+                "remaining tables)")
+        use = [e for e in remaining
+               if pick in (e[0], e[1]) and
+               (e[0] in joined or e[1] in joined)]
+        lk, rk = [], []
+        for e in use:
+            i, j, ln, rn, _ = e
+            if j == pick:
+                lk.append(ln)
+                rk.append(rn)
+            else:
+                lk.append(rn)
+                rk.append(ln)
+            remaining.remove(e)
+        cur = cur.join(frames[pick], tuple(lk), tuple(rk), how="inner")
+        joined.add(pick)
+    # edges whose endpoints were already joined degrade to plain filters
+    rest.extend(e[4] for e in remaining)
+    leftover = None
+    for c in rest:
+        leftover = c if leftover is None else A.Bin("and", leftover, c)
+    return cur, leftover
+
+
 def _select(sel: A.Select, session) -> Frame:
-    f = _rel(sel.rel, session)
+    if isinstance(sel.rel, A.CrossRel):
+        f, where = _compile_cross(sel.rel, sel.where, session)
+        sel = A.Select(sel.projs, sel.rel, where, sel.group_by,
+                       sel.having, sel.order_by, sel.limit, sel.distinct)
+    else:
+        f = _rel(sel.rel, session)
     if sel.where is not None:
         plain = None
         subq = []
@@ -335,7 +397,10 @@ def _select(sel: A.Select, session) -> Frame:
         f = f.groupby(*keys).agg(**aggs)
         if sel.having is not None:
             f = f.filter(_expr(sel.having))
-        f = f.select(*[c for c in out_cols])
+        from auron_tpu.expr.nodes import col as _col
+        f = f.select(**{n: (e if e is not None else _col(n))
+                        for n, e in post})
+        proj_map = list(zip(sel.projs, out_cols))
     else:
         if not (len(sel.projs) == 1 and isinstance(sel.projs[0].expr,
                                                    A.Star)):
@@ -347,6 +412,9 @@ def _select(sel: A.Select, session) -> Frame:
                                    else f"_c{i}")
                 items[name] = _expr(p.expr)
             f = f.select(**items)
+            proj_map = list(zip(sel.projs, items.keys()))
+        else:
+            proj_map = []
         if sel.distinct:
             f = f.distinct()
     if sel.order_by:
@@ -356,12 +424,18 @@ def _select(sel: A.Select, session) -> Frame:
             if isinstance(o.expr, A.Ident):
                 sort_keys.append(SortKey(o.expr.name,
                                          ascending=o.ascending))
-            else:
-                # ORDER BY <expr>: sort on a hidden derived column,
-                # dropped again after the sort
-                name = f"_o{i}"
-                helpers[name] = _expr(o.expr)
-                sort_keys.append(SortKey(name, ascending=o.ascending))
+                continue
+            # ORDER BY <expr> repeating a SELECT expression (e.g. the
+            # aggregate itself) sorts by that output column
+            match = next((name for p, name in proj_map
+                          if p.expr == o.expr), None)
+            if match is not None:
+                sort_keys.append(SortKey(match, ascending=o.ascending))
+                continue
+            # otherwise sort on a hidden derived column, dropped after
+            name = f"_o{i}"
+            helpers[name] = _expr(o.expr)
+            sort_keys.append(SortKey(name, ascending=o.ascending))
         if helpers:
             keep = list(f._names())
             f = (f.with_columns(**helpers)

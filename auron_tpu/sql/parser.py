@@ -199,6 +199,14 @@ class JoinRel:
 
 
 @dataclass
+class CrossRel:
+    """Comma-separated FROM list — implicit joins whose equi-keys live in
+    the WHERE clause (the classic TPC-DS style)."""
+
+    rels: List[Any]
+
+
+@dataclass
 class Select:
     projs: List[Proj]
     rel: Any
@@ -324,6 +332,12 @@ class Parser:
 
     # -- relations ----------------------------------------------------------
     def rel(self):
+        parts = [self._rel_joins()]
+        while self.accept("op", ","):
+            parts.append(self._rel_joins())
+        return parts[0] if len(parts) == 1 else CrossRel(parts)
+
+    def _rel_joins(self):
         left = self.rel_primary()
         while True:
             how = self.join_type()

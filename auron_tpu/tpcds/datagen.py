@@ -168,6 +168,9 @@ def generate(sf: float = 1.0, seed: int = 0,
     ni = n["item"]
     brand_id = rng.integers(1, 61, ni).astype(np.int32)
     manufact_id = rng.integers(1, 1000, ni).astype(np.int32)
+    # q3.sql filters i_manufact_id = 128 — pin a few items to it so the
+    # reference's literal SQL is non-trivial on synthetic data
+    manufact_id[: max(ni // 200, 3)] = 128
     category_idx = rng.integers(0, len(CATEGORIES), ni)
     t["item"] = pd.DataFrame({
         "i_item_sk": np.arange(ni, dtype=np.int32),
