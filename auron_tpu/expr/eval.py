@@ -154,6 +154,9 @@ def _promote_pair(l: Column, r: Column, for_div: bool = False
     if lt.name == "date32" or rt.name == "date32":
         # date +- int handled in functions (date_add); here require same type
         return l, r, DATE32
+    if lt.name == "timestamp64" or rt.name == "timestamp64":
+        # micros-since-epoch int64 representation compares directly
+        return l, r, lt if lt.name == "timestamp64" else rt
     target = lt if _NUM_ORDER[lt.name] >= _NUM_ORDER[rt.name] else rt
     if for_div and not target.is_float:
         target = FLOAT64

@@ -37,6 +37,21 @@ _PARAM_FNS = {"substring": 1, "substr": 1, "concat_ws": None, "trunc": 1,
               "next_day": 1, "round": 1, "bround": 1, "like": 1}
 
 
+def _fold_const(v):
+    """Fold literal arithmetic (IN (1999, 1999 + 1, ...), -5, ...)."""
+    if isinstance(v, A.Un) and v.op == "neg":
+        inner = _fold_const(v.operand)
+        if isinstance(inner, A.Lit):
+            return A.Lit(-inner.value)
+    if isinstance(v, A.Bin) and v.op in ("+", "-", "*", "/"):
+        l, r = _fold_const(v.left), _fold_const(v.right)
+        if isinstance(l, A.Lit) and isinstance(r, A.Lit):
+            ops = {"+": lambda a, b: a + b, "-": lambda a, b: a - b,
+                   "*": lambda a, b: a * b, "/": lambda a, b: a / b}
+            return A.Lit(ops[v.op](l.value, r.value))
+    return v
+
+
 def _is_agg(e) -> bool:
     if isinstance(e, A.WindowFn):
         return False  # window aggregates are not GROUP BY aggregates
@@ -54,12 +69,28 @@ def _is_agg(e) -> bool:
     return False
 
 
+# compile-time context: the session + in-scope CTE frames (flat scoping,
+# like the converter's single name space). Pushed by compile_sql /
+# _query(WithQ); read by TableRef resolution and scalar subqueries.
+_CTX_SESSION: List[Any] = []
+_CTX_CTES: List[Dict[str, Frame]] = []
+
+
+def _current_ctes() -> Dict[str, Frame]:
+    return _CTX_CTES[-1] if _CTX_CTES else {}
+
+
 def _expr(e) -> E.Expr:
     """SQL expression AST -> engine expression."""
     if isinstance(e, A.Ident):
         return E.col(e.name)
     if isinstance(e, A.Lit):
         return E.lit(e.value)
+    if isinstance(e, A.IntervalE):
+        return E.lit(e.days)
+    if isinstance(e, A.SubqueryE):
+        # scalar subquery -> evaluated INSIDE the traced program
+        return _query(e.query, _CTX_SESSION[-1]).as_scalar_expr()
     if isinstance(e, A.Un):
         if e.op == "not":
             return ~_expr(e.operand)
@@ -83,6 +114,7 @@ def _expr(e) -> E.Expr:
                 "IN (SELECT ...) must be a top-level WHERE conjunct")
         vals = []
         for v in e.values:
+            v = _fold_const(v)
             if not isinstance(v, A.Lit):
                 raise NotImplementedError("IN expr lists")
             vals.append(v.value)
@@ -157,6 +189,9 @@ def _equi_keys(on) -> Tuple[List[str], List[str], Optional[E.Expr]]:
 
 def _rel(rel, session) -> Frame:
     if isinstance(rel, A.TableRef):
+        env = _current_ctes()
+        if rel.name in env:
+            return env[rel.name]
         return table(session, rel.name)
     if isinstance(rel, A.SubqueryRef):
         return _query(rel.query, session)
@@ -196,31 +231,226 @@ def _agg_kwargs(projs: List[A.Proj], group_names: List[str],
             post.append((alias or name,
                          col(name) if alias and alias != name else None))
             continue
-        if alias and group_asts.get(alias) == p.expr:
+        match = next((name for name, ast in group_asts.items()
+                      if ast == p.expr), None)
+        if match is not None:
             # projection repeats a GROUP BY expression — it is a key,
-            # already materialized as a column named by its alias
-            out_cols.append(alias)
-            post.append((alias, None))
+            # already materialized as a derived column
+            out = alias or match
+            out_cols.append(out)
+            post.append((out, col(match) if out != match else None))
             continue
-        if not _is_agg(p.expr):
-            raise NotImplementedError(
-                "non-aggregate projection over GROUP BY must be a key")
         e = p.expr
-        if isinstance(e, A.Fn):
+        if isinstance(e, A.Fn) and _is_agg(e):
+            # plain aggregate call: the agg output IS the column, named
+            # by its alias so HAVING/ORDER BY can address it
             name = alias or f"_c{n}"
             n += 1
-            if e.star or (e.name == "count" and not e.args):
-                aggs[name] = ("count_star", None)
-            elif e.name == "count" and e.distinct:
-                aggs[name] = ("count_distinct", _expr(e.args[0]))
-            else:
-                aggs[name] = (e.name, _expr(e.args[0]))
+            aggs[name] = _one_agg(e)
             post.append((name, None))
             out_cols.append(name)
-        else:
-            raise NotImplementedError(
-                "composite aggregate expressions (wrap in a subquery)")
+            continue
+        # composite: arithmetic over aggregates and/or group keys —
+        # extract each aggregate into a hidden output, post-project
+        rewritten = _extract_aggs(e, aggs)
+        name = alias or f"_c{n}"
+        n += 1
+        post.append((name, _expr(rewritten)))
+        out_cols.append(name)
     return aggs, out_cols, post
+
+
+def _one_agg(e: A.Fn) -> tuple:
+    if e.star or (e.name == "count" and not e.args):
+        return ("count_star", None)
+    if e.name == "count" and e.distinct:
+        return ("count_distinct", _expr(e.args[0]))
+    return (e.name, _expr(e.args[0]))
+
+
+def _rewrite_ast(e, visit):
+    """Generic bottom-less AST rewrite: visit(e) returns a replacement
+    or None to recurse into children."""
+    r = visit(e)
+    if r is not None:
+        return r
+    if not hasattr(e, "__dataclass_fields__"):
+        return e
+    kw = {}
+    for fld in e.__dataclass_fields__:
+        v = getattr(e, fld)
+        if isinstance(v, list):
+            v = [tuple(_rewrite_ast(x, visit) for x in item)
+                 if isinstance(item, tuple)
+                 else _rewrite_ast(item, visit) for item in v]
+        elif isinstance(v, tuple) and fld != "parts":
+            v = tuple(_rewrite_ast(x, visit) for x in v)
+        elif hasattr(v, "__dataclass_fields__"):
+            v = _rewrite_ast(v, visit)
+        kw[fld] = v
+    return type(e)(**kw)
+
+
+def _extract_aggs(e, aggs: Dict[str, tuple]):
+    """Rewrite an AST, replacing every aggregate Fn with a reference to a
+    hidden agg output column (the planner's aggregate-extraction pass)."""
+    def visit(x):
+        if _own_scope(x):
+            return x  # subquery scopes own their aggregates
+        if isinstance(x, A.Fn) and _is_agg(x):
+            name = f"_a{len(aggs)}"
+            aggs[name] = _one_agg(x)
+            return A.Ident((name,))
+        return None
+    return _rewrite_ast(e, visit)
+
+
+def _own_scope(x) -> bool:
+    return isinstance(x, (A.SubqueryE, A.ExistsE)) or \
+        (isinstance(x, A.InE) and x.query is not None)
+
+
+def _apply_grouped(sel: A.Select, f: Frame):
+    """The GROUP BY + aggregate + HAVING + projection pipeline. Returns
+    (frame, proj_map, trim_to) for the shared ORDER BY tail."""
+    from auron_tpu.expr.nodes import col as _col
+    keys, pre, group_asts = _group_keys(sel)
+    if pre:
+        f = f.with_columns(**pre)
+    aggs, out_cols, post = _agg_kwargs(sel.projs, keys, group_asts)
+    having_expr = None
+    if sel.having is not None:
+        # HAVING may contain its own aggregates (HAVING count(*) > n)
+        # — extract them into hidden agg outputs first
+        having_expr = _expr(_extract_aggs(sel.having, aggs))
+    f = f.groupby(*keys).agg(**aggs)
+    if having_expr is not None:
+        f = f.filter(having_expr)
+    # ORDER BY may reference group keys that the SELECT list drops —
+    # carry them through the projection, trimmed again after sorting
+    post_names = [n for n, _ in post]
+    order_idents = {o.expr.name for o in sel.order_by
+                    if isinstance(o.expr, A.Ident)}
+    carry = [k for k in keys
+             if k in order_idents and k not in post_names]
+    items = {n: (e if e is not None else _col(n)) for n, e in post}
+    items.update({c: _col(c) for c in carry})
+    f = f.select(**items)
+    return f, list(zip(sel.projs, out_cols)), \
+        (post_names if carry else None)
+
+
+def _apply_rollup(sel: A.Select, f: Frame, rollup: A.Fn):
+    """GROUP BY ROLLUP(k1..kn) / CUBE: union of grouping sets. Each
+    level nulls its dropped keys BEFORE grouping (a NULL key collapses
+    to one group AND surfaces as a typed NULL output — one mechanism
+    for both effects); grouping(k) folds to a per-level literal."""
+    nkeys = []
+    for g in rollup.args:
+        if not isinstance(g, A.Ident):
+            raise NotImplementedError("ROLLUP over expressions")
+        nkeys.append(g.name)
+    if rollup.name == "cube":
+        from itertools import combinations
+        levels = [set(c) for d in range(len(nkeys), -1, -1)
+                  for c in combinations(nkeys, d)]
+    else:
+        levels = [set(nkeys[:d]) for d in range(len(nkeys), -1, -1)]
+    u = None
+    for kept in levels:
+        dropped = [k for k in nkeys if k not in kept]
+
+        def sub(x, dropped=tuple(dropped)):
+            if isinstance(x, A.Fn) and x.name == "grouping" and \
+                    x.args and isinstance(x.args[0], A.Ident):
+                return A.Lit(1 if x.args[0].name in dropped else 0)
+            return None
+
+        projs_d = [A.Proj(_rewrite_ast(p.expr, sub), p.alias)
+                   for p in sel.projs]
+        having_d = _rewrite_ast(sel.having, sub) \
+            if sel.having is not None else None
+        f_d = f
+        if dropped:
+            f_d = f.with_columns(**{
+                k: E.when(E.lit(False), E.col(k)).end()
+                for k in dropped})
+        sel_d = A.Select(projs_d, sel.rel, None,
+                         [A.Ident((k,)) for k in nkeys], having_d, [],
+                         None, False)
+        lvl, proj_map, _ = _apply_grouped(sel_d, f_d)
+        u = lvl if u is None else u.union(lvl)
+    return u, proj_map, None
+
+
+def _group_keys(sel: A.Select):
+    """GROUP BY clause -> (key names, pre-projection exprs, ast map).
+    GROUP BY <expr> materializes as a derived column first, named by the
+    SELECT alias that repeats the same expression or a synthetic name."""
+    keys: List[str] = []
+    pre: Dict[str, E.Expr] = {}
+    group_asts: Dict[str, Any] = {}
+    for i, g in enumerate(sel.group_by):
+        if isinstance(g, A.Ident):
+            keys.append(g.name)
+            continue
+        alias = next((p.alias for p in sel.projs
+                      if p.alias and p.expr == g), None)
+        name = alias or f"_g{i}"
+        pre[name] = _expr(g)
+        group_asts[name] = g
+        keys.append(name)
+    return keys, pre, group_asts
+
+
+def _extract_aggs_mixed(e, aggs: Dict[str, tuple],
+                        grs: Optional[Dict[str, str]] = None):
+    """Like _extract_aggs but window-aware: the window's own function is
+    kept, while grouped aggregates inside its args/partition/order (and
+    anywhere else) become hidden agg outputs. With ``grs``, grouping(k)
+    calls become hidden per-level indicator columns (ROLLUP)."""
+    def visit(x):
+        if isinstance(x, A.WindowFn):
+            fn2 = A.Fn(x.fn.name,
+                       [_extract_aggs_mixed(a, aggs, grs)
+                        for a in x.fn.args],
+                       x.fn.distinct, x.fn.star)
+            part = [_extract_aggs_mixed(g, aggs, grs)
+                    for g in x.partition_by]
+            order = [A.OrderItem(_extract_aggs_mixed(o.expr, aggs, grs),
+                                 o.ascending) for o in x.order_by]
+            return A.WindowFn(fn2, part, order)
+        if _own_scope(x):
+            return x
+        if grs is not None and isinstance(x, A.Fn) and \
+                x.name == "grouping" and x.args and \
+                isinstance(x.args[0], A.Ident):
+            name = f"_gr{len(grs)}"
+            grs[name] = x.args[0].name
+            return A.Ident((name,))
+        if isinstance(x, A.Fn) and _is_agg(x):
+            name = f"_a{len(aggs)}"
+            aggs[name] = _one_agg(x)
+            return A.Ident((name,))
+        return None
+    return _rewrite_ast(e, visit)
+
+
+def _has_window(e) -> bool:
+    if isinstance(e, A.WindowFn):
+        return True
+    if not hasattr(e, "__dataclass_fields__"):
+        return False
+    for fld in e.__dataclass_fields__:
+        v = getattr(e, fld)
+        vs = v if isinstance(v, (list, tuple)) else [v]
+        for item in vs:
+            items = item if isinstance(item, tuple) else [item]
+            for x in (items if isinstance(items, (list, tuple))
+                      else [items]):
+                if hasattr(x, "__dataclass_fields__") and _has_window(x):
+                    return True
+    return False
 
 
 def _conjuncts(e):
@@ -242,7 +472,36 @@ def _apply_exists(f: Frame, p: A.ExistsE, session) -> Frame:
     sel = p.query
     if not isinstance(sel, A.Select):
         raise NotImplementedError("EXISTS over UNION")
-    inner = _rel(sel.rel, session)
+    if isinstance(sel.rel, A.CrossRel):
+        inner = None
+        for r in sel.rel.rels:
+            nxt = _rel(r, session)
+            if inner is None:
+                inner = nxt
+                continue
+            # equality conjuncts linking the inner tables are resolved
+            # below with the correlation scan; join here on shared keys
+            # found in sel.where between the two inner frames
+            a, b = set(inner._names()), set(nxt._names())
+            lk, rk = [], []
+            for c in (_conjuncts(sel.where) if sel.where is not None
+                      else ()):
+                if isinstance(c, A.Bin) and c.op == "=" and \
+                        isinstance(c.left, A.Ident) and \
+                        isinstance(c.right, A.Ident):
+                    ln, rn = c.left.name, c.right.name
+                    if ln in a and rn in b and rn not in a:
+                        lk.append(ln)
+                        rk.append(rn)
+                    elif rn in a and ln in b and ln not in a:
+                        lk.append(rn)
+                        rk.append(ln)
+            if not lk:
+                raise NotImplementedError(
+                    "EXISTS inner cartesian product")
+            inner = inner.join(nxt, tuple(lk), tuple(rk))
+    else:
+        inner = _rel(sel.rel, session)
     inner_names = set(inner._names())
     outer_names = set(f._names())
     keys_outer, keys_inner = [], []
@@ -348,6 +607,139 @@ def _compile_cross(rel: "A.CrossRel", where, session):
     return cur, leftover
 
 
+def _inner_aliases(rel) -> set:
+    out = set()
+
+    def add(r):
+        if isinstance(r, A.TableRef):
+            out.add(r.name)
+            if r.alias:
+                out.add(r.alias)
+        elif isinstance(r, A.SubqueryRef):
+            out.add(r.alias)
+        elif isinstance(r, A.JoinRel):
+            add(r.left)
+            add(r.right)
+        elif isinstance(r, A.CrossRel):
+            for x in r.rels:
+                add(x)
+    add(rel)
+    return out
+
+
+def _scalar_cmp_parts(c):
+    """Conjunct of the form <expr> <cmp> (SELECT ...) (either side)."""
+    if isinstance(c, A.Bin) and c.op in ("<", "<=", ">", ">=", "=",
+                                         "<>", "!="):
+        if isinstance(c.right, A.SubqueryE) and \
+                not isinstance(c.left, A.SubqueryE):
+            return c.left, c.right, c.op
+        if isinstance(c.left, A.SubqueryE) and \
+                not isinstance(c.right, A.SubqueryE):
+            flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            return c.right, c.left, flip.get(c.op, c.op)
+    return None
+
+
+def _correlation_pairs(sel: A.Select, inner_names: set,
+                       inner_aliases: set, outer_names: set):
+    """Split the subquery WHERE into outer-correlation equality pairs
+    and residual conjuncts, resolving sides by alias qualifier first
+    (a.col) and flat name second."""
+    pairs, rest = [], []
+
+    def kind(i: A.Ident) -> str:
+        if len(i.parts) > 1:
+            return "inner" if i.parts[0] in inner_aliases else "outer"
+        if i.name in inner_names:
+            return "inner"
+        if i.name in outer_names:
+            return "outer"
+        return "unknown"
+
+    for c in (_conjuncts(sel.where) if sel.where is not None else ()):
+        if isinstance(c, A.Bin) and c.op == "=" and \
+                isinstance(c.left, A.Ident) and \
+                isinstance(c.right, A.Ident):
+            kl, kr = kind(c.left), kind(c.right)
+            if {kl, kr} == {"inner", "outer"}:
+                inner_i, outer_i = ((c.left, c.right) if kl == "inner"
+                                    else (c.right, c.left))
+                pairs.append((inner_i.name, outer_i.name))
+                continue
+        rest.append(c)
+    leftover = None
+    for c in rest:
+        leftover = c if leftover is None else A.Bin("and", leftover, c)
+    return pairs, leftover
+
+
+def _is_correlated_scalar(c, outer_names: set, session) -> bool:
+    parts = _scalar_cmp_parts(c)
+    if parts is None:
+        return False
+    sel = parts[1].query
+    if not isinstance(sel, A.Select):
+        return False
+    try:
+        inner = (_compile_cross(sel.rel, None, session)[0]
+                 if isinstance(sel.rel, A.CrossRel)
+                 else _rel(sel.rel, session))
+    except NotImplementedError:
+        # cross join edges live in WHERE; resolve names per-relation
+        inner_names = set()
+        for r in sel.rel.rels:
+            inner_names |= set(_rel(r, session)._names())
+        pairs, _ = _correlation_pairs(sel, inner_names,
+                                      _inner_aliases(sel.rel),
+                                      outer_names)
+        return bool(pairs)
+    pairs, _ = _correlation_pairs(sel, set(inner._names()),
+                                  _inner_aliases(sel.rel), outer_names)
+    return bool(pairs)
+
+
+def _apply_scalar_cmp(f: Frame, c, session) -> Frame:
+    """Correlated scalar-aggregate comparison -> grouped subquery joined
+    on the correlation keys (Spark's RewriteCorrelatedScalarSubquery)."""
+    other_ast, sq, op = _scalar_cmp_parts(c)
+    sel = sq.query
+    outer_names = set(f._names())
+    aliases = _inner_aliases(sel.rel)
+    if isinstance(sel.rel, A.CrossRel):
+        inner_names = set()
+        for r in sel.rel.rels:
+            inner_names |= set(_rel(r, session)._names())
+    else:
+        inner_names = set(_rel(sel.rel, session)._names())
+    pairs, residual = _correlation_pairs(sel, inner_names, aliases,
+                                         outer_names)
+    if isinstance(sel.rel, A.CrossRel):
+        inner, residual = _compile_cross(sel.rel, residual, session)
+        if residual is not None:
+            inner = inner.filter(_expr(residual))
+    else:
+        inner = _rel(sel.rel, session)
+        if residual is not None:
+            inner = inner.filter(_expr(residual))
+    ikeys = [p[0] for p in pairs]
+    okeys = [p[1] for p in pairs]
+    sel_inner = A.Select([A.Proj(sel.projs[0].expr, "_sc")] +
+                         [A.Proj(A.Ident((k,)), None) for k in ikeys],
+                         sel.rel, None,
+                         [A.Ident((k,)) for k in ikeys], None, [],
+                         None, False)
+    grouped, _, _ = _apply_grouped(sel_inner, inner)
+    grouped = grouped.select(
+        _sc=E.col("_sc"),
+        **{f"__ck{i}": E.col(k) for i, k in enumerate(ikeys)})
+    keep = list(f._names())
+    f = f.join(grouped, tuple(okeys),
+               tuple(f"__ck{i}" for i in range(len(ikeys))), how="left")
+    cmp_ast = A.Bin(op, other_ast, A.Ident(("_sc",)))
+    return f.filter(_expr(cmp_ast)).select(*keep)
+
+
 def _select(sel: A.Select, session) -> Frame:
     if isinstance(sel.rel, A.CrossRel):
         f, where = _compile_cross(sel.rel, sel.where, session)
@@ -358,9 +750,13 @@ def _select(sel: A.Select, session) -> Frame:
     if sel.where is not None:
         plain = None
         subq = []
+        scalar_cmp = []
+        outer_names = set(f._names())
         for c in _conjuncts(sel.where):
             if _is_subquery_pred(c):
                 subq.append(c)
+            elif _is_correlated_scalar(c, outer_names, session):
+                scalar_cmp.append(c)
             else:
                 e = _expr(c)
                 plain = e if plain is None else (plain & e)
@@ -370,37 +766,96 @@ def _select(sel: A.Select, session) -> Frame:
             f = (_apply_exists(f, c, session)
                  if isinstance(c, A.ExistsE)
                  else _apply_in_subquery(f, c, session))
+        for c in scalar_cmp:
+            f = _apply_scalar_cmp(f, c, session)
+    has_window_any = any(_has_window(p.expr) for p in sel.projs)
+    has_group_agg = bool(sel.group_by) or any(
+        _is_agg(p.expr) for p in sel.projs)
+    if has_window_any and has_group_agg:
+        # SQL evaluates windows AFTER grouping (sum(sum(x)) OVER ...):
+        # phase 1 aggregates, phase 2 windows over the agg outputs
+        rollup_fn = None
+        if len(sel.group_by) == 1 and \
+                isinstance(sel.group_by[0], A.Fn) and \
+                sel.group_by[0].name in ("rollup", "cube"):
+            rollup_fn = sel.group_by[0]
+        aggs: Dict[str, tuple] = {}
+        grs: Optional[Dict[str, str]] = {} if rollup_fn else None
+        new_projs = [A.Proj(_extract_aggs_mixed(p.expr, aggs, grs),
+                            p.alias) for p in sel.projs]
+        new_order = [A.OrderItem(_extract_aggs_mixed(o.expr, aggs, grs),
+                                 o.ascending) for o in sel.order_by]
+        having_expr = None
+        if sel.having is not None:
+            having_expr = _expr(_extract_aggs_mixed(sel.having, aggs,
+                                                    grs))
+        if rollup_fn is not None:
+            if having_expr is not None:
+                raise NotImplementedError("HAVING over ROLLUP windows")
+            nkeys = []
+            for g in rollup_fn.args:
+                if not isinstance(g, A.Ident):
+                    raise NotImplementedError("ROLLUP over expressions")
+                nkeys.append(g.name)
+            u = None
+            for d in range(len(nkeys), -1, -1):
+                dropped = nkeys[d:]
+                f_d = f
+                if dropped:
+                    f_d = f.with_columns(**{
+                        k: E.when(E.lit(False), E.col(k)).end()
+                        for k in dropped})
+                g2 = (f_d.groupby(*nkeys).agg(**aggs)
+                      .with_columns(**{
+                          gname: E.lit(1 if gkey in dropped else 0)
+                          for gname, gkey in grs.items()})
+                      .select(*nkeys, *aggs.keys(), *grs.keys()))
+                u = g2 if u is None else u.union(g2)
+            f = u
+        else:
+            keys, pre, group_asts = _group_keys(sel)
+            if pre:
+                f = f.with_columns(**pre)
+            f = f.groupby(*keys).agg(**aggs)
+            if having_expr is not None:
+                f = f.filter(having_expr)
+        sel = A.Select(new_projs, sel.rel, None, [], None, new_order,
+                       sel.limit, sel.distinct)
+    if any(_has_window(p.expr) and not isinstance(p.expr, A.WindowFn)
+           for p in sel.projs):
+        # windows nested inside expressions (x * 100 / sum(x) OVER ...):
+        # extract each WindowFn into a hidden projection first
+        hidden: List[A.Proj] = []
+
+        def visit(x):
+            if isinstance(x, A.WindowFn):
+                name = f"_wx{len(hidden)}"
+                hidden.append(A.Proj(x, name))
+                return A.Ident((name,))
+            return None
+
+        new_projs = []
+        for p in sel.projs:
+            if isinstance(p.expr, A.WindowFn):
+                new_projs.append(p)
+            else:
+                new_projs.append(A.Proj(_rewrite_ast(p.expr, visit),
+                                        p.alias))
+        sel = A.Select(hidden + new_projs, sel.rel, sel.where,
+                       sel.group_by, sel.having, sel.order_by,
+                       sel.limit, sel.distinct)
     win = [p for p in sel.projs if isinstance(p.expr, A.WindowFn)]
     if win:
         return _select_window(sel, f, win)
     has_agg = any(_is_agg(p.expr) for p in sel.projs) or sel.group_by
-    if has_agg:
-        keys = []
-        pre: Dict[str, E.Expr] = {}
-        group_asts: Dict[str, Any] = {}
-        for i, g in enumerate(sel.group_by):
-            if isinstance(g, A.Ident):
-                keys.append(g.name)
-                continue
-            # GROUP BY <expr>: materialize it as a derived column first,
-            # named by the SELECT alias that repeats the same expression
-            # (so it stays addressable) or a synthetic key name
-            alias = next((p.alias for p in sel.projs
-                          if p.alias and p.expr == g), None)
-            name = alias or f"_g{i}"
-            pre[name] = _expr(g)
-            group_asts[name] = g
-            keys.append(name)
-        if pre:
-            f = f.with_columns(**pre)
-        aggs, out_cols, post = _agg_kwargs(sel.projs, keys, group_asts)
-        f = f.groupby(*keys).agg(**aggs)
-        if sel.having is not None:
-            f = f.filter(_expr(sel.having))
-        from auron_tpu.expr.nodes import col as _col
-        f = f.select(**{n: (e if e is not None else _col(n))
-                        for n, e in post})
-        proj_map = list(zip(sel.projs, out_cols))
+    rollup = None
+    if len(sel.group_by) == 1 and isinstance(sel.group_by[0], A.Fn) \
+            and sel.group_by[0].name in ("rollup", "cube"):
+        rollup = sel.group_by[0]
+    if has_agg and rollup is not None:
+        f, proj_map, trim_to = _apply_rollup(sel, f, rollup)
+    elif has_agg:
+        f, proj_map, trim_to = _apply_grouped(sel, f)
     else:
         if not (len(sel.projs) == 1 and isinstance(sel.projs[0].expr,
                                                    A.Star)):
@@ -411,10 +866,19 @@ def _select(sel: A.Select, session) -> Frame:
                 name = p.alias or (p.expr.name if isinstance(p.expr, A.Ident)
                                    else f"_c{i}")
                 items[name] = _expr(p.expr)
+            out_names = list(items.keys())
+            # carry ORDER BY columns the SELECT list drops
+            avail = set(f._names())
+            carry = [o.expr.name for o in sel.order_by
+                     if isinstance(o.expr, A.Ident) and
+                     o.expr.name not in items and o.expr.name in avail]
+            items.update({c: E.col(c) for c in carry})
             f = f.select(**items)
-            proj_map = list(zip(sel.projs, items.keys()))
+            proj_map = list(zip(sel.projs, out_names))
+            trim_to = out_names if carry else None
         else:
             proj_map = []
+            trim_to = None
         if sel.distinct:
             f = f.distinct()
     if sel.order_by:
@@ -437,14 +901,18 @@ def _select(sel: A.Select, session) -> Frame:
             helpers[name] = _expr(o.expr)
             sort_keys.append(SortKey(name, ascending=o.ascending))
         if helpers:
-            keep = list(f._names())
+            keep = trim_to or list(f._names())
             f = (f.with_columns(**helpers)
                  .sort(*sort_keys, limit=sel.limit)
                  .select(*keep))
         else:
             f = f.sort(*sort_keys, limit=sel.limit)
+            if trim_to is not None:
+                f = f.select(*trim_to)
     elif sel.limit is not None:
         f = f.limit(sel.limit)
+    elif trim_to is not None:
+        f = f.select(*trim_to)
     return f
 
 
@@ -460,29 +928,36 @@ def _select_window(sel: A.Select, f: Frame, win) -> Frame:
     from auron_tpu.ops.window import WindowFunc
     specs: Dict[tuple, list] = {}
     names: Dict[int, str] = {}
+    pre: Dict[str, E.Expr] = {}
+
+    def as_col(expr, tag):
+        """A column name for a window operand — materializing non-column
+        expressions (partition keys, order keys, agg inputs) first."""
+        if isinstance(expr, A.Ident):
+            return expr.name
+        name = f"_we_{tag}"
+        pre[name] = _expr(expr)
+        return name
+
     for i, p in enumerate(sel.projs):
         if not isinstance(p.expr, A.WindowFn):
             continue
         w = p.expr
         if w.fn.name not in _WINDOW_KINDS:
             raise NotImplementedError(f"window function {w.fn.name}")
-        part = tuple(g.name if isinstance(g, A.Ident) else None
-                     for g in w.partition_by)
-        if None in part:
-            raise NotImplementedError("PARTITION BY expressions")
-        order = tuple((o.expr.name, o.ascending) for o in w.order_by
-                      if isinstance(o.expr, A.Ident))
-        if len(order) != len(w.order_by):
-            raise NotImplementedError("ORDER BY expressions in OVER")
+        part = tuple(as_col(g, f"p{i}_{k}")
+                     for k, g in enumerate(w.partition_by))
+        order = tuple((as_col(o.expr, f"o{i}_{k}"), o.ascending)
+                      for k, o in enumerate(w.order_by))
         name = p.alias or f"_w{i}"
         names[i] = name
         inp = None
         if w.fn.args:
-            if not isinstance(w.fn.args[0], A.Ident):
-                raise NotImplementedError("window arg must be a column")
-            inp = w.fn.args[0].name
+            inp = as_col(w.fn.args[0], f"a{i}")
         specs.setdefault((part, order), []).append(
             WindowFunc(name, w.fn.name, input=inp))
+    if pre:
+        f = f.with_columns(**pre)
     for (part, order), funcs in specs.items():
         f = f.window(list(part),
                      [SortKey(c, ascending=a) for c, a in order],
@@ -490,6 +965,8 @@ def _select_window(sel: A.Select, f: Frame, win) -> Frame:
     items = {}
     for i, p in enumerate(sel.projs):
         if isinstance(p.expr, A.WindowFn):
+            if names[i].startswith("_wx"):
+                continue  # hidden extracted window — consumed by exprs
             items[names[i]] = None  # already a column
         elif isinstance(p.expr, A.Ident):
             items[p.alias or p.expr.name] = (
@@ -499,20 +976,68 @@ def _select_window(sel: A.Select, f: Frame, win) -> Frame:
             items[p.alias or f"_c{i}"] = _expr(p.expr)
     sel_names = [n for n, e in items.items() if e is None]
     sel_exprs = {n: e for n, e in items.items() if e is not None}
-    f = f.select(*sel_names, **sel_exprs)
+    # carry ORDER BY columns the SELECT list drops (group keys etc.)
+    avail = set(f._names())
+    carry = [o.expr.name for o in sel.order_by
+             if isinstance(o.expr, A.Ident) and
+             o.expr.name not in items and o.expr.name in avail]
+    f = f.select(*sel_names, *carry, **sel_exprs)
     if sel.order_by:
         keys = []
-        for o in sel.order_by:
-            if not isinstance(o.expr, A.Ident):
-                raise NotImplementedError("ORDER BY expressions")
-            keys.append(SortKey(o.expr.name, ascending=o.ascending))
-        f = f.sort(*keys, limit=sel.limit)
+        helpers: Dict[str, E.Expr] = {}
+        for i, o in enumerate(sel.order_by):
+            if isinstance(o.expr, A.Ident):
+                keys.append(SortKey(o.expr.name, ascending=o.ascending))
+            else:
+                name = f"_o{i}"
+                helpers[name] = _expr(o.expr)
+                keys.append(SortKey(name, ascending=o.ascending))
+        keep = list(items.keys())
+        if helpers:
+            f = (f.with_columns(**helpers)
+                 .sort(*keys, limit=sel.limit).select(*keep))
+        else:
+            f = f.sort(*keys, limit=sel.limit)
+            if carry:
+                f = f.select(*keep)
     elif sel.limit is not None:
         f = f.limit(sel.limit)
+    elif carry:
+        f = f.select(*list(items.keys()))
     return f
 
 
+def _set_op(kind: str, l: Frame, r: Frame) -> Frame:
+    if kind == "union_all":
+        return l.union(r)
+    if kind == "union":
+        return l.union(r).distinct()
+    # INTERSECT/EXCEPT: joins of DISTINCT sets over ALL columns
+    ln = list(l._names())
+    rn = list(r._names())
+    if len(ln) != len(rn):
+        raise NotImplementedError("set op column-count mismatch")
+    r2 = r.select(**{f"__s{i}": E.col(n) for i, n in enumerate(rn)})
+    how = "left_semi" if kind == "intersect" else "left_anti"
+    return (l.distinct()
+            .join(r2, tuple(ln), tuple(f"__s{i}" for i in range(len(rn))),
+                  how=how)
+            .select(*ln))
+
+
 def _query(ast, session) -> Frame:
+    if isinstance(ast, A.WithQ):
+        env = dict(_current_ctes())
+        _CTX_CTES.append(env)
+        try:
+            for name, sub in ast.ctes:
+                env[name] = _query(sub, session)
+            return _query(ast.body, session)
+        finally:
+            _CTX_CTES.pop()
+    if isinstance(ast, A.SetOp):
+        return _set_op(ast.kind, _query(ast.left, session),
+                       _query(ast.right, session))
     if isinstance(ast, A.UnionAll):
         f = _select(ast.selects[0], session)
         for s in ast.selects[1:]:
@@ -524,7 +1049,11 @@ def _query(ast, session) -> Frame:
 def compile_sql(sql: str, session) -> str:
     """SQL text -> wire-contract JSON (the front-end's only output)."""
     from auron_tpu.plan.wire import plan_to_json
-    return plan_to_json(_query(A.parse_sql(sql), session).plan)
+    _CTX_SESSION.append(session)
+    try:
+        return plan_to_json(_query(A.parse_sql(sql), session).plan)
+    finally:
+        _CTX_SESSION.pop()
 
 
 def run_sql(sql: str, session, jit: bool = False):

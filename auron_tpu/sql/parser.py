@@ -33,7 +33,8 @@ _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<num>\d+\.\d+|\.\d+|\d+)
   | (?P<str>'(?:[^']|'')*')
-  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+  | (?P<bq>`[^`]*`)
+  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.|;)
   | (?P<ident>[A-Za-z_][A-Za-z_0-9]*)
 """, re.VERBOSE)
 
@@ -43,7 +44,7 @@ _KEYWORDS = {
     "semi", "anti", "on", "and", "or", "not", "in", "like", "between",
     "is", "null", "as", "case", "when", "then", "else", "end", "cast",
     "union", "all", "asc", "desc", "true", "false", "exists", "over",
-    "partition"}
+    "partition", "with", "interval", "intersect", "except"}
 
 
 @dataclass
@@ -65,6 +66,13 @@ def tokenize(sql: str) -> List[Tok]:
         kind = m.lastgroup
         if kind == "ident" and text.lower() in _KEYWORDS:
             kind, text = "kw", text.lower()
+        elif kind == "ident":
+            # Spark resolves unquoted identifiers case-insensitively;
+            # fold to lowercase (matching lowercase physical schemas)
+            text = text.lower()
+        elif kind == "bq":
+            # backtick-quoted identifier (Spark style); inner spaces kept
+            kind, text = "ident", text[1:-1].strip()
         out.append(Tok(kind, text))
     out.append(Tok("eof", ""))
     return out
@@ -223,6 +231,37 @@ class UnionAll:
     selects: List[Select]
 
 
+@dataclass
+class WithQ:
+    """WITH name AS (query), ... body."""
+
+    ctes: List[Tuple[str, Any]]
+    body: Any
+
+
+@dataclass
+class SetOp:
+    """union_all | union (distinct) | intersect | except."""
+
+    kind: str
+    left: Any
+    right: Any
+
+
+@dataclass
+class SubqueryE:
+    """Scalar subquery used as an expression: (SELECT ...)."""
+
+    query: Any
+
+
+@dataclass
+class IntervalE:
+    """INTERVAL n DAYS — day-granular (d_date_sk arithmetic)."""
+
+    days: int
+
+
 class Parser:
     def __init__(self, sql: str):
         self.toks = tokenize(sql)
@@ -254,15 +293,52 @@ class Parser:
     # -- entry --------------------------------------------------------------
     def parse(self):
         q = self.query()
+        self.accept("op", ";")
         self.expect("eof")
         return q
 
     def query(self):
-        selects = [self.select()]
-        while self.accept("kw", "union"):
-            self.expect("kw", "all")
-            selects.append(self.select())
-        return selects[0] if len(selects) == 1 else UnionAll(selects)
+        ctes = []
+        if self.accept("kw", "with"):
+            while True:
+                name = self.expect("ident").text
+                self.expect("kw", "as")
+                self.expect("op", "(")
+                sub = self.query()
+                self.expect("op", ")")
+                ctes.append((name, sub))
+                if not self.accept("op", ","):
+                    break
+        body = self.set_expr()
+        return WithQ(ctes, body) if ctes else body
+
+    def set_expr(self):
+        left = self.select_or_paren()
+        while True:
+            if self.accept("kw", "union"):
+                all_ = bool(self.accept("kw", "all"))
+                left = SetOp("union_all" if all_ else "union", left,
+                             self.select_or_paren())
+            elif self.accept("kw", "intersect"):
+                left = SetOp("intersect", left, self.select_or_paren())
+            elif self.accept("kw", "except"):
+                left = SetOp("except", left, self.select_or_paren())
+            else:
+                return left
+
+    def select_or_paren(self):
+        if self.peek().kind == "op" and self.peek().text == "(":
+            save = self.i
+            self.next()
+            if self.peek().kind == "kw" and \
+                    self.peek().text in ("select", "with") or \
+                    (self.peek().kind == "op" and
+                     self.peek().text == "("):
+                q = self.query()
+                self.expect("op", ")")
+                return q
+            self.i = save
+        return self.select()
 
     def select(self) -> Select:
         self.expect("kw", "select")
@@ -318,6 +394,15 @@ class Parser:
             order = [self.order_item()]
             while self.accept("op", ","):
                 order.append(self.order_item())
+        # frame clause: ROWS/RANGE BETWEEN ... — accepted and recorded
+        # only as "cumulative" (the engine's default ordered frame);
+        # ROWS==RANGE whenever the order keys are unique per partition
+        if self.peek().kind == "ident" and \
+                self.peek().text.lower() in ("rows", "range"):
+            self.next()
+            while not (self.peek().kind == "op" and
+                       self.peek().text == ")"):
+                self.next()
         self.expect("op", ")")
         return WindowFn(fn, part, order)
 
@@ -514,16 +599,37 @@ class Parser:
             return CastE(e, ty)
         if t.kind == "kw" and t.text == "case":
             self.next()
+            # simple CASE (CASE x WHEN v THEN ...) desugars to searched
+            # CASE with equality conditions
+            operand = None
+            if not (self.peek().kind == "kw" and
+                    self.peek().text == "when"):
+                operand = self.expr()
             branches = []
             while self.accept("kw", "when"):
                 cond = self.expr()
+                if operand is not None:
+                    cond = Bin("=", operand, cond)
                 self.expect("kw", "then")
                 branches.append((cond, self.expr()))
             other = self.expr() if self.accept("kw", "else") else None
             self.expect("kw", "end")
             return CaseE(branches, other)
+        if t.kind == "kw" and t.text == "interval":
+            self.next()
+            tn = self.accept("num") or self.expect("str")
+            n = int(tn.text.strip("'"))
+            unit = self.expect("ident").text.lower()
+            if unit not in ("day", "days"):
+                raise NotImplementedError(f"INTERVAL unit {unit}")
+            return IntervalE(n)
         if t.kind == "op" and t.text == "(":
             self.next()
+            if self.peek().kind == "kw" and \
+                    self.peek().text in ("select", "with"):
+                q = self.query()
+                self.expect("op", ")")
+                return SubqueryE(q)
             e = self.expr()
             self.expect("op", ")")
             return e

@@ -224,6 +224,10 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ca_street_number": [str(100 + k % 900) for k in range(na)],
         "ca_street_name": rng.choice(["Main", "Oak", "Elm", "Park",
                                       "Lake", "Hill"], na),
+        "ca_street_type": rng.choice(["St", "Ave", "Blvd", "Way"], na),
+        "ca_suite_number": [f"Suite {k % 90}" for k in range(na)],
+        "ca_location_type": rng.choice(["apartment", "condo",
+                                        "single family"], na),
         "ca_county": rng.choice(COUNTIES, na),
         "ca_state": rng.choice(STATES, na),
         "ca_zip": rng.choice(
@@ -465,6 +469,7 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_coupon_amt": money(ncs, 0, 40),
         "cs_ext_discount_amt": money(ncs, 0, 60),
         "cs_ext_ship_cost": money(ncs, 0, 50),
+        "cs_net_paid": (csales * cquantity * 0.97).round(2),
         "cs_net_paid_inc_tax": (csales * cquantity * 1.08).round(2),
         "cs_net_profit": (rng.normal(25, 120, ncs)).round(2),
     })

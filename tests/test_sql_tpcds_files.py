@@ -16,13 +16,19 @@ import auron_tpu.sql  # installs Session.sql
 
 _SQL_DIR = "/root/reference/dev/auron-it/src/main/resources/tpcds-queries"
 
-# star-join queries whose SQL stays inside the front-end's grammar;
-# map each file's SELECT aliases back to the oracle's column names
+# queries whose literal SQL both runs AND has a clean mapping back to
+# the engine-oracle's column names (positional where aliases differ)
 _FILES = {
+    "q1": {},
     "q3": {"brand_id": "i_brand_id", "brand": "i_brand"},
+    "q7": {},
+    "q26": {},
+    "q32": {"excess discount amount": "excess"},
+    "q33": {},
     "q42": {"_c0": "rev"},
     "q52": {"brand_id": "i_brand_id", "brand": "i_brand"},
     "q55": {"brand_id": "i_brand_id", "brand": "i_brand"},
+    "q96": {"_c0": "cnt"},
 }
 
 
