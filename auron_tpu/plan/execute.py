@@ -98,10 +98,32 @@ class Session:
         return "\n".join(lines)
 
     def sql_result(self, plan: PN.PlanNode):
-        """Execute and gather to one pandas DataFrame (output boundary)."""
-        blocks = execute_plan(plan, self)
+        """Execute and gather to one pandas DataFrame (output boundary).
+
+        Runs under the overflow regrow loop so the eager path carries the
+        same never-lose-a-row guarantee as Frame.blocks(): any capacity
+        overflow (join fan-out, exchange lanes, collect planes) re-runs
+        with the responsible knob grown to fit instead of truncating.
+        """
+        import numpy as np
         import pandas as pd
-        return pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
+        from auron_tpu import config as C
+        from auron_tpu.runtime import overflow as OV
+        overrides: dict = {}
+        for _attempt in range(OV.MAX_ATTEMPTS):
+            with C.conf.scoped_overrides(overrides):
+                with OV.collect() as sc:
+                    blocks = execute_plan(plan, self)
+                grown = OV.check(sc.meta(),
+                                 [np.asarray(v) for v in sc.values()],
+                                 overrides)
+            if grown is None:
+                return pd.concat([b.to_pandas() for b in blocks],
+                                 ignore_index=True)
+            overrides = grown
+        raise RuntimeError(
+            f"overflow regrow did not converge after {OV.MAX_ATTEMPTS} "
+            f"attempts (overrides={overrides})")
 
 
 import threading as _threading
@@ -133,15 +155,39 @@ def execute_plan(plan: PN.PlanNode, session: Session,
     if stack is None:
         stack = _EXEC_TLS.stack = []
     stack.append(session)
+    # execute shared DAG nodes (CTEs consumed by several branches) ONCE:
+    # count references, cache results for nodes referenced more than once
+    refs: dict = {}
+
+    def count(n):
+        refs[id(n)] = refs.get(id(n), 0) + 1
+        if refs[id(n)] == 1:
+            for c in n.children:
+                count(c)
+    count(plan)
+    shared = frozenset(k for k, v in refs.items() if v > 1)
+    outer_memo = getattr(_EXEC_TLS, "memo", None)
+    outer_shared = getattr(_EXEC_TLS, "shared", None)
+    _EXEC_TLS.memo = {} if shared else None
+    _EXEC_TLS.shared = shared
     try:
         return _exec(plan, session)
     finally:
         stack.pop()
+        _EXEC_TLS.memo = outer_memo
+        _EXEC_TLS.shared = outer_shared
 
 
 def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
+    memo = getattr(_EXEC_TLS, "memo", None)
+    if memo is not None and id(node) in _EXEC_TLS.shared:
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
     t0 = time.perf_counter()
     out = _dispatch(node, s)
+    if memo is not None and id(node) in _EXEC_TLS.shared:
+        memo[id(node)] = out
     if s.conf.get(config.METRICS_ENABLE):
         key = f"{type(node).__name__}@{id(node):x}"
         m = s.metrics.setdefault(key, {})

@@ -95,12 +95,37 @@ def output_names(node: PN.PlanNode, session) -> List[str]:
     return []
 
 
+_PRUNE_MEMO = None
+
+
 def prune_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
-    needed = set(output_names(plan, session))
-    return _prune(plan, needed, session)
+    # memoize rebuilds so DAG sharing survives pruning (a CTE consumed by
+    # N branches stays ONE node and executes once, not N times)
+    global _PRUNE_MEMO
+    outer = _PRUNE_MEMO
+    _PRUNE_MEMO = {}
+    try:
+        needed = set(output_names(plan, session))
+        return _prune(plan, needed, session)
+    finally:
+        _PRUNE_MEMO = outer
 
 
 def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
+    if _PRUNE_MEMO is not None:
+        key = (id(node), frozenset(needed))
+        hit = _PRUNE_MEMO.get(key)
+        if hit is None:
+            hit = _prune_impl(node, needed, session)
+            # pin the source node: id()-keyed caches must keep it alive
+            _PRUNE_MEMO[key] = hit
+            _PRUNE_MEMO.setdefault(("pin", id(node)), node)
+        return hit
+    return _prune_impl(node, needed, session)
+
+
+def _prune_impl(node: PN.PlanNode, needed: Set[str],
+                session) -> PN.PlanNode:
     if isinstance(node, PN.MemoryScan):
         avail = [n for n in session.tables[node.table][0].names
                  if not node.projection or n in node.projection]

@@ -31,10 +31,32 @@ MAX_AGG_DOMAIN = 1 << 13
 MAX_JOIN_DOMAIN = 1 << 22
 
 
+_ANNOT_MEMO = None
+
+
 def annotate_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
-    """Return an equivalent plan with domain hints filled from table stats."""
-    new_plan, _ = _walk(plan, session)
-    return new_plan
+    """Return an equivalent plan with domain hints filled from table stats.
+    Rebuilds are memoized by source node so DAG sharing survives (shared
+    CTE subtrees stay one node)."""
+    global _ANNOT_MEMO
+    outer = _ANNOT_MEMO
+    _ANNOT_MEMO = {}
+    try:
+        new_plan, _ = _walk_memo(plan, session)
+        return new_plan
+    finally:
+        _ANNOT_MEMO = outer
+
+
+def _walk_memo(node, session):
+    if _ANNOT_MEMO is None:
+        return _walk(node, session)
+    hit = _ANNOT_MEMO.get(id(node))
+    if hit is None:
+        hit = _walk(node, session)
+        _ANNOT_MEMO[id(node)] = hit
+        _ANNOT_MEMO.setdefault(("pin", id(node)), node)
+    return hit
 
 
 def _table_ranges(session, table: str) -> Dict[str, Range]:
@@ -106,10 +128,10 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
     if isinstance(node, (PN.Filter, PN.Limit, PN.Sort, PN.Debug,
                          PN.Coalesce, PN.Exchange, PN.Window,
                          PN.BuildBloom)):
-        child, r = _walk(node.children[0], s)
+        child, r = _walk_memo(node.children[0], s)
         return dataclasses.replace(node, **{_child_field(node): child}), r
     if isinstance(node, PN.Project):
-        child, r = _walk(node.child, s)
+        child, r = _walk_memo(node.child, s)
         out = {}
         exprs = []
         for name, e in node.exprs:
@@ -120,13 +142,13 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
         return dataclasses.replace(node, child=child,
                                    exprs=tuple(exprs)), out
     if isinstance(node, PN.Rename):
-        child, r = _walk(node.child, s)
+        child, r = _walk_memo(node.child, s)
         m = dict(node.mapping)
         return (dataclasses.replace(node, child=child),
                 {m.get(k, k): v for k, v in r.items()})
     if isinstance(node, PN.Join):
-        left, rl = _walk(node.left, s)
-        right, rr = _walk(node.right, s)
+        left, rl = _walk_memo(node.left, s)
+        right, rr = _walk_memo(node.right, s)
         merged = dict(rl)
         merged.update(rr)
         build_keys = node.left_keys if node.build == "left" else \
@@ -150,7 +172,7 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
         outs = []
         merged: Dict[str, Range] = {}
         for c in node.children_nodes:
-            nc, r = _walk(c, s)
+            nc, r = _walk_memo(c, s)
             outs.append(nc)
             for k, v in r.items():
                 if k in merged:
@@ -160,7 +182,7 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
                     merged[k] = v
         return dataclasses.replace(node, children_nodes=tuple(outs)), merged
     if isinstance(node, PN.Agg):
-        child, r = _walk(node.child, s)
+        child, r = _walk_memo(node.child, s)
         hints = dict(node.domains)
         for name, e in node.keys:
             if name in hints:
@@ -185,12 +207,12 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
         return new, out
     # leaf/other nodes: rebuild children generically where possible
     if isinstance(node, PN.Generate):
-        child, r = _walk(node.child, s)
+        child, r = _walk_memo(node.child, s)
         # explode DUPLICATES rows: ranges survive, uniqueness does not
         return (dataclasses.replace(node, child=child),
                 {k: (v[0], v[1], False) for k, v in r.items()})
     if isinstance(node, PN.Expand):
-        child, r = _walk(node.child, s)
+        child, r = _walk_memo(node.child, s)
         return dataclasses.replace(node, child=child), {}
     return node, {}
 

@@ -188,6 +188,8 @@ def _equi_keys(on) -> Tuple[List[str], List[str], Optional[E.Expr]]:
 
 
 def _rel(rel, session) -> Frame:
+    if isinstance(rel, A.FrameRef):
+        return rel.frame
     if isinstance(rel, A.TableRef):
         env = _current_ctes()
         if rel.name in env:
@@ -504,35 +506,76 @@ def _apply_exists(f: Frame, p: A.ExistsE, session) -> Frame:
         inner = _rel(sel.rel, session)
     inner_names = set(inner._names())
     outer_names = set(f._names())
+    aliases = _inner_aliases(sel.rel)
+
+    def kind(i: A.Ident) -> str:
+        if len(i.parts) > 1:
+            return "inner" if i.parts[0] in aliases else "outer"
+        if i.name in inner_names and i.name not in outer_names:
+            return "inner"
+        if i.name in outer_names and i.name not in inner_names:
+            return "outer"
+        return "unknown"
+
+    def ident_sides(x, found):
+        if isinstance(x, A.Ident):
+            found.add(kind(x))
+        for fld in getattr(x, "__dataclass_fields__", {}):
+            v = getattr(x, fld)
+            vs = v if isinstance(v, (list, tuple)) else [v]
+            for item in vs:
+                for y in (item if isinstance(item, tuple) else [item]):
+                    if hasattr(y, "__dataclass_fields__"):
+                        ident_sides(y, found)
+        return found
+
     keys_outer, keys_inner = [], []
-    residual = None
+    inner_resid = None    # references only the inner scope
+    cross_resid = []      # references both scopes -> join condition
     for c in (_conjuncts(sel.where) if sel.where is not None else ()):
         if isinstance(c, A.Bin) and c.op == "=" and \
                 isinstance(c.left, A.Ident) and \
                 isinstance(c.right, A.Ident):
-            ln, rn = c.left.name, c.right.name
-            if ln in inner_names and rn in outer_names \
-                    and rn not in inner_names:
-                keys_inner.append(ln)
-                keys_outer.append(rn)
+            kl, kr = kind(c.left), kind(c.right)
+            if {kl, kr} == {"inner", "outer"}:
+                inner_i, outer_i = ((c.left, c.right) if kl == "inner"
+                                    else (c.right, c.left))
+                keys_inner.append(inner_i.name)
+                keys_outer.append(outer_i.name)
                 continue
-            if rn in inner_names and ln in outer_names \
-                    and ln not in inner_names:
-                keys_inner.append(rn)
-                keys_outer.append(ln)
-                continue
-        residual = c if residual is None else A.Bin("and", residual, c)
-    if residual is not None:
-        inner = inner.filter(_expr(residual))
+        sides = ident_sides(c, set())
+        if "outer" in sides:
+            cross_resid.append(c)
+        else:
+            inner_resid = c if inner_resid is None \
+                else A.Bin("and", inner_resid, c)
+    if inner_resid is not None:
+        inner = inner.filter(_expr(inner_resid))
     if not keys_outer:
         raise NotImplementedError(
             "EXISTS needs at least one equality correlation")
-    sub = inner.select(**{f"__ex{i}": E.col(k)
-                          for i, k in enumerate(keys_inner)})
+    # carry inner columns the cross-scope residual needs, renamed so the
+    # join condition can tell the two scopes apart (same-table EXISTS)
+    carry: Dict[str, str] = {}
+    condition = None
+    for c in cross_resid:
+        def rewrite(x):
+            if isinstance(x, A.Ident) and kind(x) == "inner":
+                nm = carry.setdefault(x.name, f"__exv{len(carry)}")
+                return A.Ident((nm,))
+            if isinstance(x, A.Ident):
+                return A.Ident((x.name,))
+            return None
+        ce = _expr(_rewrite_ast(c, rewrite))
+        condition = ce if condition is None else (condition & ce)
+    sub_cols = {f"__ex{i}": E.col(k)
+                for i, k in enumerate(keys_inner)}
+    sub_cols.update({nm: E.col(orig) for orig, nm in carry.items()})
+    sub = inner.select(**sub_cols)
     how = "left_anti" if p.negated else "left_semi"
     return f.join(sub, tuple(keys_outer),
                   tuple(f"__ex{i}" for i in range(len(keys_inner))),
-                  how=how)
+                  how=how, condition=condition)
 
 
 def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
@@ -740,7 +783,96 @@ def _apply_scalar_cmp(f: Frame, c, session) -> Frame:
     return f.filter(_expr(cmp_ast)).select(*keep)
 
 
+def _disambiguate(sel: A.Select, session) -> A.Select:
+    """Self-join scoping: when FROM repeats a table/CTE, rename each
+    colliding aliased relation's columns to alias__col and rewrite the
+    qualified references throughout the SELECT (incl. subqueries that
+    correlate on the outer aliases). Flat names stay flat for the
+    non-colliding relations."""
+    leaves: List[Any] = []
+
+    def walk(r):
+        if isinstance(r, (A.TableRef, A.SubqueryRef, A.FrameRef)):
+            leaves.append(r)
+        elif isinstance(r, A.JoinRel):
+            walk(r.left)
+            walk(r.right)
+        elif isinstance(r, A.CrossRel):
+            for x in r.rels:
+                walk(x)
+    walk(sel.rel)
+    if len(leaves) < 2:
+        return sel
+    frames = []
+    for lf in leaves:
+        try:
+            frames.append(_rel(lf, session))
+        except Exception:
+            return sel  # unresolvable leaf — let the normal path report
+    name_sets = [set(fr._names()) for fr in frames]
+    collide = [any(i != j and name_sets[i] & name_sets[j]
+                   for j in range(len(leaves)))
+               for i in range(len(leaves))]
+    if not any(collide):
+        return sel
+    alias_map: Dict[str, str] = {}
+    repl: Dict[int, A.FrameRef] = {}
+    for i, lf in enumerate(leaves):
+        if not collide[i]:
+            continue
+        alias = getattr(lf, "alias", None)
+        if alias is None:
+            return sel  # unaliased ambiguity — cannot scope
+        renamed = frames[i].select(**{
+            f"{alias}__{c}": E.col(c) for c in sorted(name_sets[i])})
+        repl[id(lf)] = A.FrameRef(renamed,
+                                  tuple(f"{alias}__{c}"
+                                        for c in sorted(name_sets[i])))
+        alias_map[alias] = alias
+
+    def sub_rel(r):
+        if id(r) in repl:
+            return repl[id(r)]
+        if isinstance(r, A.JoinRel):
+            return A.JoinRel(sub_rel(r.left), sub_rel(r.right), r.how,
+                             r.on)
+        if isinstance(r, A.CrossRel):
+            return A.CrossRel([sub_rel(x) for x in r.rels])
+        return r
+
+    def visit(x):
+        if isinstance(x, A.Ident) and len(x.parts) > 1 and \
+                x.parts[0] in alias_map:
+            return A.Ident((f"{x.parts[0]}__{x.parts[-1]}",))
+        return None
+
+    new_rel = sub_rel(sel.rel)
+    out = A.Select([A.Proj(_rewrite_ast(p.expr, visit), p.alias)
+                    for p in sel.projs],
+                   new_rel,
+                   _rewrite_ast(sel.where, visit)
+                   if sel.where is not None else None,
+                   [_rewrite_ast(g, visit) for g in sel.group_by],
+                   _rewrite_ast(sel.having, visit)
+                   if sel.having is not None else None,
+                   [A.OrderItem(_rewrite_ast(o.expr, visit),
+                                o.ascending) for o in sel.order_by],
+                   sel.limit, sel.distinct)
+    # JoinRel ON clauses also carry qualified refs
+    def fix_on(r):
+        if isinstance(r, A.JoinRel):
+            return A.JoinRel(fix_on(r.left), fix_on(r.right), r.how,
+                             _rewrite_ast(r.on, visit))
+        if isinstance(r, A.CrossRel):
+            return A.CrossRel([fix_on(x) for x in r.rels])
+        return r
+    return A.Select(out.projs, fix_on(out.rel), out.where,
+                    out.group_by, out.having, out.order_by, out.limit,
+                    out.distinct)
+
+
 def _select(sel: A.Select, session) -> Frame:
+    sel = _disambiguate(sel, session)
     if isinstance(sel.rel, A.CrossRel):
         f, where = _compile_cross(sel.rel, sel.where, session)
         sel = A.Select(sel.projs, sel.rel, where, sel.group_by,

@@ -214,6 +214,15 @@ class CrossRel:
     rels: List[Any]
 
 
+@dataclass(eq=False)
+class FrameRef:
+    """A pre-compiled Frame standing in for a relation (the compiler's
+    alias-disambiguation pass injects these)."""
+
+    frame: Any
+    names: Tuple[str, ...] = ()
+
+
 @dataclass
 class Select:
     projs: List[Proj]
