@@ -24,7 +24,8 @@ from auron_tpu.plan.builder import Frame, table
 from auron_tpu.sql import parser as A
 
 _AGG_FNS = {"sum", "avg", "min", "max", "count", "count_distinct",
-            "collect_list", "collect_set", "first"}
+            "collect_list", "collect_set", "first", "stddev",
+            "stddev_samp"}
 
 _TYPES = {"int": INT32, "integer": INT32, "bigint": INT64, "long": INT64,
           "smallint": INT16, "tinyint": INT8, "double": FLOAT64,
@@ -593,30 +594,141 @@ def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
                   null_aware=p.negated)
 
 
+def _walk_ast(e):
+    """Yield every dataclass AST node reachable from ``e`` (incl. e)."""
+    stack = [e]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, (list, tuple)):
+            stack.extend(x)
+        elif hasattr(x, "__dataclass_fields__"):
+            yield x
+            for fld in x.__dataclass_fields__:
+                stack.append(getattr(x, fld))
+
+
+def _has_subquery(c) -> bool:
+    return any(isinstance(x, (A.SubqueryE, A.ExistsE)) or
+               (isinstance(x, A.InE) and x.query is not None)
+               for x in _walk_ast(c))
+
+
+def _disjuncts(e):
+    if isinstance(e, A.Bin) and e.op == "or":
+        return _disjuncts(e.left) + _disjuncts(e.right)
+    return [e]
+
+
+def _or_factor(c):
+    """Factor conjuncts common to every branch of an OR out of it:
+    (a and x or a and y) -> [a, (x or y)]. TPC-DS repeats the equi-join
+    key inside each OR branch (q13/q48/q85); factoring it out exposes
+    the join edge to the comma-FROM planner."""
+    ds = _disjuncts(c)
+    if len(ds) < 2:
+        return [c]
+    sets = [list(_conjuncts(d)) for d in ds]
+    common = [x for x in sets[0]
+              if all(any(x == y for y in s) for s in sets[1:])]
+    if not common:
+        return [c]
+    reduced = []
+    for s in sets:
+        rem = [x for x in s if not any(x == y for y in common)]
+        if not rem:
+            reduced = None  # one branch ⊆ common: OR of the rest is true
+            break
+        r = rem[0]
+        for x in rem[1:]:
+            r = A.Bin("and", r, x)
+        reduced.append(r)
+    out = list(common)
+    if reduced is not None:
+        o = reduced[0]
+        for r in reduced[1:]:
+            o = A.Bin("or", o, r)
+        out.append(o)
+    return out
+
+
 def _compile_cross(rel: "A.CrossRel", where, session):
-    """Comma-FROM implicit joins (the TPC-DS SQL style): pull equality
-    conjuncts out of WHERE as join edges and build the join tree
-    greedily, exactly what a planner does with FROM a, b WHERE a.k=b.k.
-    Returns (joined frame, leftover WHERE ast or None)."""
+    """Comma-FROM implicit joins (the TPC-DS SQL style): push
+    single-relation conjuncts below the joins, pull equality conjuncts
+    (incl. expression equalities, and equalities OR-factored out of
+    disjunctions) out of WHERE as join edges, and build the join tree
+    greedily. Relations no equi-key reaches are cross-joined via a
+    constant key (smallest estimated side first) — the overflow regrow
+    loop sizes the product. Returns (frame, leftover WHERE ast)."""
     frames = [_rel(r, session) for r in rel.rels]
     names = [set(fr._names()) for fr in frames]
-    conjs = list(_conjuncts(where)) if where is not None else []
-    edges = []  # (owner_l, owner_r, lname, rname, original ast)
+    alias_ix: Dict[str, int] = {}
+    for i, r in enumerate(rel.rels):
+        a = getattr(r, "alias", None)
+        if a:
+            alias_ix.setdefault(a, i)
+        if isinstance(r, A.TableRef):
+            alias_ix.setdefault(r.name, i)
+
+    def owners(x):
+        """Relation indexes referenced by idents under ``x``; None when
+        any ident resolves nowhere (outer scope) or ambiguously."""
+        out = set()
+        for n in _walk_ast(x):
+            if not isinstance(n, A.Ident):
+                continue
+            if len(n.parts) > 1 and n.parts[0] in alias_ix:
+                out.add(alias_ix[n.parts[0]])
+                continue
+            own = [i for i, ns in enumerate(names) if n.name in ns]
+            if len(own) != 1:
+                return None
+            out.add(own[0])
+        return out
+
+    conjs = []
+    for c in (_conjuncts(where) if where is not None else ()):
+        conjs.extend(_or_factor(c))
+    edges = []  # (owner_l, owner_r, left ast, right ast, original ast)
     rest = []
+    pushed: List[list] = [[] for _ in frames]
     for c in conjs:
-        if isinstance(c, A.Bin) and c.op == "=" and \
-                isinstance(c.left, A.Ident) and \
-                isinstance(c.right, A.Ident):
-            ln, rn = c.left.name, c.right.name
-            ol = [i for i, ns in enumerate(names) if ln in ns]
-            orr = [i for i, ns in enumerate(names) if rn in ns]
-            if len(ol) == 1 and len(orr) == 1 and ol[0] != orr[0]:
-                edges.append((ol[0], orr[0], ln, rn, c))
+        if _has_subquery(c):
+            rest.append(c)
+            continue
+        own = owners(c)
+        if own is not None and len(own) == 1:
+            pushed[next(iter(own))].append(c)
+            continue
+        if isinstance(c, A.Bin) and c.op == "=":
+            lo, ro = owners(c.left), owners(c.right)
+            if lo and ro and len(lo) == 1 and len(ro) == 1 and lo != ro:
+                edges.append((next(iter(lo)), next(iter(ro)),
+                              c.left, c.right, c))
                 continue
         rest.append(c)
+    for i, cs in enumerate(pushed):
+        if cs:
+            e = _expr(cs[0])
+            for c in cs[1:]:
+                e = e & _expr(c)
+            frames[i] = frames[i].filter(e)
+
+    ck = 0
+
+    def key_for(side, idx) -> str:
+        nonlocal ck
+        if isinstance(side, A.Ident) and side.name in names[idx]:
+            return side.name
+        cname = f"__ck{ck}"
+        ck += 1
+        frames[idx] = frames[idx].with_columns(**{cname: _expr(side)})
+        names[idx].add(cname)
+        return cname
+
+    remaining = [(i, j, key_for(le, i), key_for(re_, j), c)
+                 for i, j, le, re_, c in edges]
     joined = {0}
     cur = frames[0]
-    remaining = list(edges)
     while len(joined) < len(frames):
         pick = None
         for i, j, *_ in remaining:
@@ -624,9 +736,18 @@ def _compile_cross(rel: "A.CrossRel", where, session):
                 pick = j if i in joined else i
                 break
         if pick is None:
-            raise NotImplementedError(
-                "implicit cartesian product (no equi-key links the "
-                "remaining tables)")
+            # cartesian fallback: cross-join the smallest remaining side
+            left_ix = [i for i in range(len(frames)) if i not in joined]
+
+            def est(i):
+                r = frames[i]._estimated_rows()
+                return r if r is not None else 10 ** 12
+            pick = min(left_ix, key=est)
+            cur = cur.with_columns(__cxl=E.lit(0)).join(
+                frames[pick].with_columns(__cxr=E.lit(0)),
+                ("__cxl",), ("__cxr",), how="inner")
+            joined.add(pick)
+            continue
         use = [e for e in remaining
                if pick in (e[0], e[1]) and
                (e[0] in joined or e[1] in joined)]
