@@ -71,7 +71,8 @@ class Frame:
              right_on: Sequence[str], how: str = "inner",
              strategy: Optional[str] = None, condition: Optional[Expr] = None,
              out_capacity: Optional[int] = None, skewed: bool = False,
-             null_aware: bool = False) -> "Frame":
+             null_aware: bool = False,
+             existence_col: Optional[str] = None) -> "Frame":
         # Broadcast replicates the build (right) side to every probe
         # partition; join types that emit/flag unmatched BUILD rows would
         # then emit them once per partition. Spark's BroadcastHashJoin has
@@ -106,7 +107,8 @@ class Frame:
                                      HashPartitioning(tuple(right_on), n))
         plan = PN.Join(left_plan, right_plan, tuple(left_on), tuple(right_on),
                        join_type=how, strategy=strategy, condition=condition,
-                       out_capacity=out_capacity, null_aware=null_aware)
+                       out_capacity=out_capacity, null_aware=null_aware,
+                       existence_col=existence_col or "exists#")
         return Frame(self.session, plan, n)
 
     def _estimated_rows(self) -> Optional[int]:

@@ -93,12 +93,22 @@ def _enc(v: Any) -> Any:
     raise TypeError(f"cannot serialize {type(v).__name__}: {v!r}")
 
 
-def _dec(v: Any) -> Any:
+def _dec(v: Any, memo: Dict[str, Any] = None) -> Any:
     if isinstance(v, dict):
         if "_tuple" in v:
-            return tuple(_dec(x) for x in v["_tuple"])
+            return tuple(_dec(x, memo) for x in v["_tuple"])
         t = v.get("_t")
-        body = {k: _dec(x) for k, x in v.items() if k not in ("_t",)}
+        # Hash-cons plan nodes: JSON is a tree, so a CTE consumed by N
+        # branches arrives as N identical subtrees. Interning them back
+        # into ONE node restores the DAG the executor's shared-node memo
+        # (plan/execute.py) needs to run the CTE once, not N times.
+        key = None
+        if memo is not None and t in _PLAN_TYPES:
+            key = json.dumps(v, sort_keys=True)
+            hit = memo.get(key)
+            if hit is not None:
+                return hit
+        body = {k: _dec(x, memo) for k, x in v.items() if k not in ("_t",)}
         if t == "DataType":
             return type_from_name(body["name"],
                                   tuple(body["params"]) if body["params"]
@@ -115,12 +125,15 @@ def _dec(v: Any) -> Any:
         if t in _EXPR_TYPES:
             return _EXPR_TYPES[t](**body)
         if t in _PLAN_TYPES:
-            return _PLAN_TYPES[t](**body)
+            node = _PLAN_TYPES[t](**body)
+            if key is not None:
+                memo[key] = node
+            return node
         if t in _PART_TYPES:
             return _PART_TYPES[t](**body)
         raise TypeError(f"unknown wire type {t}")
     if isinstance(v, list):
-        return [_dec(x) for x in v]
+        return [_dec(x, memo) for x in v]
     return v
 
 
@@ -129,4 +142,4 @@ def plan_to_json(plan: PN.PlanNode) -> str:
 
 
 def plan_from_json(data: str) -> PN.PlanNode:
-    return _dec(json.loads(data))
+    return _dec(json.loads(data), memo={})

@@ -469,9 +469,12 @@ def _is_subquery_pred(c) -> bool:
                                         c.query is not None)
 
 
-def _apply_exists(f: Frame, p: A.ExistsE, session) -> Frame:
+def _apply_exists(f: Frame, p: A.ExistsE, session,
+                  marker: Optional[str] = None) -> Frame:
     """[NOT] EXISTS with equality correlation -> semi/anti join, exactly
-    how Spark decorrelates it (RewritePredicateSubquery)."""
+    how Spark decorrelates it (RewritePredicateSubquery). With ``marker``
+    the match becomes an existence-join bool column instead of a filter
+    (EXISTS nested under OR)."""
     sel = p.query
     if not isinstance(sel, A.Select):
         raise NotImplementedError("EXISTS over UNION")
@@ -573,14 +576,18 @@ def _apply_exists(f: Frame, p: A.ExistsE, session) -> Frame:
                 for i, k in enumerate(keys_inner)}
     sub_cols.update({nm: E.col(orig) for orig, nm in carry.items()})
     sub = inner.select(**sub_cols)
-    how = "left_anti" if p.negated else "left_semi"
+    how = "existence" if marker is not None else \
+        ("left_anti" if p.negated else "left_semi")
     return f.join(sub, tuple(keys_outer),
                   tuple(f"__ex{i}" for i in range(len(keys_inner))),
-                  how=how, condition=condition)
+                  how=how, condition=condition, existence_col=marker)
 
 
-def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
-    """[NOT] IN (SELECT col ...) -> semi join / null-aware anti join."""
+def _apply_in_subquery(f: Frame, p: A.InE, session,
+                       marker: Optional[str] = None) -> Frame:
+    """[NOT] IN (SELECT col ...) -> semi join / null-aware anti join.
+    With ``marker`` the membership becomes an existence-join bool column
+    instead of a filter (IN nested under OR)."""
     if not isinstance(p.operand, A.Ident):
         raise NotImplementedError("IN-subquery operand must be a column")
     sub = _query(p.query, session)
@@ -588,10 +595,48 @@ def _apply_in_subquery(f: Frame, p: A.InE, session) -> Frame:
     if len(names) != 1:
         raise NotImplementedError("IN subquery must select ONE column")
     sub = sub.select(__in0=E.col(names[0]))
+    if marker is not None:
+        return f.join(sub, (p.operand.name,), ("__in0",), how="existence",
+                      existence_col=marker)
     how = "left_anti" if p.negated else "left_semi"
     # NOT IN is null-aware: one build-side NULL suppresses all probe rows
     return f.join(sub, (p.operand.name,), ("__in0",), how=how,
                   null_aware=p.negated)
+
+
+def _apply_subquery_markers(f: Frame, c, session):
+    """Rewrite [NOT] EXISTS / IN-subquery predicates NESTED inside a
+    conjunct (typically under OR) into existence-join marker columns;
+    returns (frame with markers joined, rewritten conjunct ast). NOT IN
+    markers are plain negated existence (the null-aware edge case of a
+    build-side NULL is not modelled under OR)."""
+    state = {"f": f, "n": 0}
+
+    def visit(x):
+        if isinstance(x, (A.ExistsE, A.InE)) and \
+                (isinstance(x, A.ExistsE) or x.query is not None):
+            col = f"__m{state['n']}"
+            state["n"] += 1
+            if isinstance(x, A.ExistsE):
+                state["f"] = _apply_exists(
+                    state["f"], A.ExistsE(x.query, False), session,
+                    marker=col)
+            else:
+                state["f"] = _apply_in_subquery(
+                    state["f"], A.InE(x.operand, [], False, x.query),
+                    session, marker=col)
+            out = A.Ident((col,))
+            return A.Un("not", out) if x.negated else out
+        return None
+
+    new_ast = _rewrite_ast(c, visit)  # mutates state["f"] — order matters
+    return state["f"], new_ast
+
+
+def _has_nested_setpred(c) -> bool:
+    return any(isinstance(x, A.ExistsE) or
+               (isinstance(x, A.InE) and x.query is not None)
+               for x in _walk_ast(c))
 
 
 def _walk_ast(e):
@@ -967,8 +1012,16 @@ def _disambiguate(sel: A.Select, session) -> A.Select:
             return A.Ident((f"{x.parts[0]}__{x.parts[-1]}",))
         return None
 
+    def proj_alias(p: A.Proj):
+        # SELECT a.col outputs "col"; keep that name once a.col has been
+        # rewritten to the scoped a__col
+        if p.alias is None and isinstance(p.expr, A.Ident) and \
+                len(p.expr.parts) > 1 and p.expr.parts[0] in alias_map:
+            return p.expr.parts[-1]
+        return p.alias
+
     new_rel = sub_rel(sel.rel)
-    out = A.Select([A.Proj(_rewrite_ast(p.expr, visit), p.alias)
+    out = A.Select([A.Proj(_rewrite_ast(p.expr, visit), proj_alias(p))
                     for p in sel.projs],
                    new_rel,
                    _rewrite_ast(sel.where, visit)
@@ -1004,12 +1057,15 @@ def _select(sel: A.Select, session) -> Frame:
         plain = None
         subq = []
         scalar_cmp = []
+        marked = []
         outer_names = set(f._names())
         for c in _conjuncts(sel.where):
             if _is_subquery_pred(c):
                 subq.append(c)
             elif _is_correlated_scalar(c, outer_names, session):
                 scalar_cmp.append(c)
+            elif _has_nested_setpred(c):
+                marked.append(c)
             else:
                 e = _expr(c)
                 plain = e if plain is None else (plain & e)
@@ -1019,6 +1075,11 @@ def _select(sel: A.Select, session) -> Frame:
             f = (_apply_exists(f, c, session)
                  if isinstance(c, A.ExistsE)
                  else _apply_in_subquery(f, c, session))
+        for c in marked:
+            # EXISTS/IN under OR: existence-join markers, then a plain
+            # boolean filter over the rewritten conjunct
+            f, ast2 = _apply_subquery_markers(f, c, session)
+            f = f.filter(_expr(ast2))
         for c in scalar_cmp:
             f = _apply_scalar_cmp(f, c, session)
     has_window_any = any(_has_window(p.expr) for p in sel.projs)
