@@ -151,6 +151,18 @@ def _promote_pair(l: Column, r: Column, for_div: bool = False
         raise TypeError("string arithmetic not supported")
     if lt.name == "decimal64" or rt.name == "decimal64":
         return _promote_decimal(l, r)
+    if {lt.name, rt.name} == {"date32", "timestamp64"}:
+        # promote the day count to micros-since-epoch so mixed
+        # date/timestamp comparisons (d_date BETWEEN cast(.. AS DATE) ..)
+        # compare on one clock (arrow/cast.rs date->timestamp semantics)
+        from auron_tpu.dtypes import TIMESTAMP64
+
+        def to_us(c: Column) -> Column:
+            if c.dtype.name != "date32":
+                return c
+            return Column.of(c.values.astype(jnp.int64) * 86_400_000_000,
+                             TIMESTAMP64, c.validity)
+        return to_us(l), to_us(r), TIMESTAMP64
     if lt.name == "date32" or rt.name == "date32":
         # date +- int handled in functions (date_add); here require same type
         return l, r, DATE32
