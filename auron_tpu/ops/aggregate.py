@@ -332,9 +332,13 @@ def key_group_ids_sorted(block: TableBlock, key_names: Sequence[str]):
     ops: List[jnp.ndarray] = [~block.row_mask]
     for name in key_names:
         c = block.columns[name]
+        ov = orderable_values(c)
         if c.validity is not None:
             ops.append(jnp.where(c.validity, jnp.int8(0), jnp.int8(1)))
-        ops.append(orderable_values(c))
+            # canonicalize NULL value planes: all NULLs are ONE group
+            # (SQL GROUP BY semantics); stale codes must not split it
+            ov = jnp.where(c.validity, ov, jnp.zeros_like(ov))
+        ops.append(ov)
     iota = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(tuple(ops) + (iota,), dimension=0,
                               is_stable=True, num_keys=len(ops))

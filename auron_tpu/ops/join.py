@@ -487,12 +487,67 @@ def _append_unmatched_build(pair_block: TableBlock, left: TableBlock,
     return concat_blocks([pair_block, extra])
 
 
+def union_common_dtype(dts) -> "DataType":
+    """Spark's UNION type coercion (TypeCoercion.findWiderType): decimal
+    with float -> double, decimal with int -> the decimal, mixed ints ->
+    widest, date32 with timestamp64 -> timestamp64."""
+    from auron_tpu.dtypes import FLOAT32, FLOAT64, TIMESTAMP64
+    out = dts[0]
+    for d in dts[1:]:
+        if d.name == out.name and d.params == out.params:
+            continue
+        names = {d.name, out.name}
+        if "string" in names:
+            raise TypeError(f"union of {out!r} and {d!r}")
+        if "decimal64" in names:
+            if d.is_float or out.is_float:
+                out = FLOAT64
+            elif d.name == "decimal64" and out.name == "decimal64":
+                out = d if d.params[1] > out.params[1] else out
+            else:
+                out = d if d.name == "decimal64" else out
+        elif d.is_float or out.is_float:
+            out = FLOAT32 if names == {"float32"} else FLOAT64
+        elif names == {"date32", "timestamp64"}:
+            out = TIMESTAMP64
+        else:  # integer widths / bool: keep the wider operand
+            rank = {"bool": 0, "int8": 1, "int16": 2, "int32": 3, "int64": 4,
+                    "date32": 3, "timestamp64": 4}
+            out = d if rank.get(d.name, 4) > rank.get(out.name, 4) else out
+    return out
+
+
+def unify_block_dtypes(blocks: Sequence[TableBlock]) -> List[TableBlock]:
+    """Cast same-named columns across blocks to their union-coerced common
+    dtype (q5: UNION of cast(0 AS DECIMAL) with a float measure column)."""
+    from auron_tpu.expr.cast import cast_column
+    names = [n for n in blocks[0].names
+             if all(n in b.columns for b in blocks)]
+    targets = {}
+    for name in names:
+        dts = [b.columns[name].dtype for b in blocks]
+        if any(d.name != dts[0].name or d.params != dts[0].params
+               for d in dts[1:]):
+            targets[name] = union_common_dtype(dts)
+    if not targets:
+        return list(blocks)
+    out = []
+    for b in blocks:
+        cols = dict(b.columns)
+        for name, to in targets.items():
+            cols[name] = cast_column(cols[name], to, b.capacity)
+        out.append(TableBlock(cols, b.row_mask))
+    return out
+
+
 def concat_blocks(blocks: Sequence[TableBlock]) -> TableBlock:
-    """Concatenate blocks along the row axis (schemas must match).
+    """Concatenate blocks along the row axis (schemas must match up to
+    union-coercible dtypes — see unify_block_dtypes).
 
     The CoalesceBatches analog (reference execution_context.rs:146-233) —
     output capacity is the sum of inputs; callers compact when it pays.
     """
+    blocks = unify_block_dtypes(blocks)
     names = blocks[0].names
     cols = {}
     for name in names:

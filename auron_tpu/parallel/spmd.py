@@ -373,7 +373,11 @@ def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
             sv = jax.lax.psum(jnp.where(_valid_of(sc), sc.values, 0), axis)
             cv = jax.lax.psum(cc.values, axis)
             from auron_tpu.dtypes import FLOAT64
-            vals = sv.astype(jnp.float64) / jnp.maximum(
+            svf = sv.astype(jnp.float64)
+            if sc.dtype.name == "decimal64":
+                # scale-preserving scaled-int sum: unscale before dividing
+                svf = svf / float(10 ** sc.dtype.params[1])
+            vals = svf / jnp.maximum(
                 cv.astype(jnp.float64), 1.0)
             cols[call.name] = Column.of(vals, FLOAT64, cv > 0)
             post_avg.append(call.name)

@@ -237,7 +237,9 @@ def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         out: List[TableBlock] = []
         for c in node.children_nodes:
             out.extend(_exec(c, s))
-        return out
+        # union type coercion: downstream per-block ops (and the final
+        # merge) need one schema across partitions (q5's decimal/float mix)
+        return J.unify_block_dtypes(out)
     if isinstance(node, PN.Expand):
         outs = []
         for b in _exec(node.child, s):
@@ -463,7 +465,12 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
             snm, cnm = f"{name}#s", f"{name}#c"
             sc, cc = cols[snm], cols[cnm]
             cnt = cc.values.astype(jnp.float64)
-            vals = sc.values.astype(jnp.float64) / jnp.maximum(cnt, 1.0)
+            sv = sc.values.astype(jnp.float64)
+            if sc.dtype.name == "decimal64":
+                # the sum is a scale-preserving scaled int (q18's
+                # avg(cast(x AS DECIMAL(12,2)))): unscale before dividing
+                sv = sv / float(10 ** sc.dtype.params[1])
+            vals = sv / jnp.maximum(cnt, 1.0)
             validity = cc.values > 0
             if sc.validity is not None:
                 validity = validity & sc.validity

@@ -836,17 +836,35 @@ def _inner_aliases(rel) -> set:
     return out
 
 
+def _extract_one_subquery(e):
+    """Rewrite the single SubqueryE inside ``e`` to Ident('_sc'); returns
+    (rewritten, subquery) or (e, None) if there is not exactly one."""
+    found: List[Any] = []
+
+    def visit(x):
+        if isinstance(x, A.SubqueryE):
+            found.append(x)
+            return A.Ident(("_sc",))
+        return None
+    rew = _rewrite_ast(e, visit)
+    return (rew, found[0]) if len(found) == 1 else (e, None)
+
+
 def _scalar_cmp_parts(c):
-    """Conjunct of the form <expr> <cmp> (SELECT ...) (either side)."""
+    """Conjunct comparing an expression against a scalar subquery — the
+    subquery may sit inside arithmetic (q6: price > 1.2 * (SELECT avg..)).
+    Returns (other_side, subquery, op, cmp_ast) where cmp_ast is the whole
+    comparison with the subquery replaced by Ident('_sc')."""
     if isinstance(c, A.Bin) and c.op in ("<", "<=", ">", ">=", "=",
                                          "<>", "!="):
-        if isinstance(c.right, A.SubqueryE) and \
-                not isinstance(c.left, A.SubqueryE):
-            return c.left, c.right, c.op
-        if isinstance(c.left, A.SubqueryE) and \
-                not isinstance(c.right, A.SubqueryE):
+        lr, lsq = _extract_one_subquery(c.left)
+        rr, rsq = _extract_one_subquery(c.right)
+        if rsq is not None and lsq is None:
+            return c.left, rsq, c.op, A.Bin(c.op, c.left, rr)
+        if lsq is not None and rsq is None:
             flip = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
-            return c.right, c.left, flip.get(c.op, c.op)
+            return c.right, lsq, flip.get(c.op, c.op), \
+                A.Bin(c.op, lr, c.right)
     return None
 
 
@@ -866,7 +884,12 @@ def _correlation_pairs(sel: A.Select, inner_names: set,
             return "outer"
         return "unknown"
 
+    conjs: List[Any] = []
     for c in (_conjuncts(sel.where) if sel.where is not None else ()):
+        # q41 repeats the correlation equality inside every OR branch;
+        # factoring it out exposes the pair
+        conjs.extend(_or_factor(c))
+    for c in conjs:
         if isinstance(c, A.Bin) and c.op == "=" and \
                 isinstance(c.left, A.Ident) and \
                 isinstance(c.right, A.Ident):
@@ -911,7 +934,7 @@ def _is_correlated_scalar(c, outer_names: set, session) -> bool:
 def _apply_scalar_cmp(f: Frame, c, session) -> Frame:
     """Correlated scalar-aggregate comparison -> grouped subquery joined
     on the correlation keys (Spark's RewriteCorrelatedScalarSubquery)."""
-    other_ast, sq, op = _scalar_cmp_parts(c)
+    _other_ast, sq, _op, cmp_ast = _scalar_cmp_parts(c)
     sel = sq.query
     outer_names = set(f._names())
     aliases = _inner_aliases(sel.rel)
@@ -945,7 +968,6 @@ def _apply_scalar_cmp(f: Frame, c, session) -> Frame:
     keep = list(f._names())
     f = f.join(grouped, tuple(okeys),
                tuple(f"__ck{i}" for i in range(len(ikeys))), how="left")
-    cmp_ast = A.Bin(op, other_ast, A.Ident(("_sc",)))
     return f.filter(_expr(cmp_ast)).select(*keep)
 
 
@@ -981,20 +1003,27 @@ def _disambiguate(sel: A.Select, session) -> A.Select:
                for i in range(len(leaves))]
     if not any(collide):
         return sel
-    alias_map: Dict[str, str] = {}
+    alias_map: Dict[str, set] = {}  # scope name -> renamed column set
     repl: Dict[int, A.FrameRef] = {}
     for i, lf in enumerate(leaves):
         if not collide[i]:
             continue
         alias = getattr(lf, "alias", None)
-        if alias is None:
-            return sel  # unaliased ambiguity — cannot scope
+        if alias is None and isinstance(lf, A.TableRef):
+            alias = lf.name  # unaliased table/CTE: its name IS the scope
+        if alias is None or alias in alias_map:
+            return sel  # unscopable or duplicate-scope ambiguity
+        # rename ONLY the colliding columns so flat references to this
+        # leaf's unique columns (q77: ws.sales) keep resolving
+        clash = {c for j in range(len(leaves)) if j != i
+                 for c in name_sets[i] & name_sets[j]}
         renamed = frames[i].select(**{
-            f"{alias}__{c}": E.col(c) for c in sorted(name_sets[i])})
+            (f"{alias}__{c}" if c in clash else c): E.col(c)
+            for c in sorted(name_sets[i])})
         repl[id(lf)] = A.FrameRef(renamed,
-                                  tuple(f"{alias}__{c}"
+                                  tuple(f"{alias}__{c}" if c in clash else c
                                         for c in sorted(name_sets[i])))
-        alias_map[alias] = alias
+        alias_map[alias] = clash
 
     def sub_rel(r):
         if id(r) in repl:
@@ -1009,7 +1038,10 @@ def _disambiguate(sel: A.Select, session) -> A.Select:
     def visit(x):
         if isinstance(x, A.Ident) and len(x.parts) > 1 and \
                 x.parts[0] in alias_map:
-            return A.Ident((f"{x.parts[0]}__{x.parts[-1]}",))
+            col = x.parts[-1]
+            if col in alias_map[x.parts[0]]:
+                return A.Ident((f"{x.parts[0]}__{col}",))
+            return A.Ident((col,))  # unique column: drop the qualifier
         return None
 
     def proj_alias(p: A.Proj):
@@ -1045,7 +1077,38 @@ def _disambiguate(sel: A.Select, session) -> A.Select:
                     out.distinct)
 
 
+def _ordinal_order_by(sel: A.Select) -> A.Select:
+    """ORDER BY 1 — SQL ordinals address the SELECT list (q74's
+    ORDER BY 1, 1, 1)."""
+    if not any(isinstance(o.expr, A.Lit) and isinstance(o.expr.value, int)
+               for o in sel.order_by):
+        return sel
+
+    def resolve(o: A.OrderItem) -> A.OrderItem:
+        if isinstance(o.expr, A.Lit) and isinstance(o.expr.value, int) \
+                and 1 <= o.expr.value <= len(sel.projs):
+            p = sel.projs[o.expr.value - 1]
+            e = A.Ident((p.alias,)) if p.alias else p.expr
+            return A.OrderItem(e, o.ascending)
+        return o
+    return A.Select(sel.projs, sel.rel, sel.where, sel.group_by,
+                    sel.having, [resolve(o) for o in sel.order_by],
+                    sel.limit, sel.distinct)
+
+
+def _uniq_name(taken, name: str) -> str:
+    """SQL output lists may repeat a name; our dict-shaped projections
+    cannot — suffix _2, _3, ... (positional consumers are unaffected)."""
+    if name not in taken:
+        return name
+    k = 2
+    while f"{name}_{k}" in taken:
+        k += 1
+    return f"{name}_{k}"
+
+
 def _select(sel: A.Select, session) -> Frame:
+    sel = _ordinal_order_by(sel)
     sel = _disambiguate(sel, session)
     if isinstance(sel.rel, A.CrossRel):
         f, where = _compile_cross(sel.rel, sel.where, session)
@@ -1179,6 +1242,9 @@ def _select(sel: A.Select, session) -> Frame:
                     raise NotImplementedError("mixed * and expressions")
                 name = p.alias or (p.expr.name if isinstance(p.expr, A.Ident)
                                    else f"_c{i}")
+                # SQL allows duplicate output names (q39's inv1.x, inv2.x;
+                # q64's cs1.s1, cs2.s1) — suffix to keep every column
+                name = _uniq_name(items, name)
                 items[name] = _expr(p.expr)
             out_names = list(items.keys())
             # carry ORDER BY columns the SELECT list drops
@@ -1191,6 +1257,11 @@ def _select(sel: A.Select, session) -> Frame:
             proj_map = list(zip(sel.projs, out_names))
             trim_to = out_names if carry else None
         else:
+            # bare SELECT *: drop planner-internal helper columns
+            # (__ck* join keys, __cxl/__cxr cross-join markers)
+            keep = [n for n in f._names() if not n.startswith("__")]
+            if len(keep) != len(f._names()):
+                f = f.select(**{n: E.col(n) for n in keep})
             proj_map = []
             trim_to = None
         if sel.distinct:
@@ -1283,19 +1354,21 @@ def _select_window(sel: A.Select, f: Frame, win) -> Frame:
                 continue  # hidden extracted window — consumed by exprs
             items[names[i]] = None  # already a column
         elif isinstance(p.expr, A.Ident):
-            items[p.alias or p.expr.name] = (
-                _expr(p.expr) if p.alias and p.alias != p.expr.name
-                else None)
+            name = _uniq_name(items, p.alias or p.expr.name)
+            items[name] = (
+                _expr(p.expr) if name != p.expr.name else None)
         else:
-            items[p.alias or f"_c{i}"] = _expr(p.expr)
-    sel_names = [n for n, e in items.items() if e is None]
-    sel_exprs = {n: e for n, e in items.items() if e is not None}
+            items[_uniq_name(items, p.alias or f"_c{i}")] = _expr(p.expr)
     # carry ORDER BY columns the SELECT list drops (group keys etc.)
     avail = set(f._names())
     carry = [o.expr.name for o in sel.order_by
              if isinstance(o.expr, A.Ident) and
              o.expr.name not in items and o.expr.name in avail]
-    f = f.select(*sel_names, *carry, **sel_exprs)
+    # one ordered projection: the SELECT list's own order is the contract
+    ordered = {n: (e if e is not None else E.col(n))
+               for n, e in items.items()}
+    ordered.update({c: E.col(c) for c in carry})
+    f = f.select(**ordered)
     if sel.order_by:
         keys = []
         helpers: Dict[str, E.Expr] = {}
@@ -1321,11 +1394,23 @@ def _select_window(sel: A.Select, f: Frame, win) -> Frame:
     return f
 
 
+def _align_positional(l: Frame, r: Frame) -> Frame:
+    """SQL set ops match columns by POSITION; the output names come from
+    the first branch (q74's second UNION branch carries no aliases)."""
+    ln, rn = list(l._names()), list(r._names())
+    if len(ln) != len(rn):
+        raise NotImplementedError(
+            f"set op column-count mismatch: {ln} vs {rn}")
+    if ln == rn:
+        return r
+    return r.select(**{a: E.col(b) for a, b in zip(ln, rn)})
+
+
 def _set_op(kind: str, l: Frame, r: Frame) -> Frame:
     if kind == "union_all":
-        return l.union(r)
+        return l.union(_align_positional(l, r))
     if kind == "union":
-        return l.union(r).distinct()
+        return l.union(_align_positional(l, r)).distinct()
     # INTERSECT/EXCEPT: joins of DISTINCT sets over ALL columns
     ln = list(l._names())
     rn = list(r._names())
@@ -1355,7 +1440,7 @@ def _query(ast, session) -> Frame:
     if isinstance(ast, A.UnionAll):
         f = _select(ast.selects[0], session)
         for s in ast.selects[1:]:
-            f = f.union(_select(s, session))
+            f = f.union(_align_positional(f, _select(s, session)))
         return f
     return _select(ast, session)
 

@@ -38,7 +38,9 @@ def q3(s: Session) -> Frame:
             .agg(domains={"d_year": (1998, 2005), "i_brand_id": (1, 61)},
                  sum_agg=("sum", col("ss_ext_sales_price")))
             .sort(SortKey("d_year"), SortKey("sum_agg", ascending=False),
-                  SortKey("i_brand_id"), limit=100))
+                  SortKey("i_brand_id"), limit=100)
+            .select(d_year=col("d_year"), brand_id=col("i_brand_id"),
+                    brand=col("i_brand"), sum_agg=col("sum_agg")))
 
 
 def q3_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -51,7 +53,8 @@ def q3_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
         sum_agg=("ss_ext_sales_price", "sum")).reset_index()
     g = g.sort_values(["d_year", "sum_agg", "i_brand_id"],
                       ascending=[True, False, True], kind="stable").head(100)
-    return g[["d_year", "i_brand", "i_brand_id", "sum_agg"]]
+    g = g[["d_year", "i_brand_id", "i_brand", "sum_agg"]]
+    return g.rename(columns={"i_brand_id": "brand_id", "i_brand": "brand"})
 
 
 # ---------------------------------------------------------------------------
@@ -202,7 +205,9 @@ def q52(s: Session) -> Frame:
     return (joined.groupby("d_year", "i_brand", "i_brand_id")
             .agg(ext_price=("sum", col("ss_ext_sales_price")))
             .sort(SortKey("d_year"), SortKey("ext_price", ascending=False),
-                  SortKey("i_brand_id"), limit=100))
+                  SortKey("i_brand_id"), limit=100)
+            .select(d_year=col("d_year"), brand_id=col("i_brand_id"),
+                    brand=col("i_brand"), ext_price=col("ext_price")))
 
 
 def q52_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -214,10 +219,11 @@ def q52_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
          .merge(it, left_on="ss_item_sk", right_on="i_item_sk"))
     g = j.groupby(["d_year", "i_brand", "i_brand_id"]).agg(
         ext_price=("ss_ext_sales_price", "sum")).reset_index()
-    return g.sort_values(["d_year", "ext_price", "i_brand_id"],
-                         ascending=[True, False, True],
-                         kind="stable").head(100)[
-        ["d_year", "i_brand", "i_brand_id", "ext_price"]]
+    g = g.sort_values(["d_year", "ext_price", "i_brand_id"],
+                      ascending=[True, False, True],
+                      kind="stable").head(100)[
+        ["d_year", "i_brand_id", "i_brand", "ext_price"]]
+    return g.rename(columns={"i_brand_id": "brand_id", "i_brand": "brand"})
 
 
 # ---------------------------------------------------------------------------

@@ -171,7 +171,19 @@ def q35(s: Session) -> Frame:
                  minc=("min", col("cd_dep_college_count")),
                  maxc=("max", col("cd_dep_college_count")),
                  avgc=("avg", col("cd_dep_college_count")))
-            .sort(*[SortKey(k) for k in _Q35_KEYS]))
+            .sort(*[SortKey(k) for k in _Q35_KEYS], limit=100)
+            # literal q35.sql SELECT list: count(*) repeats per block,
+            # cd_dep_count itself is grouped but NOT projected
+            .select(ca_state=col("ca_state"), cd_gender=col("cd_gender"),
+                    cd_marital_status=col("cd_marital_status"),
+                    cnt1=col("cnt1"), mind=col("mind"), maxd=col("maxd"),
+                    avgd=col("avgd"),
+                    cd_dep_employed_count=col("cd_dep_employed_count"),
+                    cnt2=col("cnt1"), mine=col("mine"), maxe=col("maxe"),
+                    avge=col("avge"),
+                    cd_dep_college_count=col("cd_dep_college_count"),
+                    cnt3=col("cnt1"), minc=col("minc"), maxc=col("maxc"),
+                    avgc=col("avgc")))
 
 
 def q35_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -200,7 +212,13 @@ def q35_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
         minc=("cd_dep_college_count", "min"),
         maxc=("cd_dep_college_count", "max"),
         avgc=("cd_dep_college_count", "mean")).reset_index()
-    return g.sort_values(_Q35_KEYS, kind="stable")
+    g = g.sort_values(_Q35_KEYS, kind="stable").head(100)
+    g["cnt2"] = g["cnt1"]
+    g["cnt3"] = g["cnt1"]
+    return g[["ca_state", "cd_gender", "cd_marital_status", "cnt1",
+              "mind", "maxd", "avgd", "cd_dep_employed_count", "cnt2",
+              "mine", "maxe", "avge", "cd_dep_college_count", "cnt3",
+              "minc", "maxc", "avgc"]]
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +249,16 @@ def q69(s: Session) -> Frame:
          .join(cs, ("c_customer_sk",), ("cs_c",), how="left_anti"))
     return (j.groupby(*_Q69_KEYS)
             .agg(cnt1=("count_star", None))
-            .sort(*[SortKey(k) for k in _Q69_KEYS], limit=100))
+            .sort(*[SortKey(k) for k in _Q69_KEYS], limit=100)
+            # literal q69.sql: count(*) repeats after each trailing key
+            .select(cd_gender=col("cd_gender"),
+                    cd_marital_status=col("cd_marital_status"),
+                    cd_education_status=col("cd_education_status"),
+                    cnt1=col("cnt1"),
+                    cd_purchase_estimate=col("cd_purchase_estimate"),
+                    cnt2=col("cnt1"),
+                    cd_credit_rating=col("cd_credit_rating"),
+                    cnt3=col("cnt1")))
 
 
 def q69_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -254,7 +281,12 @@ def q69_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
          .merge(t["customer_demographics"], left_on="c_current_cdemo_sk",
                 right_on="cd_demo_sk"))
     g = j.groupby(_Q69_KEYS).size().reset_index(name="cnt1")
-    return g.sort_values(_Q69_KEYS, kind="stable").head(100)
+    g = g.sort_values(_Q69_KEYS, kind="stable").head(100)
+    g["cnt2"] = g["cnt1"]
+    g["cnt3"] = g["cnt1"]
+    return g[["cd_gender", "cd_marital_status", "cd_education_status",
+              "cnt1", "cd_purchase_estimate", "cnt2", "cd_credit_rating",
+              "cnt3"]]
 
 
 QUERIES_DEMO = {

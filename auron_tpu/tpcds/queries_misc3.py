@@ -233,7 +233,10 @@ def q71(s: Session) -> Frame:
             .agg(ext_price=("sum", col("ext_price")))
             .sort(SortKey("ext_price", ascending=False),
                   SortKey("i_brand_id"), SortKey("t_hour"),
-                  SortKey("t_minute"), SortKey("i_brand")))
+                  SortKey("t_minute"), SortKey("i_brand"))
+            .select(brand_id=col("i_brand_id"), brand=col("i_brand"),
+                    t_hour=col("t_hour"), t_minute=col("t_minute"),
+                    ext_price=col("ext_price")))
 
 
 def q71_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -259,10 +262,11 @@ def q71_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
          .merge(td, left_on="time_sk", right_on="t_time_sk"))
     g = j.groupby(["i_brand", "i_brand_id", "t_hour", "t_minute"]).agg(
         ext_price=("ext_price", "sum")).reset_index()
-    return g.sort_values(
+    g = g.sort_values(
         ["ext_price", "i_brand_id", "t_hour", "t_minute", "i_brand"],
         ascending=[False, True, True, True, True], kind="stable")[
-        ["i_brand", "i_brand_id", "t_hour", "t_minute", "ext_price"]]
+        ["i_brand_id", "i_brand", "t_hour", "t_minute", "ext_price"]]
+    return g.rename(columns={"i_brand_id": "brand_id", "i_brand": "brand"})
 
 
 # ---------------------------------------------------------------------------

@@ -95,7 +95,8 @@ _Q30_CUST_COLS = ["c_customer_id", "c_salutation", "c_first_name",
 
 
 def _returns_query(s: Session, table: str, cust: str, addr: str,
-                   date: str, amt: str, year: int) -> Frame:
+                   date: str, amt: str, year: int,
+                   select_cols=None) -> Frame:
     dt = s.table("date_dim").filter(col("d_year") == lit(year))
     ctr = (s.table(table)
            .join(dt, (date,), ("d_date_sk",))
@@ -112,8 +113,9 @@ def _returns_query(s: Session, table: str, cust: str, addr: str,
            .join(s.table("customer"), ("ctr_customer_sk",),
                  ("c_customer_sk",))
            .join(ga, ("c_current_addr_sk",), ("ca_address_sk",)))
-    return (out.select(*_Q30_CUST_COLS, "ctr_total_return")
-            .sort(*[SortKey(c) for c in _Q30_CUST_COLS],
+    cols = select_cols if select_cols is not None else _Q30_CUST_COLS
+    return (out.select(*cols, "ctr_total_return")
+            .sort(*[SortKey(c) for c in cols],
                   SortKey("ctr_total_return"), limit=100))
 
 
@@ -123,13 +125,23 @@ def q30(s: Session) -> Frame:
                           "wr_return_amt", 2002)
 
 
+# q81.sql projects the customer's full GA ADDRESS, not the birth columns
+_Q81_COLS = ["c_customer_id", "c_salutation", "c_first_name",
+             "c_last_name", "ca_street_number", "ca_street_name",
+             "ca_street_type", "ca_suite_number", "ca_city", "ca_county",
+             "ca_state", "ca_zip", "ca_country", "ca_gmt_offset",
+             "ca_location_type"]
+
+
 def q81(s: Session) -> Frame:
     return _returns_query(s, "catalog_returns", "cr_returning_customer_sk",
                           "cr_returning_addr_sk", "cr_returned_date_sk",
-                          "cr_return_amt_inc_tax", 2000)
+                          "cr_return_amt_inc_tax", 2000,
+                          select_cols=_Q81_COLS)
 
 
-def _returns_oracle(t, table, cust, addr, date, amt, year):
+def _returns_oracle(t, table, cust, addr, date, amt, year,
+                    select_cols=None):
     dt = t["date_dim"][t["date_dim"]["d_year"] == year]
     j = (t[table]
          .merge(dt, left_on=date, right_on="d_date_sk")
@@ -148,9 +160,10 @@ def _returns_oracle(t, table, cust, addr, date, amt, year):
                    right_on="c_customer_sk")
            .merge(ga, left_on="c_current_addr_sk",
                   right_on="ca_address_sk"))
-    return out.sort_values(_Q30_CUST_COLS + ["ctr_total_return"],
+    cols = select_cols if select_cols is not None else _Q30_CUST_COLS
+    return out.sort_values(cols + ["ctr_total_return"],
                            kind="stable").head(100)[
-        _Q30_CUST_COLS + ["ctr_total_return"]]
+        cols + ["ctr_total_return"]]
 
 
 def q30_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -163,7 +176,8 @@ def q81_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     return _returns_oracle(t, "catalog_returns",
                            "cr_returning_customer_sk",
                            "cr_returning_addr_sk", "cr_returned_date_sk",
-                           "cr_return_amt_inc_tax", 2000)
+                           "cr_return_amt_inc_tax", 2000,
+                           select_cols=_Q81_COLS)
 
 
 # ---------------------------------------------------------------------------

@@ -134,9 +134,11 @@ def _q39(s: Session, extra_cov=None) -> Frame:
             .select(w2=col("w_warehouse_sk"), i2=col("i_item_sk"),
                     moy2=col("d_moy"), mean2=col("mean"),
                     cov2=col("cov")))
+    # literal q39 SELECT: ALL TEN columns of both sides (w2/i2 echo the
+    # join keys)
     return (inv1.join(inv2, ("w1", "i1"), ("w2", "i2"))
-            .select("w1", "i1", "moy1", "mean1", "cov1", "moy2", "mean2",
-                    "cov2")
+            .select("w1", "i1", "moy1", "mean1", "cov1", "w2", "i2",
+                    "moy2", "mean2", "cov2")
             .sort(SortKey("w1"), SortKey("i1"), SortKey("moy1"),
                   SortKey("mean1"), SortKey("cov1"), SortKey("moy2"),
                   SortKey("mean2"), SortKey("cov2")))
@@ -175,9 +177,10 @@ def _q39_oracle(t, extra_cov=None):
         "w_warehouse_sk": "w2", "i_item_sk": "i2", "d_moy": "moy2",
         "mean": "mean2", "cov": "cov2"})
     m = a.merge(b, left_on=["w1", "i1"], right_on=["w2", "i2"])
-    out = m[["w1", "i1", "moy1", "mean1", "cov1", "moy2", "mean2",
-             "cov2"]]
-    return out.sort_values(list(out.columns), kind="stable")
+    out = m[["w1", "i1", "moy1", "mean1", "cov1", "w2", "i2", "moy2",
+             "mean2", "cov2"]]
+    return out.sort_values(["w1", "i1", "moy1", "mean1", "cov1", "moy2",
+                            "mean2", "cov2"], kind="stable")
 
 
 def q39a_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:

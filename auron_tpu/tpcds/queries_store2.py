@@ -175,10 +175,12 @@ def q79(s: Session) -> Frame:
                profit=("sum", col("ss_net_profit"))))
     return (ms.join(s.table("customer"), ("ss_customer_sk",),
                     ("c_customer_sk",))
-            .select("c_last_name", "c_first_name", "ss_ticket_number",
-                    "amt", "profit",
+            .select(c_last_name=col("c_last_name"),
+                    c_first_name=col("c_first_name"),
                     s_city_30=func("substring", col("s_city"),
-                                   params=(1, 30)))
+                                   params=(1, 30)),
+                    ss_ticket_number=col("ss_ticket_number"),
+                    amt=col("amt"), profit=col("profit"))
             .sort(*[SortKey(k) for k in _Q79_SORT], limit=100))
 
 
@@ -202,8 +204,8 @@ def q79_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
                    right_on="c_customer_sk")
     out["s_city_30"] = out["s_city"].str[:30]
     return out.sort_values(_Q79_SORT, kind="stable").head(100)[
-        ["c_last_name", "c_first_name", "ss_ticket_number", "amt",
-         "profit", "s_city_30"]]
+        ["c_last_name", "c_first_name", "s_city_30", "ss_ticket_number",
+         "amt", "profit"]]
 
 
 # ---------------------------------------------------------------------------

@@ -207,7 +207,22 @@ def q10(s: Session) -> Frame:
          .filter(col("in_web") | col("exists#")))
     return (j.groupby(*_Q10_KEYS)
             .agg(cnt1=("count_star", None))
-            .sort(*[SortKey(k) for k in _Q10_KEYS], limit=100))
+            .sort(*[SortKey(k) for k in _Q10_KEYS], limit=100)
+            # literal q10.sql: count(*) repeats after each trailing key
+            .select(cd_gender=col("cd_gender"),
+                    cd_marital_status=col("cd_marital_status"),
+                    cd_education_status=col("cd_education_status"),
+                    cnt1=col("cnt1"),
+                    cd_purchase_estimate=col("cd_purchase_estimate"),
+                    cnt2=col("cnt1"),
+                    cd_credit_rating=col("cd_credit_rating"),
+                    cnt3=col("cnt1"),
+                    cd_dep_count=col("cd_dep_count"),
+                    cnt4=col("cnt1"),
+                    cd_dep_employed_count=col("cd_dep_employed_count"),
+                    cnt5=col("cnt1"),
+                    cd_dep_college_count=col("cd_dep_college_count"),
+                    cnt6=col("cnt1")))
 
 
 def q10_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -232,7 +247,13 @@ def q10_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
          .merge(t["customer_demographics"], left_on="c_current_cdemo_sk",
                 right_on="cd_demo_sk"))
     g = j.groupby(_Q10_KEYS).size().reset_index(name="cnt1")
-    return g.sort_values(_Q10_KEYS, kind="stable").head(100)
+    g = g.sort_values(_Q10_KEYS, kind="stable").head(100)
+    for k in range(2, 7):
+        g[f"cnt{k}"] = g["cnt1"]
+    return g[["cd_gender", "cd_marital_status", "cd_education_status",
+              "cnt1", "cd_purchase_estimate", "cnt2", "cd_credit_rating",
+              "cnt3", "cd_dep_count", "cnt4", "cd_dep_employed_count",
+              "cnt5", "cd_dep_college_count", "cnt6"]]
 
 
 QUERIES_WEEKS = {

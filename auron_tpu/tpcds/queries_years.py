@@ -41,17 +41,18 @@ def _year_total(s: Session, chan: str, year: int, total_expr: Expr,
 
 def _growth_query(s: Session, totals: Dict[str, Expr], keys: List[str],
                   select_cols: List[str], sort_cols: List[str],
-                  chans: str) -> Frame:
-    """chans: e.g. 'sw' or 'scw' — first channel is the comparison BASE
-    (its ratio must be strictly below every other channel's)."""
+                  chans: str, cmps: List[tuple],
+                  out_names: Dict[str, str]) -> Frame:
+    """cmps: [(gt, lt), ...] ratio conditions ratio(gt) > ratio(lt), the
+    literal CASE-guarded comparisons (q4: c>s AND c>w; q11/q74: w>s).
+    out_names: key -> literal output alias (customer_id etc.)."""
     frames = {}
     for ch in chans:
         for yr, era in ((2001, "first"), (2002, "sec")):
             frames[f"{ch}_{era}"] = _year_total(
                 s, ch, yr, totals[ch], f"{ch}_{era}", keys)
-    base = frames[f"{chans[0]}_sec"]
-    out = base
     first = f"{chans[0]}_sec"
+    out = frames[first]
     for name, f in frames.items():
         if name == first:
             continue
@@ -59,20 +60,21 @@ def _growth_query(s: Session, totals: Dict[str, Expr], keys: List[str],
                        (f"{name}_{keys[0]}",))
     for ch in chans:
         out = out.filter(col(f"{ch}_first_total") > lit(0.0))
-    base_ratio = when(col(f"{chans[0]}_first_total") > lit(0.0),
-                      col(f"{chans[0]}_sec_total") /
-                      col(f"{chans[0]}_first_total")).end()
-    for ch in chans[1:]:
-        r = when(col(f"{ch}_first_total") > lit(0.0),
-                 col(f"{ch}_sec_total") / col(f"{ch}_first_total")).end()
-        out = out.filter(r > base_ratio)
-    sel = {c: col(f"{first}_{c}") for c in select_cols}
+
+    def ratio(ch):
+        return when(col(f"{ch}_first_total") > lit(0.0),
+                    col(f"{ch}_sec_total") /
+                    col(f"{ch}_first_total")).end()
+    for gt, lt in cmps:
+        out = out.filter(ratio(gt) > ratio(lt))
+    sel = {out_names[c]: col(f"{first}_{c}") for c in select_cols}
     return (out.select(**sel)
-            .sort(*[SortKey(c) for c in sort_cols], limit=100))
+            .sort(*[SortKey(out_names[c]) for c in sort_cols], limit=100))
 
 
 def _growth_oracle(t, total_fns: Dict, keys, select_cols, sort_cols,
-                   chans: str) -> pd.DataFrame:
+                   chans: str, cmps: List[tuple],
+                   out_names: Dict[str, str]) -> pd.DataFrame:
     dd = t["date_dim"]
     frames = {}
     for ch in chans:
@@ -95,38 +97,50 @@ def _growth_oracle(t, total_fns: Dict, keys, select_cols, sort_cols,
         out = out.merge(f[[keys[0], f"{name}_total"]], on=keys[0])
     for ch in chans:
         out = out[out[f"{ch}_first_total"] > 0]
-    base_r = out[f"{chans[0]}_sec_total"] / out[f"{chans[0]}_first_total"]
-    for ch in chans[1:]:
-        r = out[f"{ch}_sec_total"] / out[f"{ch}_first_total"]
-        out = out[r > base_r.loc[out.index]]
-    return out.sort_values(sort_cols, kind="stable").head(100)[select_cols]
+    for gt, lt in cmps:
+        r_gt = out[f"{gt}_sec_total"] / out[f"{gt}_first_total"]
+        r_lt = out[f"{lt}_sec_total"] / out[f"{lt}_first_total"]
+        out = out[r_gt > r_lt]
+    out = out.sort_values(sort_cols, kind="stable").head(100)[select_cols]
+    return out.rename(columns=out_names)
 
 
 _Q74_KEYS = ["c_customer_id", "c_first_name", "c_last_name"]
+_Q74_OUT = {"c_customer_id": "customer_id",
+            "c_first_name": "customer_first_name",
+            "c_last_name": "customer_last_name"}
 
 
 def q74(s: Session) -> Frame:
     totals = {"s": col("ss_net_paid"), "w": col("ws_net_paid")}
-    return _growth_query(s, totals, _Q74_KEYS, _Q74_KEYS, _Q74_KEYS, "sw")
+    return _growth_query(s, totals, _Q74_KEYS, _Q74_KEYS,
+                         ["c_customer_id"], "sw", [("w", "s")], _Q74_OUT)
 
 
 def q74_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     fns = {"s": lambda j: j["ss_net_paid"],
            "w": lambda j: j["ws_net_paid"]}
-    return _growth_oracle(t, fns, _Q74_KEYS, _Q74_KEYS, _Q74_KEYS, "sw")
+    return _growth_oracle(t, fns, _Q74_KEYS, _Q74_KEYS,
+                          ["c_customer_id"], "sw", [("w", "s")], _Q74_OUT)
 
 
 _Q11_KEYS = ["c_customer_id", "c_first_name", "c_last_name",
              "c_preferred_cust_flag", "c_birth_country", "c_login",
              "c_email_address"]
+_Q11_OUT = dict(_Q74_OUT,
+                c_preferred_cust_flag="customer_preferred_cust_flag",
+                c_birth_country="customer_birth_country",
+                c_login="customer_login",
+                c_email_address="customer_email_address")
 
 
 def q11(s: Session) -> Frame:
     totals = {"s": col("ss_ext_list_price") - col("ss_ext_discount_amt"),
               "w": col("ws_ext_list_price") - col("ws_ext_discount_amt")}
     return _growth_query(s, totals, _Q11_KEYS,
-                         ["c_preferred_cust_flag", "c_customer_id"],
-                         ["c_preferred_cust_flag", "c_customer_id"], "sw")
+                         ["c_preferred_cust_flag"],
+                         ["c_preferred_cust_flag"], "sw", [("w", "s")],
+                         _Q11_OUT)
 
 
 def q11_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -135,8 +149,9 @@ def q11_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
            "w": lambda j: j["ws_ext_list_price"] -
            j["ws_ext_discount_amt"]}
     return _growth_oracle(t, fns, _Q11_KEYS,
-                          ["c_preferred_cust_flag", "c_customer_id"],
-                          ["c_preferred_cust_flag", "c_customer_id"], "sw")
+                          ["c_preferred_cust_flag"],
+                          ["c_preferred_cust_flag"], "sw", [("w", "s")],
+                          _Q11_OUT)
 
 
 def q4(s: Session) -> Frame:
@@ -150,8 +165,8 @@ def q4(s: Session) -> Frame:
         "w": (col("ws_ext_list_price") - col("ws_ext_wholesale_cost") -
               col("ws_ext_discount_amt") +
               col("ws_ext_sales_price")) / lit(2.0)}
-    return _growth_query(s, totals, _Q74_KEYS, _Q74_KEYS, _Q74_KEYS,
-                         "scw")
+    return _growth_query(s, totals, _Q11_KEYS, _Q11_KEYS, _Q11_KEYS,
+                         "scw", [("c", "s"), ("c", "w")], _Q11_OUT)
 
 
 def q4_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
@@ -168,7 +183,8 @@ def q4_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
                         j["ws_ext_wholesale_cost"] -
                         j["ws_ext_discount_amt"] +
                         j["ws_ext_sales_price"]) / 2.0}
-    return _growth_oracle(t, fns, _Q74_KEYS, _Q74_KEYS, _Q74_KEYS, "scw")
+    return _growth_oracle(t, fns, _Q11_KEYS, _Q11_KEYS, _Q11_KEYS,
+                          "scw", [("c", "s"), ("c", "w")], _Q11_OUT)
 
 
 QUERIES_YEARS = {

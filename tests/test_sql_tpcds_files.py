@@ -1,47 +1,56 @@
 """Run the reference's ACTUAL TPC-DS .sql files through the SQL
 front-end (text -> wire JSON -> engine) and diff against the pandas
 oracles — the strongest neutrality proof: the engine executes the
-reference's own query text with no Frame-builder involvement."""
+reference's own query text with no Frame-builder involvement.
+
+The full 103-file differential lives in `python -m auron_tpu.tpcds.sqldiff`
+(all 103 MATCH at sf=0.2); this test pins a fast representative subset of
+every front-end path it exercises.
+"""
 
 import os
 
 import pytest
 
-from auron_tpu.plan import Session
 from auron_tpu.tpcds.datagen import generate
 from auron_tpu.tpcds.queries import QUERIES
 from auron_tpu.tpcds.runner import frames_match, make_session
 
-import auron_tpu.sql  # installs Session.sql
+import auron_tpu.sql  # noqa: F401 — installs Session.sql
 
 _SQL_DIR = "/root/reference/dev/auron-it/src/main/resources/tpcds-queries"
 
-# queries whose literal SQL both runs AND has a clean mapping back to
-# the engine-oracle's column names (positional where aliases differ)
-_FILES = {
-    "q1": {},
-    "q3": {"brand_id": "i_brand_id", "brand": "i_brand"},
-    "q7": {},
-    "q26": {},
-    "q32": {"excess discount amount": "excess"},
-    "q33": {},
-    "q42": {"_c0": "rev"},
-    "q52": {"brand_id": "i_brand_id", "brand": "i_brand"},
-    "q55": {"brand_id": "i_brand_id", "brand": "i_brand"},
-    "q96": {"_c0": "cnt"},
-}
+# literal .sql files diffed value-for-value against the Frame-port pandas
+# oracles (positional column mapping — output NAMES follow the literal
+# SELECT list, which the oracles mirror). One per front-end feature class:
+#   q1 correlated scalar, q3/q52 plain star joins, q5 decimal/float UNION
+#   coercion, q6 subquery inside arithmetic (1.2 * (SELECT avg ..)),
+#   q18 avg over decimal casts, q32 scalar subquery, q39a self-join CTE
+#   with duplicate output names, q41 correlation equality under OR,
+#   q53 grouped windows (SELECT-list order), q74 positional UNION +
+#   ordinal ORDER BY, q77 CTE join collision scoping + ROLLUP null
+#   grouping, q88 cross-join fallback SELECT *
+_DIFF = ["q1", "q3", "q5", "q6", "q18", "q32", "q39a", "q41", "q52",
+         "q53", "q74", "q77", "q88"]
+
+
+@pytest.fixture(scope="module")
+def env():
+    tables = generate(sf=0.2)
+    return tables, make_session(tables, num_partitions=1)
 
 
 @pytest.mark.skipif(not os.path.isdir(_SQL_DIR),
                     reason="reference SQL corpus not present")
-@pytest.mark.parametrize("q", sorted(_FILES))
-def test_reference_sql_file_runs(q):
+@pytest.mark.parametrize("q", _DIFF)
+def test_reference_sql_file_matches_oracle(q, env):
+    tables, s = env
     sql = open(os.path.join(_SQL_DIR, f"{q}.sql")).read()
-    tables = generate(sf=0.5)
-    s = make_session(tables, num_partitions=1)
-    got = s.sql(sql).rename(columns=_FILES[q])
+    got = s.sql(sql)
     want = QUERIES[q][1](tables)
-    got = got[list(want.columns)]
+    assert len(got.columns) == len(want.columns), \
+        (q, list(got.columns), list(want.columns))
+    got = got.set_axis(list(want.columns), axis=1)
     assert frames_match(got, want), (q, got.head(), want.head())
 
 
@@ -72,15 +81,14 @@ def test_reference_sql_all_compile():
 # arithmetic), pushed-down self-join quarters (q31), scoped self-join
 # CTE outputs (q95), multi-alias date_dim (q72)
 _RUN_SMOKE = ["q2", "q10", "q13", "q28", "q31", "q45", "q48", "q61",
-              "q72", "q88", "q95"]
+              "q72", "q95"]
 
 
 @pytest.mark.skipif(not os.path.isdir(_SQL_DIR),
                     reason="reference SQL corpus not present")
 @pytest.mark.parametrize("q", _RUN_SMOKE)
-def test_reference_sql_file_executes(q):
+def test_reference_sql_file_executes(q, env):
+    _tables, s = env
     sql = open(os.path.join(_SQL_DIR, f"{q}.sql")).read()
-    tables = generate(sf=0.05)
-    s = make_session(tables, num_partitions=1)
     df = s.sql(sql)
     assert df is not None and df.columns is not None
