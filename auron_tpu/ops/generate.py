@@ -21,6 +21,8 @@ from auron_tpu.dtypes import INT32
 def generate_block(block: TableBlock, node) -> TableBlock:
     if node.kind == "json_tuple":
         return json_tuple_block(block, node)
+    if node.kind == "py_udtf":
+        return py_udtf_block(block, node)
     vals_col = block.columns[f"{node.column}#vals"]
     len_col = block.columns[f"{node.column}#len"]
     cap, max_len = vals_col.values.shape
@@ -108,3 +110,145 @@ def json_tuple_block(block: TableBlock, node) -> TableBlock:
         cols[f"{node.out_name}{i}"] = Column(out_codes, validity, STRING,
                                              uniq.astype(object))
     return TableBlock(cols, block.row_mask)
+
+
+def py_udtf_block(block: TableBlock, node) -> TableBlock:
+    """Arbitrary host table function — the serialized-Spark-UDTF escape
+    hatch (auron.proto:618-628, generate_exec.rs UDTF case) re-designed as
+    a `jax.pure_callback` with static output capacity.
+
+    ``node.fn(*row_values)`` is called once per live row with decoded
+    python values (strings as str, NULL as None) and returns an iterable
+    of output tuples matching ``node.out_fields``; OUTER emits one all-NULL
+    output row for rows that generate nothing. The host computes the
+    expansion (owner indices + field planes padded to out_capacity); the
+    device gathers child columns by owner — so the op is traceable under
+    whole-plan jit for non-string outputs. String output fields build
+    data-dependent dictionaries and therefore require eager (non-traced)
+    inputs, like PyUDF.
+    """
+    import jax
+
+    cap = block.capacity
+    arg_cols = [block.columns[a] for a in node.args]
+    out_fields = list(node.out_fields)
+    factor = config.conf.get(config.GENERATE_OUT_FACTOR)
+    out_cap = node.out_capacity or round_capacity(int(cap * factor) + 1)
+
+    decoders = []
+    for c in arg_cols:
+        decoders.append(("str", c.dict_values) if c.dtype.is_string
+                        else ("raw", None))
+    fn = node.fn
+    outer = node.outer
+
+    def expand(mask, validities, *arrays):
+        decoded = []
+        for (kind, dv), arr, va in zip(decoders, arrays, validities):
+            arr = np.asarray(arr)
+            if kind == "str":
+                vals = np.asarray(dv, dtype=object)[
+                    np.clip(arr, 0, len(dv) - 1)]
+            else:
+                vals = arr.astype(object)
+            if va is not None:
+                vals = np.where(np.asarray(va), vals, None)
+            decoded.append(vals)
+        owners = []
+        outs = [[] for _ in out_fields]
+        ok = [[] for _ in out_fields]
+        for i in np.flatnonzero(np.asarray(mask)):
+            rows = list(fn(*(d[i] for d in decoded)) or ())
+            if not rows and outer:
+                rows = [tuple(None for _ in out_fields)]
+            for row in rows:
+                owners.append(i)
+                for j, v in enumerate(row):
+                    outs[j].append(v)
+                    ok[j].append(v is not None)
+        return owners, outs, ok, len(owners)
+
+    tracing = isinstance(block.row_mask, jax.core.Tracer) or any(
+        isinstance(c.values, jax.core.Tracer) for c in arg_cols)
+    str_out = [f for f in out_fields if f[1].is_string]
+    if str_out and tracing:
+        raise NotImplementedError(
+            f"py_udtf string outputs {[f[0] for f in str_out]} need eager "
+            "inputs (data-dependent dictionaries cannot build under jit)")
+
+    def _pad(lst, dtype, fill=0):
+        a = np.full(out_cap, fill, dtype=dtype)
+        a[:min(len(lst), out_cap)] = lst[:out_cap]
+        return a
+
+    new_dicts = {}
+
+    # validity planes are appended after the value arrays; vidx maps each
+    # argument to its validity's position (None = always valid)
+    vidx, pos = [], len(arg_cols)
+    for c in arg_cols:
+        vidx.append(pos if c.validity is not None else None)
+        pos += c.validity is not None
+
+    def host_call(mask, *arrays):
+        validities = [None if k is None else arrays[k] for k in vidx]
+        owners, outs, ok, total = expand(mask, validities,
+                                         *arrays[:len(arg_cols)])
+        planes = [_pad(owners, np.int32),
+                  np.asarray(min(total, out_cap), np.int32)]
+        for j, (name, dt) in enumerate(out_fields):
+            vals = outs[j]
+            if dt.is_string:
+                uniq, inv = np.unique(
+                    np.asarray([v if v is not None else "" for v in vals],
+                               dtype=object).astype(str),
+                    return_inverse=True)
+                new_dicts[name] = uniq
+                planes.append(_pad(inv.astype(np.int32), np.int32))
+            else:
+                planes.append(_pad(
+                    [_coerce_out(v, dt) for v in vals], dt.np_dtype))
+            planes.append(_pad(ok[j], np.bool_, False))
+        if total > out_cap:
+            planes[1] = np.asarray(-total, np.int32)  # overflow marker
+        return tuple(planes)
+
+    shapes = [jax.ShapeDtypeStruct((out_cap,), np.int32),
+              jax.ShapeDtypeStruct((), np.int32)]
+    for name, dt in out_fields:
+        shapes.append(jax.ShapeDtypeStruct((out_cap,), dt.np_dtype))
+        shapes.append(jax.ShapeDtypeStruct((out_cap,), np.bool_))
+    vargs = [c.values for c in arg_cols] + [
+        c.validity for c in arg_cols if c.validity is not None]
+    res = jax.pure_callback(host_call, tuple(shapes), block.row_mask,
+                            *vargs, vmap_method="sequential")
+    owner, total = res[0], res[1]
+    from auron_tpu.runtime import overflow
+    overflow.record("generate", jnp.abs(total.astype(jnp.int64)), out_cap)
+    total = jnp.abs(total)
+
+    live = jnp.arange(out_cap, dtype=jnp.int32) < total
+    owner = jnp.clip(owner, 0, cap - 1)
+    cols = {}
+    for name, c in block.columns.items():
+        v = jnp.take(c.values, owner, axis=0)
+        validity = None if c.validity is None else jnp.take(c.validity,
+                                                            owner)
+        cols[name] = Column(v, validity, c.dtype, c.dict_values)
+    for j, (name, dt) in enumerate(out_fields):
+        vals, ok = res[2 + 2 * j], res[3 + 2 * j]
+        cols[name] = Column(vals, ok & live, dt,
+                            new_dicts.get(name) if dt.is_string else None)
+    return TableBlock(cols, live)
+
+
+def _coerce_out(v, dt):
+    if v is None:
+        return 0
+    if dt.name == "date32":
+        return np.datetime64(str(v), "D").astype(np.int32)
+    if dt.name == "timestamp64" and not isinstance(v, (int, np.integer)):
+        return np.datetime64(str(v), "us").astype(np.int64)
+    if dt.name == "decimal64":
+        return int(round(float(v) * 10 ** dt.params[1]))
+    return v

@@ -145,6 +145,18 @@ class Frame:
                            out_name=out_name, fields=tuple(fields))
         return Frame(self.session, plan, self.num_partitions)
 
+    def udtf(self, fn, out_fields, *args: str, outer: bool = False,
+             out_capacity=None) -> "Frame":
+        """LATERAL VIEW <python table function>(args...) — the arbitrary
+        UDTF escape hatch (auron.proto:618-628 serialized-UDTF analog).
+        ``fn(*row_values) -> iterable of tuples`` shaped like
+        ``out_fields`` = [(name, DataType), ...]; child columns replicate
+        per emitted row (ops/generate.py py_udtf_block)."""
+        plan = PN.Generate(self.plan, args[0] if args else "", kind="py_udtf",
+                           outer=outer, out_capacity=out_capacity, fn=fn,
+                           args=tuple(args), out_fields=tuple(out_fields))
+        return Frame(self.session, plan, self.num_partitions)
+
     def distinct(self) -> "Frame":
         keys = tuple((n, col_(n)) for n in self._names())
         return self.groupby(*keys).agg()

@@ -235,7 +235,7 @@ class Generate(PlanNode):
 
     child: PlanNode
     column: str
-    kind: str = "explode"  # explode | posexplode | json_tuple
+    kind: str = "explode"  # explode | posexplode | json_tuple | py_udtf
     outer: bool = False
     pos_name: str = "pos"
     out_name: str = "col"
@@ -243,6 +243,12 @@ class Generate(PlanNode):
     # json_tuple (generate/json_tuple.rs:102): extracted field names; output
     # columns are "<out_name>0".."<out_name>N", row-aligned (no expansion)
     fields: tuple = ()
+    # py_udtf (auron.proto:618-628 serialized-UDTF analog): arbitrary host
+    # table function fn(*row_values) -> iterable of row tuples; ``args``
+    # names the input columns, ``out_fields`` is ((name, DataType), ...)
+    fn: Any = None
+    args: tuple = ()
+    out_fields: tuple = ()
 
 
 @_ident

@@ -92,3 +92,85 @@ def test_json_tuple_then_filter_and_cast():
     got = f.collect()
     assert len(got) == 1
     assert got["total"].iloc[0] == (3 + 5) * 10
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary python UDTF (auron.proto:618-628 serialized-UDTF analog)
+# ---------------------------------------------------------------------------
+
+def _split_words(s, k):
+    if s is None:
+        return
+    for w in str(s).split(","):
+        yield (int(w) + int(k),)
+
+
+def test_py_udtf_explodes_rows_eager():
+    df = pd.DataFrame({"k": np.array([10, 20, 30, 40], np.int64),
+                       "csv": ["1,2,3", "4", None, "5,6"]})
+    s = Session()
+    s.register_pandas("t", df)
+    from auron_tpu.dtypes import INT64
+    f = table(s, "t").udtf(_split_words, [("n", INT64)], "csv", "k")
+    got = f.collect().sort_values("n").reset_index(drop=True)
+    want = sorted([11, 12, 13, 24, 45, 46])
+    assert got["n"].tolist() == want
+    # child columns replicate per emitted row
+    assert got[got["n"] == 12]["k"].iloc[0] == 10
+
+
+def test_py_udtf_outer_emits_null_row():
+    df = pd.DataFrame({"k": np.array([1, 2], np.int64),
+                       "csv": ["7", None]})
+    s = Session()
+    s.register_pandas("t", df)
+    from auron_tpu.dtypes import INT64
+    f = table(s, "t").udtf(_split_words, [("n", INT64)], "csv", "k",
+                           outer=True)
+    got = f.collect().sort_values("k").reset_index(drop=True)
+    assert len(got) == 2
+    assert got["n"].iloc[0] == 8 and pd.isna(got["n"].iloc[1])
+
+
+def test_py_udtf_under_jit():
+    """Non-string outputs run inside whole-plan jit via pure_callback."""
+    import jax
+    df = pd.DataFrame({"x": np.array([2.0, 3.0, 5.0])})
+    s = Session()
+    s.register_pandas("t", df)
+    from auron_tpu.dtypes import FLOAT64, INT64
+    from auron_tpu.plan import execute_plan
+    from auron_tpu.plan.nodes import Generate, MemoryScan
+
+    def powers(x):
+        for p in range(1, 4):
+            yield (p, float(x) ** p)
+
+    plan = Generate(MemoryScan("t"), "x", kind="py_udtf", fn=powers,
+                    args=("x",), out_fields=(("p", INT64), ("v", FLOAT64)),
+                    out_capacity=16)
+
+    def step(block):
+        s2 = Session()
+        s2.register("t", block)
+        return execute_plan(plan, s2, annotate=False)[0]
+
+    out = jax.jit(step)(s.tables["t"][0]).to_pandas()
+    got = out.sort_values(["v"]).reset_index(drop=True)
+    want = sorted(float(x) ** p for x in [2, 3, 5] for p in range(1, 4))
+    np.testing.assert_allclose(got["v"].to_numpy(), want)
+
+
+def test_py_udtf_string_output_eager_only():
+    df = pd.DataFrame({"tag": ["a-b", "c"]})
+    s = Session()
+    s.register_pandas("t", df)
+    from auron_tpu.dtypes import STRING
+
+    def pieces(t):
+        for part in t.split("-"):
+            yield (part.upper(),)
+
+    f = table(s, "t").udtf(pieces, [("piece", STRING)], "tag")
+    got = f.collect()
+    assert sorted(got["piece"]) == ["A", "B", "C"]
