@@ -161,8 +161,16 @@ class TableBlock:
                     arr = arr.astype("datetime64[us]").astype(np.int64)
                 else:  # date32: days
                     arr = arr.astype("datetime64[D]").astype(np.int32)
-            padded = np.zeros(cap, dtype=dt.np_dtype)
-            padded[:n] = arr.astype(dt.np_dtype, copy=False)
+            if dt.name == "decimal128":
+                # unscaled python ints (object array) or [n, 2] limb planes
+                from auron_tpu.ops import decimal128 as d128
+                if arr.ndim == 1:
+                    arr = d128.np_from_ints([int(v) for v in arr])
+                padded = np.zeros((cap, 2), dtype=np.int64)
+                padded[:n] = arr
+            else:
+                padded = np.zeros(cap, dtype=dt.np_dtype)
+                padded[:n] = arr.astype(dt.np_dtype, copy=False)
             val = None
             if validity and name in validity and validity[name] is not None:
                 v = np.zeros(cap, dtype=np.bool_)
@@ -280,6 +288,11 @@ class TableBlock:
             elif col.dtype.name == "decimal64":
                 _, scale = col.dtype.params
                 s = pd.Series(vals.astype(np.float64) / (10 ** scale))
+            elif col.dtype.name == "decimal128":
+                from auron_tpu.ops import decimal128 as d128
+                _, scale = col.dtype.params
+                ints = d128.np_to_ints(vals)
+                s = pd.Series([float(v) / (10 ** scale) for v in ints])
             else:
                 s = pd.Series(vals)
             if col.validity is not None:

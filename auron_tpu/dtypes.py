@@ -35,7 +35,12 @@ class DataType:
     @property
     def is_numeric(self) -> bool:
         return self.name in (
-            "int8", "int16", "int32", "int64", "float32", "float64", "decimal64")
+            "int8", "int16", "int32", "int64", "float32", "float64",
+            "decimal64", "decimal128")
+
+    @property
+    def is_decimal(self) -> bool:
+        return self.name in ("decimal64", "decimal128")
 
     @property
     def is_integer(self) -> bool:
@@ -77,8 +82,56 @@ STRING = DataType("string", np.dtype(np.int32))
 def DECIMAL64(precision: int = 18, scale: int = 2) -> DataType:
     """Spark long-backed decimal (precision <= 18): scaled int64."""
     if precision > 18:
-        raise NotImplementedError("decimal precision > 18 not supported yet")
+        raise ValueError("decimal64 requires precision <= 18; "
+                         "use DECIMAL128 / decimal_type")
     return DataType("decimal64", np.dtype(np.int64), (precision, scale))
+
+
+def DECIMAL128(precision: int = 38, scale: int = 2) -> DataType:
+    """Spark wide decimal (18 < precision <= 38): the reference stores these
+    as Arrow Decimal128 (cast.rs decimal arms); here the scaled integer is a
+    ``[capacity, 2]`` int64 limb-plane pair (ops/decimal128.py)."""
+    if precision > 38:
+        raise ValueError("decimal precision > 38 not supported (Spark max)")
+    return DataType("decimal128", np.dtype(np.int64), (precision, scale))
+
+
+def decimal_type(precision: int, scale: int) -> DataType:
+    """Narrowest engine decimal for a (precision, scale)."""
+    return DECIMAL64(precision, scale) if precision <= 18 \
+        else DECIMAL128(precision, scale)
+
+
+def _adjust_precision_scale(precision: int, scale: int):
+    """Spark DecimalPrecision.adjustPrecisionScale (allowPrecisionLoss=true):
+    cap at 38 digits, keeping at least min(scale, 6) fractional digits."""
+    if precision <= 38:
+        return precision, scale
+    digits = precision - scale  # integral digits
+    min_scale = min(scale, 6)
+    adjusted = max(38 - digits, min_scale)
+    return 38, adjusted
+
+
+def decimal_result_type(op: str, p1: int, s1: int, p2: int, s2: int
+                        ) -> DataType:
+    """Spark's decimal binary-arithmetic result types (DecimalPrecision),
+    the contract the reference inherits through Spark's analyzer."""
+    if op in ("Plus", "Minus"):
+        s = max(s1, s2)
+        p = max(p1 - s1, p2 - s2) + s + 1
+    elif op == "Multiply":
+        s = s1 + s2
+        p = p1 + p2 + 1
+    elif op == "Divide":
+        s = max(6, s1 + p2 + 1)
+        p = p1 - s1 + s2 + s
+    elif op == "Remainder":
+        s = max(s1, s2)
+        p = min(p1 - s1, p2 - s2) + s
+    else:
+        raise ValueError(f"not a decimal arithmetic op: {op}")
+    return decimal_type(*_adjust_precision_scale(p, s))
 
 
 _BY_NAME = {
@@ -91,6 +144,8 @@ _BY_NAME = {
 def type_from_name(name: str, params: Optional[Tuple] = None) -> DataType:
     if name == "decimal64":
         return DECIMAL64(*params) if params else DECIMAL64()
+    if name == "decimal128":
+        return DECIMAL128(*params) if params else DECIMAL128()
     return _BY_NAME[name]
 
 

@@ -34,8 +34,14 @@ def cast_column(col: Column, to: DataType, capacity: int,
     if to.name == "bool":
         if src.name in ("date32", "timestamp64"):
             raise NotImplementedError(f"cast {src!r} -> bool (Spark disallows)")
+        if src.name == "decimal128":
+            hi, lo = values[..., 0], values[..., 1]
+            return Column.of((hi != 0) | (lo != 0), BOOL, validity)
         out = values.astype(jnp.float64) != 0 if src.is_float else values != 0
         return Column.of(out.astype(jnp.bool_), BOOL, validity)
+
+    if src.name == "decimal128" or to.name == "decimal128":
+        return _cast_decimal128(col, to)
 
     if src.name == "decimal64" or to.name == "decimal64":
         return _cast_decimal(col, to)
@@ -127,6 +133,63 @@ def _cast_decimal(col: Column, to: DataType) -> Column:
     raise NotImplementedError(f"cast {src!r} -> {to!r}")
 
 
+def _cast_decimal128(col: Column, to: DataType) -> Column:
+    """Casts where either side is a wide decimal (reference cast.rs
+    Decimal128 arms). Values travel as 128-bit limb planes
+    (ops/decimal128.py); overflow -> NULL (TryCast)."""
+    from auron_tpu.ops import decimal128 as d128
+    src = col.dtype
+    validity = col.validity
+
+    def _limbs(c: Column):
+        if c.dtype.name == "decimal128":
+            return d128.hi_lo(c.values)
+        return d128.from_i64(c.values)  # decimal64 scaled int64
+
+    if src.is_decimal and to.is_decimal:
+        s_from, s_to = src.params[1], to.params[1]
+        hi, lo = _limbs(col)
+        if s_to >= s_from:
+            hi, lo = d128.mul_pow10(hi, lo, s_to - s_from)
+        else:
+            hi, lo = d128.div_pow10_round(hi, lo, s_from - s_to)
+        ok = d128.fits_precision(hi, lo, to.params[0])
+        validity = ok if validity is None else (validity & ok)
+        if to.name == "decimal64":
+            return Column.of(lo, to, validity)  # p<=18 fits one limb
+        return Column.of(d128.pack(hi, lo), to, validity)
+
+    if src.name == "decimal128":
+        scale = src.params[1]
+        hi, lo = d128.hi_lo(col.values)
+        if to.is_float:
+            out = d128.to_f64(hi, lo) / float(10 ** scale)
+            return Column.of(out.astype(to.jnp_dtype), to, validity)
+        if to.is_integer:
+            qh, ql = d128.div_pow10_round(hi, lo, scale, half_up=False)
+            ql64, ok = d128.to_i64_clamped(qh, ql)
+            validity = ok if validity is None else (validity & ok)
+            return Column.of(ql64.astype(to.jnp_dtype), to, validity)
+        raise NotImplementedError(f"cast {src!r} -> {to!r}")
+
+    # -> decimal128
+    scale, prec = to.params[1], to.params[0]
+    if src.is_integer or src.name == "bool":
+        hi, lo = d128.from_i64(col.values.astype(jnp.int64))
+        hi, lo = d128.mul_pow10(hi, lo, scale)
+        ok = d128.fits_precision(hi, lo, prec)
+        validity = ok if validity is None else (validity & ok)
+        return Column.of(d128.pack(hi, lo), to, validity)
+    if src.is_float:
+        scaled = col.values.astype(jnp.float64) * float(10 ** scale)
+        ok = jnp.isfinite(scaled) & (jnp.abs(scaled) < 2.0 ** 126)
+        hi, lo = d128.from_f64(jnp.where(ok, scaled, 0.0))
+        ok = ok & d128.fits_precision(hi, lo, prec)
+        validity = ok if validity is None else (validity & ok)
+        return Column.of(d128.pack(hi, lo), to, validity)
+    raise NotImplementedError(f"cast {src!r} -> {to!r}")
+
+
 # ---------------------------------------------------------------------------
 # Cast TO string (reference cast.rs's *-to-Utf8 arm). Strings in this engine
 # are host dictionaries + int32 codes, so the cast builds a dictionary:
@@ -163,6 +226,14 @@ def _cast_to_string(col: Column, domain=None) -> Column:
             f"cast {src!r} -> string under tracing needs a plan-time domain "
             "hint (plan/stats.py) or eager execution")
     vals = np.asarray(col.values)
+    if src.name == "decimal128":
+        from auron_tpu.ops import decimal128 as d128
+        ints = np.array(d128.np_to_ints(vals), dtype=object)
+        uniq, inv = np.unique(ints, return_inverse=True)
+        d = np.array([_format_decimal_str(int(v), src.params[1])
+                      for v in uniq], dtype=object)
+        return Column(jnp.asarray(inv.astype(np.int32)), col.validity,
+                      STRING, d)
     if src.is_float:
         # unique() groups NaNs apart; canonicalize them first
         canon = np.where(np.isnan(vals), np.asarray(np.nan, vals.dtype), vals)
@@ -193,17 +264,20 @@ def _format_value(v, dt: DataType) -> str:
             frac = f"{ts.microsecond:06d}".rstrip("0")
             return f"{base}.{frac}"
         return base
-    if dt.name == "decimal64":
-        _, scale = dt.params
-        u = int(v)
-        if scale <= 0:
-            return str(u * 10 ** (-scale))
-        sign = "-" if u < 0 else ""
-        a = abs(u)
-        return f"{sign}{a // 10 ** scale}.{a % 10 ** scale:0{scale}d}"
+    if dt.is_decimal:
+        return _format_decimal_str(int(v), dt.params[1])
     if dt.is_float:
         return _java_float_str(float(v), dt.name == "float32")
     raise NotImplementedError(f"format {dt!r} as string")
+
+
+def _format_decimal_str(u: int, scale: int) -> str:
+    """BigDecimal.toPlainString of an unscaled int at a scale."""
+    if scale <= 0:
+        return str(u * 10 ** (-scale))
+    sign = "-" if u < 0 else ""
+    a = abs(u)
+    return f"{sign}{a // 10 ** scale}.{a % 10 ** scale:0{scale}d}"
 
 
 def _java_float_str(v: float, single: bool) -> str:
@@ -245,6 +319,8 @@ def _cast_from_string(col: Column, to: DataType) -> Column:
     if col.dict_values is None:
         raise ValueError("string cast without dictionary")
     trim = config.conf.get(config.CAST_STRING_TRIM)
+    if to.name == "decimal128":
+        return _string_to_decimal128(col, to, trim)
     parsed = np.zeros(len(col.dict_values), dtype=to.np_dtype)
     ok = np.zeros(len(col.dict_values), dtype=np.bool_)
     for i, s in enumerate(col.dict_values):
@@ -280,6 +356,38 @@ def _cast_from_string(col: Column, to: DataType) -> Column:
             pass
     codes = jnp.clip(col.values, 0, len(col.dict_values) - 1)
     out = jnp.asarray(parsed)[codes]
+    okv = jnp.asarray(ok)[codes]
+    validity = okv if col.validity is None else (col.validity & okv)
+    if bool(ok.all()) and col.validity is None:
+        validity = None
+    return Column.of(out, to, validity)
+
+
+def _string_to_decimal128(col: Column, to: DataType, trim: bool) -> Column:
+    """Parse the dictionary once host-side into 128-bit limb planes."""
+    from decimal import Decimal, ROUND_HALF_UP, localcontext, \
+        InvalidOperation
+    from auron_tpu.ops import decimal128 as d128
+    prec, scale = to.params
+    ints = []
+    ok = np.zeros(len(col.dict_values), dtype=np.bool_)
+    with localcontext() as ctx:
+        ctx.prec = 60
+        for i, s in enumerate(col.dict_values):
+            t = s.strip() if trim else s
+            try:
+                q = int(Decimal(t).scaleb(scale)
+                        .quantize(0, rounding=ROUND_HALF_UP))
+                if abs(q) < 10 ** prec:
+                    ints.append(q)
+                    ok[i] = True
+                else:
+                    ints.append(0)
+            except (InvalidOperation, ValueError, ArithmeticError):
+                ints.append(0)
+    planes = jnp.asarray(d128.np_from_ints(ints))
+    codes = jnp.clip(col.values, 0, len(col.dict_values) - 1)
+    out = planes[codes]
     okv = jnp.asarray(ok)[codes]
     validity = okv if col.validity is None else (col.validity & okv)
     if bool(ok.all()) and col.validity is None:

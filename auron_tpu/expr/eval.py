@@ -149,7 +149,7 @@ def _promote_pair(l: Column, r: Column, for_div: bool = False
     lt, rt = l.dtype, r.dtype
     if lt.is_string or rt.is_string:
         raise TypeError("string arithmetic not supported")
-    if lt.name == "decimal64" or rt.name == "decimal64":
+    if lt.is_decimal or rt.is_decimal:
         return _promote_decimal(l, r)
     if {lt.name, rt.name} == {"date32", "timestamp64"}:
         # promote the day count to micros-since-epoch so mixed
@@ -182,9 +182,9 @@ def _promote_pair(l: Column, r: Column, for_div: bool = False
 def _promote_decimal(l: Column, r: Column):
     from auron_tpu.dtypes import DECIMAL64
     # normalize non-decimal side to decimal with scale 0
-    if l.dtype.name != "decimal64":
+    if not l.dtype.is_decimal:
         l = Column.of(l.values.astype(jnp.int64), DECIMAL64(18, 0), l.validity)
-    if r.dtype.name != "decimal64":
+    if not r.dtype.is_decimal:
         r = Column.of(r.values.astype(jnp.int64), DECIMAL64(18, 0), r.validity)
     return l, r, None  # op-specific result type resolved in _binary
 
@@ -240,6 +240,10 @@ def _compare(op: str, l: Column, r: Column) -> Column:
     validity = _combine_validity(l, r)
     if l.dtype.is_string or r.dtype.is_string:
         return _compare_strings(op, l, r, validity)
+    if l.dtype.name == "decimal128" or r.dtype.name == "decimal128":
+        if not (l.dtype.is_decimal and r.dtype.is_decimal):
+            l, r, _ = _promote_decimal(l, r)
+        return _compare_decimal128(op, l, r, validity)
     if l.dtype.name == "decimal64" and r.dtype.name == "decimal64" \
             and l.dtype.params[1] != r.dtype.params[1]:
         # rescale to the larger scale for exact compare
@@ -339,31 +343,96 @@ def _java_mod(a, b):
     return a - q * b
 
 
-def _arith_decimal(op: str, l: Column, r: Column, validity) -> Column:
-    from auron_tpu.dtypes import DECIMAL64
-    l, r, _ = _promote_decimal(l, r)
+def _decimal_limbs(c: Column):
+    from auron_tpu.ops import decimal128 as d128
+    if c.dtype.name == "decimal128":
+        return d128.hi_lo(c.values)
+    return d128.from_i64(c.values)
+
+
+def _pack_decimal(hi, lo, out_t: "DataType", validity) -> Column:
+    from auron_tpu.ops import decimal128 as d128
+    if out_t.name == "decimal64":
+        return Column.of(lo, out_t, validity)  # p <= 18 fits one limb
+    return Column.of(d128.pack(hi, lo), out_t, validity)
+
+
+def _compare_decimal128(op: str, l: Column, r: Column, validity) -> Column:
+    """Exact wide-decimal compare: rescale both to the larger scale in
+    128-bit limbs, then lexicographic (hi, unsigned lo) compare."""
+    from auron_tpu.ops import decimal128 as d128
     s1, s2 = l.dtype.params[1], r.dtype.params[1]
+    s = max(s1, s2)
+    lh, ll = d128.mul_pow10(*_decimal_limbs(l), s - s1)
+    rh, rl = d128.mul_pow10(*_decimal_limbs(r), s - s2)
+    lt_ = d128.lt(lh, ll, rh, rl)
+    eq_ = d128.eq(lh, ll, rh, rl)
+    out = {"Eq": eq_, "NotEq": ~eq_, "Lt": lt_, "LtEq": lt_ | eq_,
+           "Gt": ~(lt_ | eq_), "GtEq": ~lt_}[op]
+    return Column.of(out, BOOL, validity)
+
+
+def _arith_decimal(op: str, l: Column, r: Column, validity) -> Column:
+    """Spark decimal arithmetic with DecimalPrecision result types.
+
+    Exactness contract (reference: Spark Decimal over Java BigDecimal,
+    surfaced through datafusion-ext-exprs check_overflow):
+      * +/-/* are exact: narrow results ride one int64 limb, wide results
+        the 128-bit (or 256-bit intermediate) kernels in ops/decimal128.py.
+      * / is exact via bit-serial long division at the result scale.
+      * Overflow beyond the result precision -> NULL (TryCast semantics).
+    """
+    from auron_tpu.dtypes import decimal_result_type
+    from auron_tpu.ops import decimal128 as d128
+    l, r, _ = _promote_decimal(l, r)
+    p1, s1 = l.dtype.params
+    p2, s2 = r.dtype.params
+    narrow_in = l.dtype.name == "decimal64" and r.dtype.name == "decimal64"
+    if op == "Remainder":
+        raise NotImplementedError("decimal Remainder")
+    out_t = decimal_result_type(op, p1, s1, p2, s2)
+    po, so = out_t.params
+
     if op in ("Plus", "Minus"):
         s = max(s1, s2)
-        lv = l.values * np.int64(10 ** (s - s1))
-        rv = r.values * np.int64(10 ** (s - s2))
-        out = lv + rv if op == "Plus" else lv - rv
-        return Column.of(out, DECIMAL64(18, s), validity)
+        if narrow_in and out_t.name == "decimal64":
+            lv = l.values * np.int64(10 ** (s - s1))
+            rv = r.values * np.int64(10 ** (s - s2))
+            out = lv + rv if op == "Plus" else lv - rv
+            return Column.of(out, out_t, validity)
+        lh, ll = d128.mul_pow10(*_decimal_limbs(l), s - s1)
+        rh, rl = d128.mul_pow10(*_decimal_limbs(r), s - s2)
+        fn = d128.add if op == "Plus" else d128.sub
+        oh, ol = fn(lh, ll, rh, rl)
+        if so < s:  # precision-loss adjustment shrank the scale
+            oh, ol = d128.div_pow10_round(oh, ol, s - so)
+        ok = d128.fits_precision(oh, ol, po)
+        return _pack_decimal(oh, ol, out_t, _and_mask(validity, ok))
+
     if op == "Multiply":
-        s = s1 + s2
-        if s > 18:
-            # fall back to float64 when scale would overflow long decimals
-            out = (l.values.astype(jnp.float64) / 10**s1) * \
-                  (r.values.astype(jnp.float64) / 10**s2)
-            return Column.of(out, FLOAT64, validity)
-        return Column.of(l.values * r.values, DECIMAL64(18, s), validity)
-    if op == "Divide":
-        zero = r.values == 0
-        out = (l.values.astype(jnp.float64) / 10**s1) / \
-              jnp.where(zero, 1.0, r.values.astype(jnp.float64) / 10**s2)
-        out = jnp.where(zero, 0.0, out)
-        return Column.of(out, FLOAT64, _and_mask(validity, ~zero))
-    raise NotImplementedError(f"decimal {op}")
+        if narrow_in and out_t.name == "decimal64":
+            return Column.of(l.values * r.values, out_t, validity)
+        lh, ll = _decimal_limbs(l)
+        rh, rl = _decimal_limbs(r)
+        lmh, lml, lneg = d128.abs128(lh, ll)
+        rmh, rml, rneg = d128.abs128(rh, rl)
+        wide = d128.mul_mag_wide(d128._limbs4(lmh, lml),
+                                 d128._limbs4(rmh, rml))
+        scaled = d128.div_pow10_mag(wide, s1 + s2 - so, half_up=True)
+        oh, ol, over = d128.mag_to_i128(scaled)
+        sign = lneg ^ rneg
+        nh, nl = d128.neg(oh, ol)
+        oh = jnp.where(sign, nh, oh)
+        ol = jnp.where(sign, nl, ol)
+        ok = ~over & d128.fits_precision(oh, ol, po)
+        return _pack_decimal(oh, ol, out_t, _and_mask(validity, ok))
+
+    # Divide: exact long division at the result scale (ops/decimal128.py)
+    lh, ll = _decimal_limbs(l)
+    rh, rl = _decimal_limbs(r)
+    oh, ol, ok = d128.div_decimal_exact(lh, ll, rh, rl, so + s2 - s1)
+    ok = ok & d128.fits_precision(oh, ol, po)
+    return _pack_decimal(oh, ol, out_t, _and_mask(validity, ok))
 
 
 def _and_mask(validity, extra):

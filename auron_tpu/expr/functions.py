@@ -276,10 +276,10 @@ def _ceil(block, c: Column) -> Column:
 @register("round")
 def _round(block, c: Column, scale: int = 0) -> Column:
     """Spark HALF_UP rounding (spark_round.rs behavior)."""
-    if c.dtype.name == "decimal64":
-        from auron_tpu.dtypes import DECIMAL64
+    if c.dtype.is_decimal:
+        from auron_tpu.dtypes import decimal_type
         from auron_tpu.expr.cast import cast_column
-        return cast_column(c, DECIMAL64(18, scale), 0)
+        return cast_column(c, decimal_type(c.dtype.params[0], scale), 0)
     if c.dtype.is_integer:
         return c
     m = 10.0 ** scale

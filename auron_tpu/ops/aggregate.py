@@ -31,7 +31,7 @@ import numpy as np
 
 from auron_tpu.block import Column, TableBlock
 from auron_tpu.dtypes import BOOL, DataType, FLOAT64, INT64
-from auron_tpu.ops.sort import orderable_values
+from auron_tpu.ops.sort import orderable_ops_list, orderable_values
 
 
 @dataclass(frozen=True)
@@ -144,6 +144,10 @@ def segment_aggregate(
                 out[spec.out_name] = Column.of(cnt, INT64)
             continue
         if kind == "sum":
+            if col.dtype.name == "decimal128":
+                out[spec.out_name] = _sum_decimal128(col, gid, ok, _seg_sum,
+                                                     _seg_count)
+                continue
             acc_dtype = _sum_dtype(col.dtype)
             vals = col.values.astype(acc_dtype.jnp_dtype)
             if batcher is not None:
@@ -160,6 +164,10 @@ def segment_aggregate(
             continue
         if kind in ("min", "max"):
             is_min = kind == "min"
+            if col.dtype.name == "decimal128":
+                out[spec.out_name] = _minmax_decimal128(
+                    col, gid, ok, is_min, _seg_minmax, _seg_count)
+                continue
             ident = _minmax_identity(col.dtype if not col.dtype.is_string
                                      else _RANK_I32, is_min)
             vals = orderable_values(col) if col.dtype.is_string else col.values
@@ -184,14 +192,19 @@ def segment_aggregate(
             # approx_distinct; exact answers are always within the allowed
             # error bound.
             iota2 = jnp.arange(gid.shape[0], dtype=jnp.int32)
-            sort_in = (jnp.where(ok, gid, num_segments),
-                       jnp.where(ok, orderable_values(col), 0), iota2)
-            g_s, v_s, _ = jax.lax.sort(sort_in, dimension=0, is_stable=True,
-                                       num_keys=2)
+            vops = tuple(jnp.where(ok, ov, 0)
+                         for ov in orderable_ops_list(col))
+            sort_in = (jnp.where(ok, gid, num_segments),) + vops + (iota2,)
+            sorted_ = jax.lax.sort(sort_in, dimension=0, is_stable=True,
+                                   num_keys=1 + len(vops))
+            g_s, v_ss = sorted_[0], sorted_[1:-1]
             ok_s = g_s < num_segments
             prev_g = jnp.concatenate([g_s[:1] - 1, g_s[:-1]])
-            prev_v = jnp.concatenate([v_s[:1] - 1, v_s[:-1]])
-            start = ok_s & ((g_s != prev_g) | (v_s != prev_v))
+            diff = g_s != prev_g
+            for v_s in v_ss:
+                prev_v = jnp.concatenate([v_s[:1] - 1, v_s[:-1]])
+                diff = diff | (v_s != prev_v)
+            start = ok_s & diff
             cnt = jax.ops.segment_sum(start.astype(jnp.int64),
                                       jnp.where(ok_s, g_s, 0), num_segments)
             out[spec.out_name] = Column.of(cnt, INT64)
@@ -243,7 +256,7 @@ def segment_aggregate(
             first_idx = _seg_minmax(idx, cap, True)
             have = first_idx < cap
             safe = jnp.clip(first_idx, 0, cap - 1)
-            vals = jnp.take(col.values, safe)
+            vals = jnp.take(col.values, safe, axis=0)
             validity = have
             if col.validity is not None and kind == "first":
                 validity = have & jnp.take(col.validity, safe)
@@ -268,6 +281,8 @@ def _collect_into(gid, num_segments: int, ok, col: Column, distinct: bool,
     sort, matching Spark's per-partition order guarantee)."""
     cap = gid.shape[0]
     values = col.values
+    if col.dtype.name == "decimal128":
+        raise NotImplementedError("collect_list/set over decimal128")
     if distinct:
         iota = jnp.arange(cap, dtype=jnp.int32)
         sort_in = (jnp.where(ok, gid, num_segments),
@@ -304,6 +319,40 @@ def _collect_into(gid, num_segments: int, ok, col: Column, distinct: bool,
     return out, lens
 
 
+def _sum_decimal128(col: Column, gid, ok, _seg_sum, _seg_count) -> Column:
+    """Exact wide-decimal SUM: segment-sum each 32-bit limb plane in int64
+    (carry-free for < 2^31 rows), then propagate carries mod 2^128 — the
+    two's-complement identity makes negative rows come out right."""
+    from auron_tpu.ops import decimal128 as d128
+    hi, lo = d128.hi_lo(col.values)
+    limbs = d128._limbs4(jnp.where(ok, hi, 0), jnp.where(ok, lo, 0))
+    sums = [_seg_sum(l) for l in limbs]
+    out, carry = [], jnp.zeros_like(sums[0])
+    for k in range(4):
+        t = sums[k] + carry
+        out.append(t & np.int64(0xFFFFFFFF))
+        carry = t >> np.int64(32)  # signed shift fine: t >= 0
+    s_hi, s_lo = d128._from_limbs4(*out)
+    nn = _seg_count(ok)
+    return Column.of(d128.pack(s_hi, s_lo), col.dtype, nn > 0)
+
+
+def _minmax_decimal128(col: Column, gid, ok, is_min, _seg_minmax, _seg_count
+                       ) -> Column:
+    """Two-pass lexicographic segment min/max over (hi, flipped-lo) operands:
+    reduce the high limbs first, then reduce low limbs only among rows whose
+    high limb equals their group's winner."""
+    from auron_tpu.ops import decimal128 as d128
+    op_hi, op_lo = d128.orderable_ops(col.values)
+    ident = np.iinfo(np.int64).max if is_min else np.iinfo(np.int64).min
+    m_hi = _seg_minmax(_masked(op_hi, ok, ident), ident, is_min)
+    win = ok & (op_hi == jnp.take(m_hi, gid))
+    m_lo = _seg_minmax(_masked(op_lo, win, ident), ident, is_min)
+    nn = _seg_count(ok)
+    return Column.of(d128.pack(m_hi, m_lo ^ np.int64(-2**63)),
+                     col.dtype, nn > 0)
+
+
 class _RankI32:
     is_float = False
     np_dtype = np.dtype(np.int32)
@@ -332,13 +381,14 @@ def key_group_ids_sorted(block: TableBlock, key_names: Sequence[str]):
     ops: List[jnp.ndarray] = [~block.row_mask]
     for name in key_names:
         c = block.columns[name]
-        ov = orderable_values(c)
+        ovs = orderable_ops_list(c)
         if c.validity is not None:
             ops.append(jnp.where(c.validity, jnp.int8(0), jnp.int8(1)))
             # canonicalize NULL value planes: all NULLs are ONE group
             # (SQL GROUP BY semantics); stale codes must not split it
-            ov = jnp.where(c.validity, ov, jnp.zeros_like(ov))
-        ops.append(ov)
+            ovs = [jnp.where(c.validity, ov, jnp.zeros_like(ov))
+                   for ov in ovs]
+        ops.extend(ovs)
     iota = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(tuple(ops) + (iota,), dimension=0,
                               is_stable=True, num_keys=len(ops))
@@ -370,7 +420,7 @@ def groupby_sorted(block: TableBlock, key_names: Sequence[str],
         if col is None:
             aggs_sorted.append((spec, None))
         else:
-            v = jnp.take(col.values, perm)
+            v = jnp.take(col.values, perm, axis=0)
             val = None if col.validity is None else jnp.take(col.validity, perm)
             aggs_sorted.append((spec, Column(v, val, col.dtype, col.dict_values)))
     acc = segment_aggregate(gid, cap, live_sorted, aggs_sorted,
@@ -380,8 +430,8 @@ def groupby_sorted(block: TableBlock, key_names: Sequence[str],
     out_cols: Dict[str, Column] = {}
     for name in key_names:
         c = block.columns[name]
-        sv = jnp.take(c.values, perm)
-        v = jnp.take(sv, positions)
+        sv = jnp.take(c.values, perm, axis=0)
+        v = jnp.take(sv, positions, axis=0)
         validity = None
         if c.validity is not None:
             validity = jnp.take(jnp.take(c.validity, perm), positions)

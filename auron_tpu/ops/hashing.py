@@ -138,6 +138,14 @@ def _hash_column_chained(values, dtype_name: str, validity, h_u32,
         new_h = murmur3_word(word, h_u32)
     elif dtype_name in ("int64", "decimal64", "timestamp64"):
         new_h = murmur3_long(values, h_u32)
+    elif dtype_name == "decimal128":
+        # Engine-internal placement hash: chain the two int64 limbs.
+        # (Spark hashes the minimal big-endian byte form of wide decimals —
+        # variable length per row; placement parity for p>18 keys is
+        # deliberately traded for a fixed-shape kernel. Placement-only:
+        # results are unaffected.)
+        new_h = murmur3_long(values[..., 1], h_u32)
+        new_h = murmur3_long(values[..., 0], new_h)
     elif dtype_name == "float64":
         low, high = _f64_words(values)
         h1 = _mix_h1(h_u32, _mix_k1(low))

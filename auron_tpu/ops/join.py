@@ -93,6 +93,23 @@ def _encoded_keys(left: TableBlock, right: TableBlock,
     r_valid = right.row_mask
     for ln, rn in zip(spec.left_keys, spec.right_keys):
         lc, rc = left.columns[ln], right.columns[rn]
+        if lc.dtype.name == "decimal128" or rc.dtype.name == "decimal128":
+            # wide-decimal keys: rescale both sides to one decimal128 type,
+            # then contribute TWO lexicographic operands (hi, flipped lo)
+            from auron_tpu.dtypes import DECIMAL128
+            from auron_tpu.expr.cast import cast_column
+            from auron_tpu.ops import decimal128 as d128
+            s = max(lc.dtype.params[1] if lc.dtype.is_decimal else 0,
+                    rc.dtype.params[1] if rc.dtype.is_decimal else 0)
+            lc = cast_column(lc, DECIMAL128(38, s), 0)
+            rc = cast_column(rc, DECIMAL128(38, s), 0)
+            l_ops.extend(d128.orderable_ops(lc.values))
+            r_ops.extend(d128.orderable_ops(rc.values))
+            if lc.validity is not None:
+                l_valid = l_valid & lc.validity
+            if rc.validity is not None:
+                r_valid = r_valid & rc.validity
+            continue
         if lc.dtype.is_string or rc.dtype.is_string:
             (lc, rc), _ = unify_string_columns([lc, rc])
         elif lc.dtype.name != rc.dtype.name and \

@@ -39,10 +39,22 @@ class SortKey:
         return self.ascending if self.nulls_first is None else self.nulls_first
 
 
+def orderable_ops_list(col: Column) -> List[jnp.ndarray]:
+    """Lexicographic operand list for one column: a single array for every
+    narrow dtype, (hi, sign-flipped lo) for 128-bit decimals."""
+    if col.dtype.name == "decimal128":
+        from auron_tpu.ops import decimal128 as d128
+        return d128.orderable_ops(col.values)
+    return [orderable_values(col)]
+
+
 def orderable_values(col: Column):
     """Column values -> integer (or passthrough) array whose ascending order
     equals the column's SQL ordering."""
     dt = col.dtype
+    if dt.name == "decimal128":
+        raise NotImplementedError(
+            "decimal128 needs two sort operands — use orderable_ops_list")
     if dt.is_string:
         rank = S.sort_rank_table(col.dict_values)
         codes = jnp.clip(col.values, 0, len(col.dict_values) - 1)
@@ -91,7 +103,8 @@ def sort_operands(block: TableBlock, keys: Sequence[SortKey]
             else:
                 null_rank = jnp.where(c.validity, jnp.int8(0), jnp.int8(1))
         ops.append(null_rank)
-        ops.append(_directional(orderable_values(c), k.ascending))
+        for ov in orderable_ops_list(c):
+            ops.append(_directional(ov, k.ascending))
     return ops
 
 

@@ -168,7 +168,7 @@ def window_block(block: TableBlock,
             shifted_idx = iota + d
             ok = (shifted_idx >= 0) & (shifted_idx < cap)
             safe = jnp.clip(shifted_idx, 0, cap - 1)
-            vals = jnp.take(c.values, safe)
+            vals = jnp.take(c.values, safe, axis=0)
             same_part = jnp.take(pid, safe) == pid
             have = ok & same_part & jnp.take(live, safe)
             validity = have
@@ -191,7 +191,7 @@ def window_block(block: TableBlock,
             seg_last = jax.ops.segment_max(
                 jnp.where(live, pos64, -1), rid_lv, cap)
             at = jnp.clip(jnp.take(seg_last, rid_lv), 0, cap - 1)
-            vals = jnp.take(c.values, at)
+            vals = jnp.take(c.values, at, axis=0)
             validity = jnp.take(seg_last, rid_lv) >= 0
             if c.validity is not None:
                 validity = validity & jnp.take(c.validity, at)
@@ -210,7 +210,7 @@ def window_block(block: TableBlock,
                 ok = in_part & (row_in_part >= nth)
             else:
                 ok = in_part & (jnp.take(n_part, safe) >= nth)
-            vals = jnp.take(c.values, safe)
+            vals = jnp.take(c.values, safe, axis=0)
             validity = ok
             if c.validity is not None:
                 validity = validity & jnp.take(c.validity, safe)

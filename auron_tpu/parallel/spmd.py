@@ -370,13 +370,30 @@ def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
         if k == "avg":
             snm, cnm = f"{call.name}#s", f"{call.name}#c"
             sc, cc = partial.columns[snm], partial.columns[cnm]
-            sv = jax.lax.psum(jnp.where(_valid_of(sc), sc.values, 0), axis)
-            cv = jax.lax.psum(cc.values, axis)
             from auron_tpu.dtypes import FLOAT64
-            svf = sv.astype(jnp.float64)
-            if sc.dtype.name == "decimal64":
-                # scale-preserving scaled-int sum: unscale before dividing
-                svf = svf / float(10 ** sc.dtype.params[1])
+            cv = jax.lax.psum(cc.values, axis)
+            if sc.dtype.name == "decimal128":
+                from auron_tpu.ops import decimal128 as d128
+                ok = _valid_of(sc)
+                hi, lo = d128.hi_lo(sc.values)
+                limbs = d128._limbs4(jnp.where(ok, hi, 0),
+                                     jnp.where(ok, lo, 0))
+                sums = [jax.lax.psum(l, axis) for l in limbs]
+                out_l, carry = [], jnp.zeros_like(sums[0])
+                for t in sums:
+                    t = t + carry
+                    out_l.append(t & np.int64(0xFFFFFFFF))
+                    carry = t >> np.int64(32)
+                svf = d128.to_f64(*d128._from_limbs4(*out_l)) \
+                    / float(10 ** sc.dtype.params[1])
+            else:
+                sv = jax.lax.psum(jnp.where(_valid_of(sc), sc.values, 0),
+                                  axis)
+                svf = sv.astype(jnp.float64)
+                if sc.dtype.name == "decimal64":
+                    # scale-preserving scaled-int sum: unscale before
+                    # dividing
+                    svf = svf / float(10 ** sc.dtype.params[1])
             vals = svf / jnp.maximum(
                 cv.astype(jnp.float64), 1.0)
             cols[call.name] = Column.of(vals, FLOAT64, cv > 0)
@@ -387,12 +404,47 @@ def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
             cols[call.name] = Column(jax.lax.psum(c.values, axis), None,
                                      c.dtype, c.dict_values)
         elif k == "sum":
+            if c.dtype.name == "decimal128":
+                # psum of raw limb pairs would drop inter-limb carries:
+                # reduce each 32-bit limb plane separately, then propagate
+                # (same identity as aggregate._sum_decimal128)
+                from auron_tpu.ops import decimal128 as d128
+                ok = _valid_of(c)
+                hi, lo = d128.hi_lo(c.values)
+                limbs = d128._limbs4(jnp.where(ok, hi, 0),
+                                     jnp.where(ok, lo, 0))
+                sums = [jax.lax.psum(l, axis) for l in limbs]
+                out_l, carry = [], jnp.zeros_like(sums[0])
+                for t in sums:
+                    t = t + carry
+                    out_l.append(t & np.int64(0xFFFFFFFF))
+                    carry = t >> np.int64(32)
+                s_hi, s_lo = d128._from_limbs4(*out_l)
+                nn = jax.lax.psum(ok.astype(jnp.int32), axis)
+                cols[call.name] = Column(d128.pack(s_hi, s_lo), nn > 0,
+                                         c.dtype, None)
+                continue
             s = jax.lax.psum(jnp.where(_valid_of(c), c.values, 0), axis)
             nn = jax.lax.psum(_valid_of(c).astype(jnp.int32), axis)
             cols[call.name] = Column(s, nn > 0, c.dtype, c.dict_values)
         else:  # min / max
             is_min = k == "min"
             from auron_tpu.ops.aggregate import _minmax_identity
+            if c.dtype.name == "decimal128":
+                from auron_tpu.ops import decimal128 as d128
+                ok = _valid_of(c)
+                op_hi, op_lo = d128.orderable_ops(c.values)
+                ident = (np.iinfo(np.int64).max if is_min
+                         else np.iinfo(np.int64).min)
+                red = jax.lax.pmin if is_min else jax.lax.pmax
+                m_hi = red(jnp.where(ok, op_hi, ident), axis)
+                win = ok & (op_hi == m_hi)
+                m_lo = red(jnp.where(win, op_lo, ident), axis)
+                nn = jax.lax.psum(ok.astype(jnp.int32), axis)
+                cols[call.name] = Column(
+                    d128.pack(m_hi, m_lo ^ np.int64(-2**63)), nn > 0,
+                    c.dtype, None)
+                continue
             if c.dtype.is_string:
                 # dictionary CODES are first-seen-ordered, not
                 # lexicographic: translate code -> lexicographic rank,

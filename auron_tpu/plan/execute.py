@@ -465,11 +465,17 @@ def _agg_block(block: TableBlock, node: PN.Agg) -> TableBlock:
             snm, cnm = f"{name}#s", f"{name}#c"
             sc, cc = cols[snm], cols[cnm]
             cnt = cc.values.astype(jnp.float64)
-            sv = sc.values.astype(jnp.float64)
-            if sc.dtype.name == "decimal64":
-                # the sum is a scale-preserving scaled int (q18's
-                # avg(cast(x AS DECIMAL(12,2)))): unscale before dividing
-                sv = sv / float(10 ** sc.dtype.params[1])
+            if sc.dtype.name == "decimal128":
+                from auron_tpu.ops import decimal128 as d128
+                sv = d128.to_f64(*d128.hi_lo(sc.values)) \
+                    / float(10 ** sc.dtype.params[1])
+            else:
+                sv = sc.values.astype(jnp.float64)
+                if sc.dtype.name == "decimal64":
+                    # the sum is a scale-preserving scaled int (q18's
+                    # avg(cast(x AS DECIMAL(12,2)))): unscale before
+                    # dividing
+                    sv = sv / float(10 ** sc.dtype.params[1])
             vals = sv / jnp.maximum(cnt, 1.0)
             validity = cc.values > 0
             if sc.validity is not None:

@@ -132,6 +132,11 @@ def _expr(e) -> E.Expr:
         op = _expr(e.operand)
         return op.is_not_null() if e.negated else op.is_null()
     if isinstance(e, A.CastE):
+        if e.to == "decimal" and getattr(e, "params", ()):
+            from auron_tpu.dtypes import decimal_type
+            p = e.params[0]
+            s = e.params[1] if len(e.params) > 1 else 0
+            return _expr(e.operand).cast(decimal_type(p, s))
         if e.to not in _TYPES:
             raise NotImplementedError(f"cast type {e.to}")
         return _expr(e.operand).cast(_TYPES[e.to])

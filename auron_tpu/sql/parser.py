@@ -126,6 +126,7 @@ class WindowFn:
 class CastE:
     operand: Any
     to: str
+    params: tuple = ()  # decimal(p, s)
 
 
 @dataclass
@@ -601,11 +602,14 @@ class Parser:
             e = self.expr()
             self.expect("kw", "as")
             ty = self.expect("ident").text.lower()
-            if self.accept("op", "("):  # decimal(p, s) — params ignored
+            params = []
+            if self.accept("op", "("):  # decimal(p, s)
                 while not self.accept("op", ")"):
-                    self.next()
+                    tok = self.next()
+                    if tok.kind == "num":
+                        params.append(int(tok.text))
             self.expect("op", ")")
-            return CastE(e, ty)
+            return CastE(e, ty, tuple(params))
         if t.kind == "kw" and t.text == "case":
             self.next()
             # simple CASE (CASE x WHEN v THEN ...) desugars to searched
