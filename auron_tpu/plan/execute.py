@@ -42,9 +42,20 @@ class Session:
     (analog of the per-executor SessionContext, reference exec.rs:50-101)."""
 
     def __init__(self, conf: Optional[config.AuronConf] = None):
+        from auron_tpu.runtime.cancel import CancelToken
         self.tables: Dict[str, List[TableBlock]] = {}
         self.conf = conf or config.conf
         self.metrics: Dict[str, Dict[str, float]] = {}
+        self.cancel_token = CancelToken()
+
+    def cancel(self, reason: str = "cancelled by caller") -> None:
+        """Cooperative task-kill (reference rt.rs is_task_running polling):
+        the next plan-node dispatch raises QueryCancelled."""
+        self.cancel_token.cancel(reason)
+
+    def set_deadline(self, seconds: float) -> None:
+        """Per-query wall-time budget; converts to cancellation."""
+        self.cancel_token.set_deadline(seconds)
 
     def register(self, name: str, blocks) -> "Session":
         if isinstance(blocks, TableBlock):
@@ -179,6 +190,7 @@ def execute_plan(plan: PN.PlanNode, session: Session,
 
 
 def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
+    s.cancel_token.check()  # cooperative task-kill / deadline point
     memo = getattr(_EXEC_TLS, "memo", None)
     if memo is not None and id(node) in _EXEC_TLS.shared:
         hit = memo.get(id(node))
@@ -186,6 +198,7 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
             return hit
     t0 = time.perf_counter()
     out = _dispatch(node, s)
+    s.cancel_token.check()  # a kill during this subtree surfaces here
     if memo is not None and id(node) in _EXEC_TLS.shared:
         memo[id(node)] = out
     if s.conf.get(config.METRICS_ENABLE):

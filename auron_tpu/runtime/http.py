@@ -123,6 +123,15 @@ def start_observability(session=None, port: int = 0
                         "ok": True,
                         "backend": jax.default_backend(),
                         "devices": [str(d) for d in jax.devices()]})
+                elif u.path == "/cancel":
+                    # task-kill endpoint (reference: Spark task kill ->
+                    # native runtime teardown); cooperative, takes effect
+                    # at the next plan-node / micro-batch boundary
+                    if session is None:
+                        self._send(400, {"error": "no session attached"})
+                    else:
+                        session.cancel("cancelled via /cancel")
+                        self._send(200, {"cancelled": True})
                 else:
                     self._send(404, {"error": "unknown endpoint"})
             except Exception as e:  # surface, don't kill the server

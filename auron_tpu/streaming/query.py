@@ -86,6 +86,13 @@ class StreamingQuery:
         self._sink: list = []                     # stateless outputs
         self.batches_processed = 0
         self.records_processed = 0
+        from auron_tpu.runtime.cancel import CancelToken
+        self.cancel_token = CancelToken()
+
+    def cancel(self, reason: str = "streaming query cancelled") -> None:
+        """Cooperative stop: takes effect at the next micro-batch boundary
+        (the reference's Flink job-cancel granularity)."""
+        self.cancel_token.cancel(reason)
 
     # -- per-batch pipeline -------------------------------------------------
 
@@ -108,6 +115,7 @@ class StreamingQuery:
     def process_batch(self) -> int:
         """Poll + absorb one micro-batch; returns records absorbed (0 at
         end of currently-available data)."""
+        self.cancel_token.check()
         records = self.source.poll(self.offsets, self.batch_rows)
         if not records:
             return 0
