@@ -87,6 +87,22 @@ def _arrow_to_block(table, const_cols=None) -> TableBlock:
     return TableBlock.from_numpy(data, dts, None, validity, dicts)
 
 
+def resolve_filesystem(paths: Sequence[str]):
+    """Hadoop-FS-bridge analog (reference internal_file_reader.rs +
+    JniBridge hadoop fs calls): URI-shaped paths resolve to a pyarrow
+    filesystem (file://, s3://, gs://, hdfs://, ...); bare paths use the
+    local FS. Returns (filesystem_or_None, normalized_paths)."""
+    first = paths[0] if paths else ""
+    if "://" not in first:
+        return None, list(paths)
+    from pyarrow import fs as pafs
+    filesystem, norm0 = pafs.FileSystem.from_uri(first)
+    norm = [norm0]
+    for p in paths[1:]:
+        norm.append(pafs.FileSystem.from_uri(p)[1])
+    return filesystem, norm
+
+
 def read_parquet_blocks(node) -> List[TableBlock]:
     """One-pass scan: pyarrow dataset fragments split at ROW-GROUP
     granularity with statistics-based pruning (the reference's row-group +
@@ -98,8 +114,10 @@ def read_parquet_blocks(node) -> List[TableBlock]:
 
     filt = _expr_to_arrow_filter(node.predicate)
     columns = list(node.projection) if node.projection else None
-    src = node.paths[0] if len(node.paths) == 1 else list(node.paths)
-    dataset = ds.dataset(src, format="parquet", partitioning="hive")
+    filesystem, paths = resolve_filesystem(list(node.paths))
+    src = paths[0] if len(paths) == 1 else list(paths)
+    dataset = ds.dataset(src, format="parquet", partitioning="hive",
+                         filesystem=filesystem)
     rg_total = rg_read = rows_total = rows_scanned = 0
     tables = []  # (arrow table, const partition cols)
     # the dataset-level fragment iteration prunes WHOLE fragments via hive
@@ -198,24 +216,90 @@ def write_parquet(blocks: Sequence[TableBlock], path: str,
 
 
 def read_orc_blocks(node) -> List[TableBlock]:
-    """ORC scan (reference orc_exec.rs:1647) via pyarrow.orc, host-side."""
-    from pyarrow import orc
-    frames = []
+    """ORC scan (reference orc_exec.rs:1647) through the same dataset
+    machinery as parquet: fragment-level hive-partition pruning, projection
+    + filter pushdown, partition-value injection, arrow -> blocks with no
+    pandas detour, file-granularity partitions. (ORC has no row-group split
+    API in pyarrow; stripes read whole per file — the residual filter is
+    re-applied on device by the plan's Filter node.)"""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    filt = _expr_to_arrow_filter(node.predicate)
     columns = list(node.projection) if node.projection else None
-    for path in node.paths:
-        table = orc.read_table(path, columns=columns)
-        frames.append(table.to_pandas())
-    import pandas as pd
-    df = pd.concat(frames, ignore_index=True) if len(frames) > 1 else frames[0]
-    parts = np.array_split(np.arange(len(df)), node.num_partitions)
-    return [TableBlock.from_pandas(df.iloc[idx]) for idx in parts]
+    filesystem, paths = resolve_filesystem(list(node.paths))
+    src = paths[0] if len(paths) == 1 else list(paths)
+    dataset = ds.dataset(src, format="orc", partitioning="hive",
+                         filesystem=filesystem)
+    all_frags = list(dataset.get_fragments())
+    kept = list(dataset.get_fragments(filter=filt)) if filt is not None \
+        else all_frags
+    LAST_SCAN_STATS.update({
+        "fragments_total": len(all_frags), "fragments_read": len(kept)})
+    tables = []
+    for frag in kept:
+        try:
+            from pyarrow.dataset import get_partition_keys
+            consts = get_partition_keys(frag.partition_expression)
+        except ImportError:
+            consts = {}
+        cols = None
+        if columns is not None:
+            cols = [c for c in columns if c not in consts]
+        try:
+            t = frag.to_table(columns=cols, filter=filt)
+        except pa.lib.ArrowInvalid:
+            t = frag.to_table(columns=cols)  # filter names partition cols
+        want = {k: v for k, v in consts.items()
+                if columns is None or k in columns}
+        tables.append((t, want))
+    if not tables:
+        empty = dataset.schema.empty_table()
+        if columns is not None:
+            empty = empty.select([c for c in columns
+                                  if c in empty.column_names])
+        tables = [(empty, {})]
+    n_parts = node.num_partitions
+    out: List[TableBlock] = []
+    groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
+    for i, item in enumerate(tables):
+        groups[i % len(groups)].append(item)
+    for grp in groups:
+        from auron_tpu.ops.join import concat_blocks
+        if len(grp) == 1 or all(c == grp[0][1] for _, c in grp):
+            merged = pa.concat_tables([t for t, _ in grp]) \
+                if len(grp) > 1 else grp[0][0]
+            out.append(_arrow_to_block(merged, grp[0][1]))
+        else:
+            out.append(concat_blocks([_arrow_to_block(t, c)
+                                      for t, c in grp]))
+    while len(out) < n_parts:
+        out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
+    return out
 
 
-def write_orc(blocks: Sequence[TableBlock], path: str) -> None:
-    """ORC sink (reference orc_sink_exec.rs:568)."""
+def write_orc(blocks: Sequence[TableBlock], path: str,
+              partition_cols: Optional[Sequence[str]] = None) -> None:
+    """ORC sink (reference orc_sink_exec.rs:568) incl. hive-style dynamic
+    partitions via dataset writes."""
     import pandas as pd
     import pyarrow as pa
     from pyarrow import orc
     df = pd.concat([b.to_pandas() for b in blocks], ignore_index=True)
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    orc.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    if partition_cols:
+        # hive layout written by hand (pyarrow has no ORC dataset writer):
+        # one file per distinct partition-value tuple, values in the dirname
+        cols = list(partition_cols)
+        for i, (vals, grp) in enumerate(df.groupby(cols, dropna=False)):
+            vals = vals if isinstance(vals, tuple) else (vals,)
+            sub = os.path.join(
+                path, *(f"{c}={v}" for c, v in zip(cols, vals)))
+            os.makedirs(sub, exist_ok=True)
+            body = grp.drop(columns=cols)
+            orc.write_table(
+                pa.Table.from_pandas(body, preserve_index=False),
+                os.path.join(sub, f"part-{i}.orc"))
+    else:
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        orc.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                        path)

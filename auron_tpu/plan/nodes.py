@@ -286,10 +286,13 @@ class Coalesce(PlanNode):
 @_ident
 @dataclass(frozen=True, eq=False)
 class OrcScan(PlanNode):
-    """Native ORC scan (reference orc_exec.rs:1647), host-decoded."""
+    """Native ORC scan (reference orc_exec.rs:1647), host-decoded through
+    the shared dataset machinery (hive pruning + partition-value injection,
+    projection/filter pushdown, io/parquet.py read_orc_blocks)."""
 
     paths: Tuple[str, ...]
     projection: Optional[Tuple[str, ...]] = None
+    predicate: Optional[Expr] = None
     num_partitions: int = 1
 
 
