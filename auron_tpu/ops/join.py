@@ -80,6 +80,10 @@ class JoinSpec:
     # — probe columns stay in place (mask only) and build columns arrive via
     # a single batched gather. Set by plan/stats.py after checking the data.
     build_unique: bool = False
+    # True when build keys are verified to equal lo + row_position over a
+    # live prefix: the position table is the identity — no scatter, no
+    # per-probe-row position gather (plan/stats.py _sequential_key).
+    build_sequential: bool = False
 
 
 def _encoded_keys(left: TableBlock, right: TableBlock,
@@ -409,16 +413,22 @@ def _unique_dense_join(left: TableBlock, right: TableBlock, spec: "JoinSpec",
     d = int(hi_d - lo_d)
     probe_cap = left.capacity
 
-    code = jnp.clip(bk - lo_d, 0, d - 1).astype(jnp.int32)
-    scatter_idx = jnp.where(joinable, code, d)
-    iota_b = jnp.arange(right.capacity, dtype=jnp.int32)
-    pos_table = jnp.full(d, -1, jnp.int32).at[scatter_idx].set(
-        iota_b, mode="drop")
-
     in_range = (pk >= lo_d) & (pk < hi_d) & l_valid
     pki = jnp.clip(pk - lo_d, 0, d - 1).astype(jnp.int32)
-    b_row = jnp.where(in_range, jnp.take(pos_table, pki), -1)
-    matched = b_row >= 0
+    if spec.build_sequential:
+        # position table verified to be the identity (build keys are
+        # lo + row_position): the probe needs NO scatter and NO position
+        # gather — key arithmetic alone yields the build row
+        b_row = jnp.where(in_range, pki, -1)
+        matched = in_range
+    else:
+        code = jnp.clip(bk - lo_d, 0, d - 1).astype(jnp.int32)
+        scatter_idx = jnp.where(joinable, code, d)
+        iota_b = jnp.arange(right.capacity, dtype=jnp.int32)
+        pos_table = jnp.full(d, -1, jnp.int32).at[scatter_idx].set(
+            iota_b, mode="drop")
+        b_row = jnp.where(in_range, jnp.take(pos_table, pki), -1)
+        matched = b_row >= 0
 
     if jt == LEFT_SEMI:
         return left.with_mask(left.row_mask & matched)

@@ -208,6 +208,9 @@ class SpmdExecutor:
                     ok = ok & c.validity
                 return ok
 
+        # build_sequential is deliberately NOT forwarded: a partitioned
+        # build shard holds a SUBSET of rows, so "key == lo + row_position"
+        # no longer holds on-shard (the scatter-built position table does)
         if node.build == "left":
             spec = J.JoinSpec(node.right_keys, node.left_keys,
                               _SWAP[node.join_type], node.null_aware,

@@ -342,13 +342,15 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
                           _SWAP[node.join_type], node.null_aware,
                           node.existence_col,
                           build_domain=node.build_domain,
-                          build_unique=node.build_unique)
+                          build_unique=node.build_unique,
+                          build_sequential=node.build_sequential)
         probe, build = right, left
     else:
         spec = J.JoinSpec(node.left_keys, node.right_keys, node.join_type,
                           node.null_aware, node.existence_col,
                           build_domain=node.build_domain,
-                          build_unique=node.build_unique)
+                          build_unique=node.build_unique,
+                          build_sequential=node.build_sequential)
         probe, build = left, right
 
     if node.strategy in ("sort_merge", "shuffled_hash"):

@@ -170,6 +170,10 @@ class Join(PlanNode):
     # build key verified unique (dimension surrogate key) — enables the
     # no-expansion mask-only join fast path (ops/join._unique_dense_join)
     build_unique: bool = False
+    # build key verified to be EXACTLY lo + row_position (surrogate keys in
+    # storage order): the dense position table is the identity, so the probe
+    # skips both its scatter and its per-probe-row table gather
+    build_sequential: bool = False
 
 
 @_ident

@@ -156,14 +156,20 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
         build_ranges = rl if node.build == "left" else rr
         bd = node.build_domain
         uniq = False
+        seq = False
         if len(build_keys) == 1:
             rng = build_ranges.get(build_keys[0])
             if rng is not None and rng[1] - rng[0] <= MAX_JOIN_DOMAIN:
                 if bd is None:
                     bd = (rng[0], rng[1])
                 uniq = bool(rng[2])
+                if uniq and bd == (rng[0], rng[1]):
+                    build_node = node.left if node.build == "left" \
+                        else node.right
+                    seq = _sequential_key(build_node, build_keys[0], s)
         new = dataclasses.replace(node, left=left, right=right,
-                                  build_domain=bd, build_unique=uniq)
+                                  build_domain=bd, build_unique=uniq,
+                                  build_sequential=seq)
         # columns that pass through a join may be duplicated (probe fanout)
         # -> uniqueness is not preserved
         merged = {k: (v[0], v[1], False) for k, v in merged.items()}
@@ -215,6 +221,54 @@ def _walk(node: PN.PlanNode, s) -> Tuple[PN.PlanNode, Dict[str, Range]]:
         child, r = _walk_memo(node.child, s)
         return dataclasses.replace(node, child=child), {}
     return node, {}
+
+
+def _sequential_key(node, key: str, s) -> bool:
+    """True when the build subtree is a scan (through pass-through
+    projections/renames) whose `key` column is EXACTLY lo + row_position
+    over a prefix of live rows — then the dense join's position table is
+    the identity and both its scatter and its 8M-row probe gather vanish
+    (ops/join.py _unique_dense_join sequential path). Concrete check at
+    plan time; like build_domain, a contract trusted under jit."""
+    import jax.core
+    while True:
+        if isinstance(node, PN.Project):
+            base = None
+            for name, e in node.exprs:
+                if name == key:
+                    base = _column_of(e)
+            if base is None:
+                return False
+            key, node = base, node.child
+            continue
+        if isinstance(node, PN.Rename):
+            inv = {new: old for old, new in node.mapping}
+            key, node = inv.get(key, key), node.child
+            continue
+        break
+    if not isinstance(node, PN.MemoryScan):
+        return False
+    if node.projection and key not in node.projection:
+        return False
+    blocks = s.tables.get(node.table)
+    if not blocks or len(blocks) != 1:
+        return False
+    b = blocks[0]
+    c = b.columns.get(key)
+    if c is None or not c.dtype.is_integer:
+        return False
+    if isinstance(c.values, jax.core.Tracer) or \
+            isinstance(b.row_mask, jax.core.Tracer):
+        return False
+    mask = np.asarray(b.row_mask)
+    n = int(mask.sum())
+    if n == 0 or not mask[:n].all():
+        return False
+    if c.validity is not None and not np.asarray(c.validity)[:n].all():
+        return False
+    vals = np.asarray(c.values)[:n]
+    return bool(np.array_equal(
+        vals, vals[0] + np.arange(n, dtype=vals.dtype)))
 
 
 def _child_field(node) -> str:

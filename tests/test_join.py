@@ -229,3 +229,54 @@ def test_join_overflow_debug_check():
         out = J.join_blocks(lb, rb, J.JoinSpec(("k",), ("j",), J.INNER),
                             out_capacity=64)  # 512 matches > 64
     assert len(out.to_pandas()) == 64  # truncated but well-formed
+
+
+def test_sequential_build_identity_path():
+    """plan/stats detects surrogate keys in storage order; the dense join
+    must skip the position table and still match the general path exactly —
+    including out-of-range and null probe keys."""
+    import pandas as pd
+    from auron_tpu.plan import Join, MemoryScan, Session, execute_plan
+    from auron_tpu.plan.stats import annotate_plan
+
+    rng = np.random.default_rng(4)
+    n_dim = 64
+    dim = pd.DataFrame({"k2": np.arange(10, 10 + n_dim, dtype=np.int32),
+                        "grp": np.arange(n_dim, dtype=np.int32) % 7})
+    probe_keys = rng.integers(0, 10 + n_dim + 5, 500).astype(np.float64)
+    probe_keys[::17] = np.nan  # NULL keys must not match
+    fact = pd.DataFrame({"k": probe_keys, "v": rng.normal(size=500)})
+    fact["k"] = fact["k"].astype("Int64")
+
+    s = Session()
+    s.register_pandas("fact", fact)
+    s.register_pandas("dim", dim)
+    plan = Join(MemoryScan("fact"), MemoryScan("dim"), ("k",), ("k2",),
+                strategy="broadcast")
+    plan = annotate_plan(plan, s)
+    assert plan.build_sequential, "stats failed to detect sequential build"
+    got = execute_plan(plan, s)[0].to_pandas()
+
+    want = fact.dropna(subset=["k"]).merge(
+        dim, left_on="k", right_on="k2")
+    assert len(got) == len(want)
+    got_s = got.sort_values(["k", "v"]).reset_index(drop=True)
+    want_s = want.sort_values(["k", "v"]).reset_index(drop=True)
+    np.testing.assert_array_equal(got_s["grp"].to_numpy(),
+                                  want_s["grp"].to_numpy())
+
+
+def test_sequential_not_claimed_for_shuffled_keys():
+    import pandas as pd
+    from auron_tpu.plan import Join, MemoryScan, Session
+    from auron_tpu.plan.stats import annotate_plan
+    rng = np.random.default_rng(5)
+    perm = rng.permutation(32).astype(np.int32)
+    dim = pd.DataFrame({"k2": perm, "grp": np.arange(32, dtype=np.int32)})
+    fact = pd.DataFrame({"k": rng.integers(0, 32, 100).astype(np.int32)})
+    s = Session()
+    s.register_pandas("fact", fact)
+    s.register_pandas("dim", dim)
+    plan = annotate_plan(Join(MemoryScan("fact"), MemoryScan("dim"),
+                              ("k",), ("k2",), strategy="broadcast"), s)
+    assert plan.build_unique and not plan.build_sequential
