@@ -139,21 +139,65 @@ def _month_end_days(y, m):
         _days_from_civil(y, m, jnp.ones_like(m))
 
 
+def _shift_months_clamped(day32, n):
+    """days-since-epoch + n months, day-of-month clamped to the target
+    month's end (Spark add_months / CalendarInterval month semantics)."""
+    y, m, d = _civil_from_days(day32)
+    tot = (y.astype(jnp.int64) * 12 + (m - 1) + n)
+    ny = (tot // 12).astype(jnp.int32)
+    nm = (tot % 12 + 1).astype(jnp.int32)
+    dmax = _month_end_days(ny, nm)
+    nd = jnp.minimum(d, dmax.astype(jnp.int32))
+    return _days_from_civil(ny, nm, nd)
+
+
 @register("add_months")
 def _add_months(block, c: Column, n) -> Column:
     """Spark add_months: day clamps to the target month's end
     (spark_dates.rs add_months arm)."""
     nn = n.values if isinstance(n, Column) else jnp.asarray(int(n))
-    y, m, d = _civil_from_days(c.values)
-    tot = (y.astype(jnp.int64) * 12 + (m - 1) + nn)
-    ny = (tot // 12).astype(jnp.int32)
-    nm = (tot % 12 + 1).astype(jnp.int32)
-    dmax = _month_end_days(ny, nm)
-    nd = jnp.minimum(d, dmax.astype(jnp.int32))
     validity = c.validity
     if isinstance(n, Column) and n.validity is not None:
         validity = n.validity if validity is None else (validity & n.validity)
-    return Column.of(_days_from_civil(ny, nm, nd), DATE32, validity)
+    return Column.of(_shift_months_clamped(c.values, nn), DATE32, validity)
+
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register("interval_add")
+def _interval_add(block, c: Column, months: int, days: int, micros: int,
+                  sign: int = 1) -> Column:
+    """date/timestamp ± CalendarInterval(months, days, micros).
+
+    Spark semantics (reference DateAddInterval / TimeAdd, converted at
+    NativeConverters.scala date-arithmetic arms; month math matches
+    spark_dates.rs add_months day-clamping): the month component shifts the
+    civil month with end-of-month clamping, then days and microseconds are
+    plain arithmetic. date ± an interval with a sub-day component is a
+    timestamp in Spark — represented here by promoting to timestamp64."""
+    from auron_tpu.dtypes import TIMESTAMP64
+    months, days, micros = sign * months, sign * days, sign * micros
+    if c.dtype.name == "date32":
+        vals = c.values
+        if months:
+            vals = _shift_months_clamped(vals, months)
+        if days:
+            vals = (vals.astype(jnp.int64) + days).astype(jnp.int32)
+        if micros:
+            ts = vals.astype(jnp.int64) * _US_PER_DAY + micros
+            return Column.of(ts, TIMESTAMP64, c.validity)
+        return Column.of(vals.astype(jnp.int32), DATE32, c.validity)
+    if c.dtype.name == "timestamp64":
+        vals = c.values.astype(jnp.int64)
+        if months:
+            day = jnp.floor_divide(vals, _US_PER_DAY)
+            tod = vals - day * _US_PER_DAY
+            day2 = _shift_months_clamped(day.astype(jnp.int32), months)
+            vals = day2.astype(jnp.int64) * _US_PER_DAY + tod
+        vals = vals + days * _US_PER_DAY + micros
+        return Column.of(vals, TIMESTAMP64, c.validity)
+    raise NotImplementedError(f"interval_add on {c.dtype.name}")
 
 
 @register("months_between")

@@ -88,7 +88,13 @@ def _expr(e) -> E.Expr:
     if isinstance(e, A.Lit):
         return E.lit(e.value)
     if isinstance(e, A.IntervalE):
-        return E.lit(e.days)
+        # bare day-granular interval folds to an int literal (date32 IS
+        # days-since-epoch, so +/- stays plain lane arithmetic); intervals
+        # with month/micro parts are only meaningful under +/- (see Bin)
+        if e.months == 0 and e.micros == 0:
+            return E.lit(e.days)
+        raise NotImplementedError(
+            "month/sub-day INTERVAL outside date +/- context")
     if isinstance(e, A.SubqueryE):
         # scalar subquery -> evaluated INSIDE the traced program
         return _query(e.query, _CTX_SESSION[-1]).as_scalar_expr()
@@ -97,6 +103,17 @@ def _expr(e) -> E.Expr:
             return ~_expr(e.operand)
         return E.lit(0) - _expr(e.operand)
     if isinstance(e, A.Bin):
+        if e.op in ("+", "-") and (isinstance(e.right, A.IntervalE)
+                                   or isinstance(e.left, A.IntervalE)):
+            iv = e.right if isinstance(e.right, A.IntervalE) else e.left
+            if iv is e.left and e.op == "-":
+                raise NotImplementedError("INTERVAL - date")
+            other = e.left if iv is e.right else e.right
+            sign = 1 if e.op == "+" else -1
+            # dtype-aware kernel: date32 stays day arithmetic, timestamp64
+            # gets microsecond arithmetic, month parts clamp civil months
+            return E.func("interval_add", _expr(other),
+                          params=(iv.months, iv.days, iv.micros, sign))
         l, r = _expr(e.left), _expr(e.right)
         ops = {"=": lambda: l == r, "<>": lambda: l != r,
                "!=": lambda: l != r, "<": lambda: l < r,

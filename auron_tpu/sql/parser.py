@@ -267,9 +267,12 @@ class SubqueryE:
 
 @dataclass
 class IntervalE:
-    """INTERVAL n DAYS — day-granular (d_date_sk arithmetic)."""
+    """INTERVAL literal as a Spark CalendarInterval triple: any mix of
+    (value, unit) pairs folds into (months, days, micros)."""
 
-    days: int
+    months: int = 0
+    days: int = 0
+    micros: int = 0
 
 
 class Parser:
@@ -628,14 +631,36 @@ class Parser:
             other = self.expr() if self.accept("kw", "else") else None
             self.expect("kw", "end")
             return CaseE(branches, other)
+        if t.kind == "ident" and t.text.lower() in ("date", "timestamp") \
+                and self.peek(1).kind == "str":
+            # ANSI typed literal: DATE '2000-01-01' / TIMESTAMP '...'
+            self.next()
+            s = self.next().text.strip("'")
+            return CastE(Lit(s), t.text.lower())
         if t.kind == "kw" and t.text == "interval":
             self.next()
-            tn = self.accept("num") or self.expect("str")
-            n = int(tn.text.strip("'"))
-            unit = self.expect("ident").text.lower()
-            if unit not in ("day", "days"):
-                raise NotImplementedError(f"INTERVAL unit {unit}")
-            return IntervalE(n)
+            units = {  # unit -> (field index, multiplier)
+                "year": (0, 12), "month": (0, 1),
+                "week": (1, 7), "day": (1, 1),
+                "hour": (2, 3_600_000_000), "minute": (2, 60_000_000),
+                "second": (2, 1_000_000), "millisecond": (2, 1_000),
+                "microsecond": (2, 1)}
+            parts = [0, 0, 0]  # months, days, micros
+            seen = False
+            while True:
+                tn = self.accept("num") or self.accept("str")
+                if tn is None:
+                    break
+                n = int(tn.text.strip("'"))
+                unit = self.expect("ident").text.lower().rstrip("s")
+                if unit not in units:
+                    raise NotImplementedError(f"INTERVAL unit {unit}")
+                idx, mul = units[unit]
+                parts[idx] += n * mul
+                seen = True
+            if not seen:
+                raise NotImplementedError("empty INTERVAL literal")
+            return IntervalE(parts[0], parts[1], parts[2])
         if t.kind == "op" and t.text == "(":
             self.next()
             if self.peek().kind == "kw" and \

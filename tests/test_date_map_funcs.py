@@ -188,3 +188,70 @@ def test_repeat_and_space():
                                                        np.int64)}))
     f = table(s, "t").select(sp=func("space", col("n")))
     assert f.collect()["sp"].tolist() == ["", "  ", "     "]
+
+
+# -- CalendarInterval arithmetic (interval_add kernel + SQL INTERVAL) --------
+
+def test_interval_add_months_clamps():
+    b = mkdates(d=np.array(DATES, dtype="datetime64[D]"))
+    got = out(b, func("interval_add", col("d"), params=(1, 3, 0, 1)))
+    # +1 month (clamped) then +3 days
+    want = [pd.Timestamp(d) + pd.DateOffset(months=1) + pd.Timedelta(days=3)
+            for d in DATES]
+    assert [x.date() for x in got] == [w.date() for w in want]
+    # subtraction via sign=-1: -(1 year) applied as -(12 months)
+    got = out(b, func("interval_add", col("d"), params=(12, 0, 0, -1)))
+    want = [pd.Timestamp(d) - pd.DateOffset(years=1) for d in DATES]
+    assert [x.date() for x in got] == [w.date() for w in want]
+
+
+def test_interval_add_date_promotes_to_timestamp():
+    b = mkdates(d=np.array(DATES, dtype="datetime64[D]"))
+    got = out(b, func("interval_add", col("d"),
+                      params=(0, 1, 6 * 3_600_000_000, 1)))
+    want = [pd.Timestamp(d) + pd.Timedelta(days=1, hours=6) for d in DATES]
+    assert got.tolist() == want
+
+
+def test_interval_add_timestamp_keeps_time_of_day():
+    from auron_tpu.dtypes import TIMESTAMP64
+    ts = [pd.Timestamp("2020-01-31 13:45:10"),
+          pd.Timestamp("1999-12-31 23:59:59")]
+    us = np.array([t.value // 1000 for t in ts], np.int64)
+    b = TableBlock.from_numpy({"t": us}, dtypes={"t": TIMESTAMP64})
+    got = out(b, func("interval_add", col("t"), params=(1, 0, 0, 1)))
+    want = [t + pd.DateOffset(months=1) for t in ts]
+    assert got.tolist() == want
+
+
+def test_sql_interval_units():
+    import auron_tpu.sql  # noqa: F401  installs Session.sql
+    dates = pd.DataFrame({
+        "d": pd.to_datetime(["2020-01-31", "2019-02-28", "2000-06-15"]),
+        "k": np.array([1, 2, 3], np.int64)})
+    s = Session()
+    s.register_pandas("t", dates)
+    got = s.sql("SELECT k, d + INTERVAL 1 MONTH AS m, "
+                "d - INTERVAL 2 YEARS AS y, "
+                "d + INTERVAL 1 WEEK AS w FROM t")
+    base = dates["d"]
+    pd.testing.assert_series_equal(
+        got["m"], base + pd.DateOffset(months=1), check_names=False)
+    pd.testing.assert_series_equal(
+        got["y"], base - pd.DateOffset(years=2), check_names=False)
+    pd.testing.assert_series_equal(
+        got["w"], base + pd.Timedelta(days=7), check_names=False)
+
+
+def test_sql_interval_mixed_units_where():
+    import auron_tpu.sql  # noqa: F401
+    dates = pd.DataFrame({
+        "d": pd.to_datetime(["2020-01-01", "2020-03-05", "2020-06-01"]),
+        "v": np.array([10, 20, 30], np.int64)})
+    s = Session()
+    s.register_pandas("t", dates)
+    got = s.sql("SELECT v FROM t WHERE d < DATE '2020-01-01' "
+                "+ INTERVAL 2 MONTHS 10 DAYS")
+    lim = pd.Timestamp("2020-01-01") + pd.DateOffset(months=2, days=10)
+    want = dates[dates["d"] < lim]["v"]
+    assert sorted(got["v"].tolist()) == sorted(want.tolist())
