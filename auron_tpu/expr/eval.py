@@ -308,7 +308,17 @@ def _merged_dict(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def _arith(op: str, l: Column, r: Column) -> Column:
     validity = _combine_validity(l, r)
-    if l.dtype.name == "decimal64" or r.dtype.name == "decimal64":
+    if l.dtype.is_decimal or r.dtype.is_decimal:
+        # Spark DecimalPrecision: decimal op float -> double arithmetic,
+        # anything else stays exact decimal (incl. decimal128 limb planes)
+        if (not l.dtype.is_decimal and l.dtype.is_float) or \
+                (not r.dtype.is_decimal and r.dtype.is_float):
+            from auron_tpu.expr.cast import cast_column
+            from auron_tpu.dtypes import FLOAT64 as _F64
+            cap = int((r if l.dtype.is_decimal else l).values.shape[0])
+            lf = cast_column(l, _F64, cap) if l.dtype.is_decimal else l
+            rf = cast_column(r, _F64, cap) if r.dtype.is_decimal else r
+            return _arith(op, lf, rf)
         return _arith_decimal(op, l, r, validity)
     lc, rc, t = _promote_pair(l, r, for_div=(op == "Divide"))
     lv, rv = lc.values, rc.values

@@ -323,3 +323,27 @@ def test_from_i64():
     hi, lo = d.from_i64(xs)
     assert d.np_to_ints(np.asarray(d.pack(hi, lo))) == \
         [0, 1, -1, 2**62, -(2**63)]
+
+
+def test_decimal128_times_int_and_float():
+    """decimal128 op non-decimal: int stays exact decimal (q61's
+    promotions/total*100 shape), float goes through double arithmetic
+    (Spark DecimalPrecision nondecimal-float rule)."""
+    from auron_tpu.expr.eval import project_block
+    from auron_tpu.expr.nodes import col, lit
+    blk = _dec_block([12345, -250, 42],
+                     extra={"n": np.array([3, 3, 3], np.int64),
+                            "f": np.array([0.5, 0.5, 0.5], np.float64)})
+    out = project_block(blk, [(col("d") * col("n")).alias("di"),
+                              (col("d") * col("f")).alias("df"),
+                              (col("d") / lit(100)).alias("dd")])
+    di = out.columns["di"]
+    assert di.dtype.is_decimal
+    got = d.np_to_ints(np.asarray(di.values)[:3])
+    assert got == [37035, -750, 126]
+    df = out.columns["df"]
+    assert df.dtype.is_float
+    np.testing.assert_allclose(np.asarray(df.values)[:3],
+                               [61.725, -1.25, 0.21], rtol=1e-12)
+    dd = out.columns["dd"]
+    assert dd.dtype.is_decimal

@@ -47,15 +47,16 @@ def _normalized_plan(name: str, num_partitions: int) -> str:
 
 GOLDENS_1P = {
     "q3": """\
-Sort
-  Agg[single,dense]
-    Join[broadcast,unique-build]
+Project
+  Sort
+    Agg[single,dense]
       Join[broadcast,unique-build]
-        MemoryScan
-        Filter
+        Join[broadcast,unique-build]
           MemoryScan
-      Filter
-        MemoryScan""",
+          Filter
+            MemoryScan
+        Filter
+          MemoryScan""",
     "q42": """\
 Sort
   Agg[single,dense]
