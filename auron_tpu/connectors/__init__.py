@@ -1,0 +1,142 @@
+"""Lakehouse table-format connectors (Iceberg / Hudi / Paimon).
+
+Reference analog: thirdparty/{auron-iceberg,auron-paimon,auron-hudi} — each
+plugs an `extConvertProviders` hook (AuronConverters.scala:216-221) that
+turns the engine's table-format relation into a native scan over concrete
+data files. Here the whole resolution is native Python (metadata JSON +
+Avro manifests via io/avro.py) and the read path is the same arrow->blocks
+machinery as the parquet/orc scans: file-level pruning (partition constants
++ Iceberg manifest min/max bounds), partition-value injection as constant
+columns, round-robin file distribution over plan partitions.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from auron_tpu.block import TableBlock
+from auron_tpu.expr import nodes as E
+
+from . import hudi, iceberg, paimon  # noqa: F401 (re-export)
+
+# last resolution's pruning accounting (parquet LAST_SCAN_STATS analog)
+LAST_SCAN_STATS: Dict[str, int] = {}
+
+
+def _lit_cmp(op: str, lo, hi, v) -> bool:
+    """Can any value in [lo, hi] satisfy `x <op> v`? Conservative-true."""
+    try:
+        if op == "Eq":
+            return (lo is None or lo <= v) and (hi is None or v <= hi)
+        if op == "Lt":
+            return lo is None or lo < v
+        if op == "LtEq":
+            return lo is None or lo <= v
+        if op == "Gt":
+            return hi is None or hi > v
+        if op == "GtEq":
+            return hi is None or hi >= v
+    except TypeError:
+        return True  # incomparable types: never prune
+    return True
+
+
+def _survives(pred: Optional[E.Expr], consts: Dict[str, Any],
+              bounds: Dict[str, tuple]) -> bool:
+    """File-level pruning: every top-level conjunct that is a simple
+    column-vs-literal comparison is checked against the file's partition
+    constants and manifest min/max bounds. Unknown shapes keep the file."""
+    if pred is None:
+        return True
+    if isinstance(pred, E.BinaryOp) and pred.op == "And":
+        return _survives(pred.left, consts, bounds) and \
+            _survives(pred.right, consts, bounds)
+    if isinstance(pred, E.BinaryOp) and \
+            isinstance(pred.left, E.Column) and \
+            isinstance(pred.right, E.Literal):
+        name, v = pred.left.name, pred.right.value
+        if name in consts:
+            c = consts[name]
+            return _lit_cmp(pred.op, c, c, v)
+        if name in bounds:
+            lo, hi = bounds[name]
+            return _lit_cmp(pred.op, lo, hi, v)
+    return True
+
+
+def resolve_table(fmt: str, path: str, **options) -> Dict[str, Any]:
+    if fmt == "iceberg":
+        return iceberg.resolve(path, snapshot_id=options.get("snapshot_id"),
+                               as_of_ms=options.get("as_of_ms"))
+    if fmt == "hudi":
+        return hudi.resolve(path)
+    if fmt == "paimon":
+        return paimon.resolve(path, snapshot=options.get("snapshot"))
+    raise NotImplementedError(f"lakehouse format {fmt}")
+
+
+def read_lakehouse_blocks(node) -> List[TableBlock]:
+    """Executor for the LakehouseScan plan node."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    from auron_tpu.io.parquet import (_arrow_to_block, _expr_to_arrow_filter)
+    from auron_tpu.ops.join import concat_blocks
+
+    info = resolve_table(node.fmt, node.path, **dict(node.options or ()))
+    files = info["files"]
+    kept = [f for f in files
+            if _survives(node.predicate, f.get("consts", {}),
+                         f.get("bounds", {}))]
+    LAST_SCAN_STATS.update({"files_total": len(files),
+                            "files_read": len(kept)})
+    columns = list(node.projection) if node.projection else None
+    filt = _expr_to_arrow_filter(node.predicate)
+
+    tables = []
+    for f in kept:
+        dset = ds.dataset(f["path"], format=f["format"])
+        cols = None
+        if columns is not None:
+            cols = [c for c in columns if c not in f.get("consts", {})
+                    and c in dset.schema.names]
+        try:
+            t = dset.to_table(columns=cols, filter=filt)
+        except (pa.lib.ArrowInvalid, KeyError):
+            t = dset.to_table(columns=cols)  # filter names injected cols
+        consts = {k: v for k, v in f.get("consts", {}).items()
+                  if columns is None or k in columns}
+        tables.append((t, consts))
+
+    if not tables:
+        # fully pruned: empty block, schema from any file or resolution
+        if files:
+            dset = ds.dataset(files[0]["path"], format=files[0]["format"])
+            empty = dset.schema.empty_table()
+            if columns is not None:
+                empty = empty.select([c for c in columns
+                                      if c in empty.column_names])
+            tables = [(empty, {})]
+        else:
+            raise FileNotFoundError(
+                f"{node.fmt} table {node.path} has no data files")
+
+    n_parts = node.num_partitions
+    out: List[TableBlock] = []
+    groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
+    for i, item in enumerate(tables):
+        groups[i % len(groups)].append(item)
+    for grp in groups:
+        if len(grp) == 1 or all(c == grp[0][1] for _, c in grp):
+            merged = pa.concat_tables([t for t, _ in grp],
+                                      promote_options="permissive") \
+                if len(grp) > 1 else grp[0][0]
+            out.append(_arrow_to_block(merged, grp[0][1]))
+        else:
+            out.append(concat_blocks([_arrow_to_block(t, c)
+                                      for t, c in grp]))
+    while len(out) < n_parts:
+        out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
+    return out

@@ -9,7 +9,7 @@ walks the tree into pure JAX block pipelines that jit/shard_map whole.
 
 from auron_tpu.plan.nodes import (  # noqa: F401
     AggCall, Agg, Coalesce, Debug, Empty, Exchange, Expand, Filter, Generate,
-    Join, Limit, MemoryScan, ParquetScan, PlanNode, Project, Rename, Sort,
-    Union, Window,
+    Join, LakehouseScan, Limit, MemoryScan, ParquetScan, PlanNode, Project,
+    Rename, Sort, Union, Window,
 )
 from auron_tpu.plan.execute import Session, execute_plan  # noqa: F401

@@ -227,6 +227,9 @@ def _dispatch(node: PN.PlanNode, s: Session) -> List[TableBlock]:
     if isinstance(node, PN.OrcScan):
         from auron_tpu.io.parquet import read_orc_blocks
         return read_orc_blocks(node)
+    if isinstance(node, PN.LakehouseScan):
+        from auron_tpu.connectors import read_lakehouse_blocks
+        return read_lakehouse_blocks(node)
     if isinstance(node, PN.Filter):
         return [filter_block(b, node.predicate)
                 for b in _exec(node.child, s)]

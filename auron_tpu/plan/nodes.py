@@ -77,6 +77,24 @@ class ParquetScan(PlanNode):
 
 @_ident
 @dataclass(frozen=True, eq=False)
+class LakehouseScan(PlanNode):
+    """Lakehouse table-format scan (reference thirdparty/auron-{iceberg,
+    paimon,hudi} convert providers). The connector layer resolves the
+    table's snapshot metadata to concrete data files with partition
+    constants + manifest bounds, prunes at file granularity, and reads
+    through the shared arrow->blocks machinery (auron_tpu/connectors/)."""
+
+    fmt: str  # iceberg | hudi | paimon
+    path: str
+    projection: Optional[Tuple[str, ...]] = None
+    predicate: Optional[Expr] = None
+    num_partitions: int = 1
+    # format-specific: (("snapshot_id", 123),) / (("as_of_ms", ...),) ...
+    options: Tuple[Tuple[str, object], ...] = ()
+
+
+@_ident
+@dataclass(frozen=True, eq=False)
 class Filter(PlanNode):
     child: PlanNode
     predicate: Expr

@@ -43,7 +43,7 @@ def output_names(node: PN.PlanNode, session) -> List[str]:
         names = session.tables[node.table][0].names
         return [n for n in names if not node.projection
                 or n in node.projection]
-    if isinstance(node, (PN.ParquetScan, PN.OrcScan)):
+    if isinstance(node, (PN.ParquetScan, PN.OrcScan, PN.LakehouseScan)):
         return list(node.projection) if node.projection else []
     if isinstance(node, PN.Project):
         return [n for n, _ in node.exprs]
@@ -133,7 +133,7 @@ def _prune_impl(node: PN.PlanNode, needed: Set[str],
         if len(proj) == len(avail) and not node.projection:
             return node
         return dataclasses.replace(node, projection=proj or tuple(avail[:1]))
-    if isinstance(node, (PN.ParquetScan, PN.OrcScan)):
+    if isinstance(node, (PN.ParquetScan, PN.OrcScan, PN.LakehouseScan)):
         return node
     if isinstance(node, PN.Filter):
         child_needed = needed | expr_refs(node.predicate)

@@ -37,7 +37,7 @@ _EXPR_TYPES = {c.__name__: c for c in (
     E.InList, E.ScalarFunc, E.Alias, E.PyUDF,
     E.ScalarSubquery)}
 _PLAN_TYPES = {c.__name__: c for c in (
-    PN.MemoryScan, PN.ParquetScan, PN.OrcScan, PN.Filter, PN.Project, PN.Agg,
+    PN.MemoryScan, PN.ParquetScan, PN.OrcScan, PN.LakehouseScan, PN.Filter, PN.Project, PN.Agg,
     PN.Sort, PN.Limit, PN.Join, PN.Exchange, PN.Union, PN.Expand, PN.Window,
     PN.Generate, PN.Rename, PN.Debug, PN.Coalesce)}
 _PART_TYPES = {c.__name__: c for c in (
