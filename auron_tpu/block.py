@@ -168,6 +168,13 @@ class TableBlock:
                     arr = d128.np_from_ints([int(v) for v in arr])
                 padded = np.zeros((cap, 2), dtype=np.int64)
                 padded[:n] = arr
+            elif dt.name == "string_raw":
+                from auron_tpu.expr import strings_raw as SR
+                W = dt.params[0]
+                if arr.ndim == 1:  # object array of str
+                    arr = SR.encode_object_array(arr, W)
+                padded = np.full((cap, W), np.int32(-0x80000000), np.int32)
+                padded[:n] = arr
             else:
                 padded = np.zeros(cap, dtype=dt.np_dtype)
                 padded[:n] = arr.astype(dt.np_dtype, copy=False)
@@ -207,9 +214,18 @@ class TableBlock:
                 filled = np.where(isna, "", npa.astype(object))
                 from auron_tpu.expr.strings_host import dict_encode
                 codes, uniq = dict_encode(filled)
-                data[name] = codes
-                dicts[name] = uniq
-                dts[name] = STRING
+                raw_w = _raw_promotion_words(dtypes, name, uniq, len(filled))
+                if raw_w is not None:
+                    # high-cardinality: raw byte planes, no host dictionary
+                    from auron_tpu.expr import strings_raw as SR
+                    from auron_tpu.dtypes import STRING_RAW
+                    table = SR.encode_object_array(uniq, raw_w)
+                    data[name] = table[codes]
+                    dts[name] = STRING_RAW(raw_w)
+                else:
+                    data[name] = codes
+                    dicts[name] = uniq
+                    dts[name] = STRING
             elif isna.any():
                 if np.issubdtype(npa.dtype, np.floating):
                     data[name] = np.nan_to_num(npa, nan=0.0)
@@ -281,6 +297,9 @@ class TableBlock:
             if col.dtype.is_string and col.dict_values is not None:
                 decoded = col.dict_values[np.clip(vals, 0, len(col.dict_values) - 1)]
                 s = pd.Series(decoded, dtype=object)
+            elif col.dtype.is_raw_string:
+                from auron_tpu.expr import strings_raw as SR
+                s = pd.Series(SR.decode_planes(vals), dtype=object)
             elif col.dtype.name == "timestamp64":
                 s = pd.Series(vals.astype("datetime64[us]"))
             elif col.dtype.name == "date32":
@@ -320,6 +339,29 @@ jax.tree_util.register_pytree_node(
     TableBlock,
     lambda b: b.tree_flatten(),
     lambda aux, ch: TableBlock.tree_unflatten(aux, ch))
+
+
+def _raw_promotion_words(dtypes, name, uniq, n_rows) -> Optional[int]:
+    """Plane width (words) when a string column qualifies for the raw
+    byte-plane representation, else None (config-gated; explicit STRING
+    dtype always wins; values are never truncated)."""
+    if dtypes and name in dtypes:
+        dt = dtypes[name]
+        if dt.name == "string_raw":
+            return dt.params[0]
+        return None  # explicit STRING: keep the dictionary
+    if not config.conf.get(config.RAW_STRING_ENABLE):
+        return None
+    if len(uniq) < config.conf.get(config.RAW_STRING_MIN_DISTINCT):
+        return None
+    if len(uniq) < config.conf.get(config.RAW_STRING_MIN_FRACTION) * n_rows:
+        return None
+    from auron_tpu.expr import strings_raw as SR
+    mb = SR.max_bytes(uniq)
+    limit = config.conf.get(config.RAW_STRING_MAX_BYTES)
+    if mb > limit or any("\x00" in s for s in uniq if isinstance(s, str)):
+        return None
+    return max((mb + 3) // 4, 1)
 
 
 def _infer_dtype(arr: np.ndarray) -> DataType:

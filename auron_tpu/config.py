@@ -244,6 +244,27 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+RAW_STRING_ENABLE = ConfigOption(
+    "auron.string.raw.enable", True, bool,
+    "Promote high-cardinality string columns to the raw byte-plane "
+    "representation at scan time (expr/strings_raw.py): no host dictionary, "
+    "device-native compare/hash/sort/join over word planes.")
+
+RAW_STRING_MIN_DISTINCT = ConfigOption(
+    "auron.string.raw.min.distinct", 1 << 16, int,
+    "Minimum distinct count before a string column is promoted to raw "
+    "byte planes (small dictionaries beat planes on memory and speed).")
+
+RAW_STRING_MIN_FRACTION = ConfigOption(
+    "auron.string.raw.min.distinct.fraction", 0.5, float,
+    "Minimum distinct/total fraction for raw byte-plane promotion.")
+
+RAW_STRING_MAX_BYTES = ConfigOption(
+    "auron.string.raw.max.bytes", 32, int,
+    "Longest UTF-8 value (bytes) eligible for byte-plane promotion; longer "
+    "columns stay dictionary-encoded (values are never truncated). Must be "
+    "a multiple of 4.", validator=lambda v: v % 4 == 0 and v > 0)
+
 DEBUG_CHECKS = ConfigOption(
     "auron.debug.checks.enable", False, bool,
     "Emit runtime warnings from inside jitted programs (join output "

@@ -55,6 +55,14 @@ class DataType:
         return self.name == "string"
 
     @property
+    def is_raw_string(self) -> bool:
+        return self.name == "string_raw"
+
+    @property
+    def is_any_string(self) -> bool:
+        return self.name in ("string", "string_raw")
+
+    @property
     def byte_width(self) -> int:
         return np.dtype(self.np_dtype).itemsize
 
@@ -94,6 +102,14 @@ def DECIMAL128(precision: int = 38, scale: int = 2) -> DataType:
     if precision > 38:
         raise ValueError("decimal precision > 38 not supported (Spark max)")
     return DataType("decimal128", np.dtype(np.int64), (precision, scale))
+
+
+def STRING_RAW(n_words: int) -> DataType:
+    """Raw byte-plane string (expr/strings_raw.py): UTF-8 bytes packed
+    big-endian-orderable into a ``[capacity, n_words]`` int32 plane array —
+    the high-cardinality representation with no host dictionary. int32
+    lexicographic order over the planes == bytewise string order."""
+    return DataType("string_raw", np.dtype(np.int32), (int(n_words),))
 
 
 def decimal_type(precision: int, scale: int) -> DataType:
@@ -146,6 +162,8 @@ def type_from_name(name: str, params: Optional[Tuple] = None) -> DataType:
         return DECIMAL64(*params) if params else DECIMAL64()
     if name == "decimal128":
         return DECIMAL128(*params) if params else DECIMAL128()
+    if name == "string_raw":
+        return STRING_RAW(*params)
     return _BY_NAME[name]
 
 

@@ -25,6 +25,23 @@ def cast_column(col: Column, to: DataType, capacity: int,
         return col
     values, validity = col.values, col.validity
 
+    if src.is_raw_string or to.is_raw_string:
+        from auron_tpu.expr import strings_raw as SR
+        if src.is_raw_string and to.is_raw_string:
+            w = to.params[0]
+            if w < src.params[0]:
+                raise ValueError("narrowing a raw string plane set could "
+                                 "truncate — widen only")
+            return Column(SR.pad_planes(values, w), validity, to, None)
+        if src.is_string and to.is_raw_string:
+            return Column(SR.dict_column_as_planes(col, to.params[0]),
+                          validity, to, None)
+        # raw -> dictionary string / anything else: decode at the host
+        # boundary (eager only), then continue with the dictionary matrix
+        as_dict = SR.to_dictionary_column(col)
+        return as_dict if to.is_string \
+            else cast_column(as_dict, to, capacity, domain)
+
     if src.is_string and not to.is_string:
         return _cast_from_string(col, to)
 

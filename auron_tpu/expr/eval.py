@@ -147,7 +147,7 @@ def _combine_validity(*cols) -> Optional[jnp.ndarray]:
 def _promote_pair(l: Column, r: Column, for_div: bool = False
                   ) -> Tuple[Column, Column, DataType]:
     lt, rt = l.dtype, r.dtype
-    if lt.is_string or rt.is_string:
+    if lt.is_any_string or rt.is_any_string:
         raise TypeError("string arithmetic not supported")
     if lt.is_decimal or rt.is_decimal:
         return _promote_decimal(l, r)
@@ -238,6 +238,8 @@ def _logical(op: str, l: Column, r: Column) -> Column:
 
 def _compare(op: str, l: Column, r: Column) -> Column:
     validity = _combine_validity(l, r)
+    if l.dtype.is_raw_string or r.dtype.is_raw_string:
+        return _compare_raw_strings(op, l, r, validity)
     if l.dtype.is_string or r.dtype.is_string:
         return _compare_strings(op, l, r, validity)
     if l.dtype.name == "decimal128" or r.dtype.name == "decimal128":
@@ -256,6 +258,45 @@ def _compare(op: str, l: Column, r: Column) -> Column:
         lc, rc, _ = _promote_pair(l, r)
         lv, rv = lc.values, rc.values
     return Column.of(_CMP_OPS[op](lv, rv), BOOL, validity)
+
+
+def _compare_raw_strings(op: str, l: Column, r: Column, validity) -> Column:
+    """Lexicographic compare on byte planes, fully on-device. The other
+    side may be a dictionary string (incl. 1-entry literal dictionaries):
+    a single-entry dict encodes as literal planes (wider literals handled
+    exactly via the overflow flag), larger dicts via a plane-table gather."""
+    from auron_tpu.expr import strings_raw as SR
+    raw = l if l.dtype.is_raw_string else r
+    other = r if raw is l else l
+    W = SR.width_words(raw.dtype)
+    r_extra = False
+    if other.dtype.is_raw_string:
+        W = max(W, SR.width_words(other.dtype))
+        lv = SR.pad_planes(l.values, W)
+        rv = SR.pad_planes(r.values, W)
+    elif other.dtype.is_string:
+        if len(other.dict_values) == 1:
+            planes, extra = SR.encode_literal(str(other.dict_values[0]), W)
+            ov = jnp.broadcast_to(jnp.asarray(planes),
+                                  (raw.values.shape[0], W))
+            r_extra = extra and other is r
+            if extra and other is l:
+                # wide literal on the LEFT: flip the comparison instead
+                flip = {"Lt": "Gt", "LtEq": "GtEq", "Gt": "Lt",
+                        "GtEq": "LtEq", "Eq": "Eq", "NotEq": "NotEq"}
+                out = SR.lex_compare(flip[op], raw.values, ov,
+                                     r_extra=True)
+                return Column.of(out, BOOL, validity)
+        else:
+            mb = SR.max_bytes(other.dict_values)
+            W = max(W, (mb + 3) // 4 or 1)
+            ov = SR.dict_column_as_planes(other, W)
+        lv = SR.pad_planes(raw.values, W) if raw is l else ov
+        rv = ov if raw is l else SR.pad_planes(raw.values, W)
+    else:
+        raise TypeError(f"compare string_raw with {other.dtype!r}")
+    return Column.of(SR.lex_compare(op, lv, rv, r_extra=r_extra), BOOL,
+                     validity)
 
 
 def _compare_strings(op: str, l: Column, r: Column, validity) -> Column:
@@ -468,7 +509,16 @@ def _case_when(expr: N.CaseWhen, block: TableBlock) -> Column:
     for v in pool[1:]:
         if _NUM_ORDER.get(v.dtype.name, -1) > _NUM_ORDER.get(out_t.name, -1):
             out_t = v.dtype
-    if out_t.is_string:
+    if any(v.dtype.is_raw_string for v in pool):
+        # mixed raw/dictionary string branches converge on raw planes
+        from auron_tpu.dtypes import STRING_RAW
+        from auron_tpu.expr import strings_raw as SR
+        W = max(SR.width_words(v.dtype) if v.dtype.is_raw_string
+                else max((SR.max_bytes(v.dict_values) + 3) // 4, 1)
+                for v in pool)
+        out_t = STRING_RAW(W)
+        cast_pool = [cast_column(v, out_t, block.capacity) for v in pool]
+    elif out_t.is_string:
         cast_pool, _merged = S.unify_string_columns(pool)
     else:
         cast_pool = [v if v.dtype.name == out_t.name else
@@ -484,7 +534,10 @@ def _case_when(expr: N.CaseWhen, block: TableBlock) -> Column:
             else jnp.ones((), jnp.bool_)
     # build from last branch backwards so first match wins
     for cond, v in zip(reversed(conds), reversed(vals)):
-        out = jnp.where(cond, v.values, out)
+        # plane-valued branches (decimal128 limbs / raw string words)
+        # broadcast the row condition across planes
+        cnd = cond[:, None] if getattr(v.values, "ndim", 1) == 2 else cond
+        out = jnp.where(cnd, v.values, out)
         vok = v.valid_at() if v.validity is not None else jnp.ones((), jnp.bool_)
         ok = jnp.where(cond, vok, ok)
     cap = block.capacity

@@ -31,12 +31,23 @@ def register(name):
     return deco
 
 
+_RAW_NATIVE = {"length", "interval_add"}  # kernels that take planes as-is
+
+
 def dispatch_function(expr: N.ScalarFunc, block: TableBlock) -> Column:
     from auron_tpu.expr.eval import evaluate
     fn = _REGISTRY.get(expr.name)
     if fn is None:
         raise NotImplementedError(f"scalar function {expr.name}")
     args = [evaluate(a, block) for a in expr.args]
+    if expr.name not in _RAW_NATIVE:
+        # text kernels run on dictionaries: raw byte-plane columns convert
+        # at eager boundaries (strings_raw.to_dictionary_column); the hot
+        # paths (filter/join/agg/sort keys) never reach here
+        from auron_tpu.expr import strings_raw as SR
+        args = [SR.to_dictionary_column(a)
+                if isinstance(a, Column) and a.dtype.is_raw_string else a
+                for a in args]
     return fn(block, *args, *expr.params)
 
 

@@ -168,6 +168,10 @@ def segment_aggregate(
                 out[spec.out_name] = _minmax_decimal128(
                     col, gid, ok, is_min, _seg_minmax, _seg_count)
                 continue
+            if col.dtype.is_raw_string:
+                out[spec.out_name] = _minmax_raw_string(
+                    col, gid, ok, is_min, _seg_minmax, _seg_count)
+                continue
             ident = _minmax_identity(col.dtype if not col.dtype.is_string
                                      else _RANK_I32, is_min)
             vals = orderable_values(col) if col.dtype.is_string else col.values
@@ -351,6 +355,25 @@ def _minmax_decimal128(col: Column, gid, ok, is_min, _seg_minmax, _seg_count
     nn = _seg_count(ok)
     return Column.of(d128.pack(m_hi, m_lo ^ np.int64(-2**63)),
                      col.dtype, nn > 0)
+
+
+def _minmax_raw_string(col: Column, gid, ok, is_min, _seg_minmax, _seg_count
+                       ) -> Column:
+    """W-pass lexicographic segment min/max over byte-plane words: reduce
+    word w only among rows whose words [0, w) equal their group's winning
+    prefix (the _minmax_decimal128 two-limb refinement, generalized)."""
+    W = col.values.shape[1]
+    ident = np.int32(np.iinfo(np.int32).max if is_min
+                     else np.iinfo(np.int32).min)
+    tied = ok
+    planes = []
+    for w in range(W):
+        vw = col.values[:, w]
+        m = _seg_minmax(_masked(vw, tied, ident), ident, is_min)
+        planes.append(m)
+        tied = tied & (vw == jnp.take(m, gid))
+    nn = _seg_count(ok)
+    return Column.of(jnp.stack(planes, axis=1), col.dtype, nn > 0)
 
 
 class _RankI32:

@@ -158,6 +158,12 @@ def _hash_column_chained(values, dtype_name: str, validity, h_u32,
         words = dict_words[codes]          # [rows, max_words] gather
         lens = dict_lens[codes]
         new_h = murmur3_words_tail(words, lens, h_u32)
+    elif dtype_name == "string_raw":
+        # per-row byte planes: unflip + byteswap back to the LE words
+        # Spark's murmur3 consumes — same placement as dictionary strings
+        from auron_tpu.expr.strings_raw import le_words_and_lens
+        words, lens = le_words_and_lens(values)
+        new_h = murmur3_words_tail(words, lens, h_u32)
     else:
         raise NotImplementedError(f"murmur3 for {dtype_name}")
     if validity is not None:

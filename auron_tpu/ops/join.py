@@ -114,6 +114,23 @@ def _encoded_keys(left: TableBlock, right: TableBlock,
             if rc.validity is not None:
                 r_valid = r_valid & rc.validity
             continue
+        if lc.dtype.is_raw_string or rc.dtype.is_raw_string:
+            # raw byte planes ARE orderable encodings: one operand per
+            # word; a dictionary-encoded other side converts with one
+            # plane-table gather (expr/strings_raw.py)
+            from auron_tpu.expr import strings_raw as SR
+            W = max(SR.width_words(c.dtype) if c.dtype.is_raw_string
+                    else (SR.max_bytes(c.dict_values) + 3) // 4 or 1
+                    for c in (lc, rc))
+            for c, ops in ((lc, l_ops), (rc, r_ops)):
+                planes = SR.pad_planes(c.values, W) if c.dtype.is_raw_string \
+                    else SR.dict_column_as_planes(c, W)
+                ops.extend(planes[:, w] for w in range(W))
+            if lc.validity is not None:
+                l_valid = l_valid & lc.validity
+            if rc.validity is not None:
+                r_valid = r_valid & rc.validity
+            continue
         if lc.dtype.is_string or rc.dtype.is_string:
             (lc, rc), _ = unify_string_columns([lc, rc])
         elif lc.dtype.name != rc.dtype.name and \
@@ -524,6 +541,14 @@ def union_common_dtype(dts) -> "DataType":
         if d.name == out.name and d.params == out.params:
             continue
         names = {d.name, out.name}
+        if "string_raw" in names:
+            if not names <= {"string", "string_raw"}:
+                raise TypeError(f"union of {out!r} and {d!r}")
+            # widest raw plane set wins; dictionary sides convert by gather
+            from auron_tpu.dtypes import STRING_RAW
+            w = max(dt.params[0] for dt in (d, out) if dt.is_raw_string)
+            out = STRING_RAW(w)
+            continue
         if "string" in names:
             raise TypeError(f"union of {out!r} and {d!r}")
         if "decimal64" in names:

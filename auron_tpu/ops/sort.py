@@ -45,6 +45,9 @@ def orderable_ops_list(col: Column) -> List[jnp.ndarray]:
     if col.dtype.name == "decimal128":
         from auron_tpu.ops import decimal128 as d128
         return d128.orderable_ops(col.values)
+    if col.dtype.is_raw_string:
+        # byte planes are stored orderable: one operand per word
+        return [col.values[:, w] for w in range(col.values.shape[1])]
     return [orderable_values(col)]
 
 
@@ -52,9 +55,10 @@ def orderable_values(col: Column):
     """Column values -> integer (or passthrough) array whose ascending order
     equals the column's SQL ordering."""
     dt = col.dtype
-    if dt.name == "decimal128":
+    if dt.name == "decimal128" or dt.is_raw_string:
         raise NotImplementedError(
-            "decimal128 needs two sort operands — use orderable_ops_list")
+            f"{dt.name} needs multiple sort operands — use "
+            "orderable_ops_list")
     if dt.is_string:
         rank = S.sort_rank_table(col.dict_values)
         codes = jnp.clip(col.values, 0, len(col.dict_values) - 1)

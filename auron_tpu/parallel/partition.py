@@ -94,13 +94,16 @@ def _range_ids(block: TableBlock, part: RangePartitioning) -> jnp.ndarray:
             v = b[ki]
             valid.append(v is not None)
             if v is None:
-                vals.append(0)
+                vals.append("" if col.dtype.is_raw_string else 0)
             elif col.dtype.is_string:
                 from auron_tpu.expr.strings import code_of_literal
                 vals.append(code_of_literal(col.dict_values, v))
             else:
                 vals.append(v)
-        bound_data[k.column] = np.asarray(vals, dtype=col.dtype.np_dtype)
+        if col.dtype.is_raw_string:  # from_numpy encodes the str bounds
+            bound_data[k.column] = np.asarray(vals, dtype=object)
+        else:
+            bound_data[k.column] = np.asarray(vals, dtype=col.dtype.np_dtype)
         bound_validity[k.column] = np.asarray(valid, dtype=np.bool_)
     bblock = TableBlock.from_numpy(
         bound_data,

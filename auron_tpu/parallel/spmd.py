@@ -448,6 +448,25 @@ def _psum_final(partial: TableBlock, node: "PN.Agg", axis: str) -> TableBlock:
                     d128.pack(m_hi, m_lo ^ np.int64(-2**63)), nn > 0,
                     c.dtype, None)
                 continue
+            if c.dtype.is_raw_string:
+                # byte planes: word-by-word collective refinement, rows
+                # tied on the winning prefix compete on the next word
+                # (aggregate._minmax_raw_string across the mesh axis)
+                ok = _valid_of(c)
+                ident = jnp.asarray(np.int32(
+                    np.iinfo(np.int32).max if is_min
+                    else np.iinfo(np.int32).min))
+                red = jax.lax.pmin if is_min else jax.lax.pmax
+                tied, planes = ok, []
+                for w in range(c.values.shape[1]):
+                    vw = c.values[:, w]
+                    m = red(jnp.where(tied, vw, ident), axis)
+                    planes.append(m)
+                    tied = tied & (vw == m)
+                nn = jax.lax.psum(ok.astype(jnp.int32), axis)
+                cols[call.name] = Column(jnp.stack(planes, axis=1), nn > 0,
+                                         c.dtype, None)
+                continue
             if c.dtype.is_string:
                 # dictionary CODES are first-seen-ordered, not
                 # lexicographic: translate code -> lexicographic rank,

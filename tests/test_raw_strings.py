@@ -1,0 +1,236 @@
+"""Raw byte-plane string columns (expr/strings_raw.py) — the
+high-cardinality representation with no host dictionary — differentially
+tested against pandas and against the dictionary representation of the
+SAME data (which is itself golden-tested against the reference).
+
+Reference analog: Arrow StringArray bytes consumed directly by
+datafusion-ext-commons eq_comparator / spark_hash / rdx sort."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auron_tpu import TableBlock, config
+from auron_tpu.dtypes import STRING, STRING_RAW
+from auron_tpu.expr import strings_raw as SR
+from auron_tpu.expr.eval import filter_block, project_block
+from auron_tpu.expr.nodes import col, func, lit
+
+
+def _strings(n, rng, dups=1.0):
+    base = [f"key-{i:06d}-{rng.integers(0, 10 ** 6):06d}"
+            for i in range(int(n * dups))]
+    return np.array([base[i % len(base)] for i in range(n)], dtype=object)
+
+
+def raw_block(values, name="s", extra=None, validity=None):
+    data = {name: np.asarray(values, dtype=object)}
+    W = max((SR.max_bytes(np.asarray(values, object)) + 3) // 4, 1)
+    dts = {name: STRING_RAW(W)}
+    if extra:
+        data.update(extra)
+    v = {name: validity} if validity is not None else None
+    return TableBlock.from_numpy(data, dts, validity=v)
+
+
+def test_encode_decode_roundtrip():
+    vals = np.array(["", "a", "abcd", "abcde", "héllo wörld", "zz" * 10],
+                    dtype=object)
+    planes = SR.encode_object_array(vals, 8)
+    assert planes.shape == (6, 8) and planes.dtype == np.int32
+    back = SR.decode_planes(planes)
+    assert list(back) == list(vals)
+    # orderable contract: int32 tuple order == python string order
+    order_planes = sorted(range(6), key=lambda i: tuple(planes[i]))
+    order_str = sorted(range(6), key=lambda i: vals[i])
+    assert order_planes == order_str
+
+
+def test_promotion_heuristic():
+    rng = np.random.default_rng(0)
+    with config.conf.scoped(**{"auron.string.raw.min.distinct": 64,
+                               "auron.string.raw.min.distinct.fraction": 0.5}):
+        hi = TableBlock.from_pandas(
+            pd.DataFrame({"s": _strings(500, rng)}))
+        assert hi.columns["s"].dtype.is_raw_string
+        lo = TableBlock.from_pandas(
+            pd.DataFrame({"s": np.array(["a", "b"] * 250, dtype=object)}))
+        assert lo.columns["s"].dtype.is_string  # low cardinality: dictionary
+        # explicit STRING pins the dictionary even at high cardinality
+        pin = TableBlock.from_pandas(
+            pd.DataFrame({"s": _strings(500, rng)}), dtypes={"s": STRING})
+        assert pin.columns["s"].dtype.is_string
+
+
+def test_to_pandas_with_nulls():
+    vals = np.array(["x", "longer-string", "", "y"], dtype=object)
+    b = raw_block(vals, validity=np.array([True, True, False, True]))
+    got = b.to_pandas()["s"]
+    assert got[0] == "x" and got[1] == "longer-string" and got[3] == "y"
+    assert pd.isna(got[2])
+
+
+def test_filter_compare_vs_pandas():
+    rng = np.random.default_rng(1)
+    vals = _strings(300, rng, dups=0.5)
+    df = pd.DataFrame({"s": vals, "v": np.arange(300)})
+    b = raw_block(vals, extra={"v": np.arange(300, dtype=np.int64)})
+    pivot = str(sorted(vals)[150])
+    for op, pdop in ((col("s") == lit(pivot), df.s == pivot),
+                     (col("s") < lit(pivot), df.s < pivot),
+                     (col("s") >= lit(pivot), df.s >= pivot)):
+        got = filter_block(b, op).to_pandas()
+        want = df[pdop]
+        assert sorted(got["v"].tolist()) == sorted(want["v"].tolist())
+
+
+def test_literal_wider_than_planes():
+    b = raw_block(np.array(["abc", "abd", "zz"], dtype=object))  # W = 1
+    wide = "abc-much-longer-than-four-bytes"
+    got = filter_block(b, col("s") == lit(wide)).to_pandas()
+    assert len(got) == 0
+    got = filter_block(b, col("s") < lit(wide)).to_pandas()
+    # "abc" < wide (prefix), "abd" > wide, "zz" > wide
+    assert got["s"].tolist() == ["abc"]
+    got = filter_block(b, lit(wide) < col("s")).to_pandas()
+    assert sorted(got["s"].tolist()) == ["abd", "zz"]
+
+
+def test_sort_vs_pandas():
+    from auron_tpu.ops.sort import SortKey, sort_block
+    rng = np.random.default_rng(2)
+    vals = _strings(257, rng, dups=0.7)
+    b = raw_block(vals, extra={"v": np.arange(257, dtype=np.int64)})
+    got = sort_block(b, (SortKey("s", ascending=False),)).to_pandas()
+    want = pd.DataFrame({"s": vals, "v": np.arange(257)}).sort_values(
+        "s", ascending=False, kind="stable")
+    assert got["s"].tolist() == want["s"].tolist()
+
+
+def test_join_raw_raw_and_raw_dict():
+    from auron_tpu.ops import join as J
+    rng = np.random.default_rng(3)
+    keys = _strings(64, rng)
+    probe = np.array([keys[i % 80] if i % 80 < 64 else f"miss-{i}"
+                      for i in range(400)], dtype=object)
+    pv = np.arange(400, dtype=np.int64)
+    bv = np.arange(64, dtype=np.int64)
+    want = pd.DataFrame({"k": probe, "pv": pv}).merge(
+        pd.DataFrame({"k2": keys, "bv": bv}), left_on="k", right_on="k2")
+
+    lb = raw_block(probe, name="k", extra={"pv": pv})
+    rb = raw_block(keys, name="k2", extra={"bv": bv})
+    out = J.join_blocks(lb, rb,
+                        J.JoinSpec(("k",), ("k2",), J.INNER)).to_pandas()
+    assert len(out) == len(want)
+    assert sorted(out["pv"].tolist()) == sorted(want["pv"].tolist())
+    assert out.sort_values("pv")["bv"].tolist() == \
+        want.sort_values("pv")["bv"].tolist()
+
+    # mixed: dictionary build side against raw probe side
+    rb_dict = TableBlock.from_pandas(
+        pd.DataFrame({"k2": keys, "bv": bv}), dtypes={"k2": STRING})
+    out = J.join_blocks(lb, rb_dict,
+                        J.JoinSpec(("k",), ("k2",), J.INNER)).to_pandas()
+    assert len(out) == len(want)
+    assert out.sort_values("pv")["bv"].tolist() == \
+        want.sort_values("pv")["bv"].tolist()
+
+
+def test_groupby_raw_key_and_minmax():
+    from auron_tpu.ops.aggregate import AggSpec, groupby_sorted
+    rng = np.random.default_rng(4)
+    keys = _strings(40, rng)
+    s = np.array([keys[i % 40] for i in range(500)], dtype=object)
+    urls = np.array([f"https://ex.com/{rng.integers(0, 10 ** 9):09d}"
+                     for _ in range(500)], dtype=object)
+    v = rng.integers(0, 100, 500).astype(np.int64)
+    W = max((SR.max_bytes(urls) + 3) // 4, 1)
+    b = TableBlock.from_numpy(
+        {"g": s, "u": urls, "v": v},
+        {"g": STRING_RAW(max((SR.max_bytes(s) + 3) // 4, 1)),
+         "u": STRING_RAW(W)})
+    out = groupby_sorted(b, ["g"], [
+        (AggSpec("c", "count_star"), None),
+        (AggSpec("sv", "sum"), b.columns["v"]),
+        (AggSpec("mn", "min"), b.columns["u"]),
+        (AggSpec("mx", "max"), b.columns["u"])]).to_pandas()
+    want = pd.DataFrame({"g": s, "u": urls, "v": v}).groupby("g").agg(
+        c=("v", "size"), sv=("v", "sum"), mn=("u", "min"),
+        mx=("u", "max")).reset_index().sort_values("g")
+    out = out.sort_values("g")
+    assert out["g"].tolist() == want["g"].tolist()
+    assert out["c"].tolist() == want["c"].tolist()
+    assert out["sv"].tolist() == want["sv"].tolist()
+    assert out["mn"].tolist() == want["mn"].tolist()
+    assert out["mx"].tolist() == want["mx"].tolist()
+
+
+def test_hash_placement_matches_dictionary():
+    """Raw planes must hash to the SAME murmur3 values as the dictionary
+    representation (which is golden-tested against the reference)."""
+    from auron_tpu.ops.hashing import column_hash_inputs, hash_columns_murmur3
+    rng = np.random.default_rng(5)
+    vals = _strings(200, rng)
+    braw = raw_block(vals)
+    bdict = TableBlock.from_pandas(pd.DataFrame({"s": vals}),
+                                   dtypes={"s": STRING})
+    h_raw = np.asarray(hash_columns_murmur3(
+        [column_hash_inputs(braw.columns["s"])], braw.capacity))
+    h_dict = np.asarray(hash_columns_murmur3(
+        [column_hash_inputs(bdict.columns["s"])], bdict.capacity))
+    n = len(vals)
+    np.testing.assert_array_equal(h_raw[:n], h_dict[:n])
+
+
+def test_case_when_mixed_raw_dict():
+    vals = np.array(["alpha", "beta", "gamma", "delta"], dtype=object)
+    b = raw_block(vals, extra={"v": np.arange(4, dtype=np.int64)})
+    from auron_tpu.expr.nodes import when
+    e = when(col("v") < lit(2), col("s")).otherwise(lit("other"))
+    got = project_block(b, [e.alias("o")])
+    got = TableBlock(got.columns, b.row_mask).to_pandas()["o"]
+    assert got.tolist() == ["alpha", "beta", "other", "other"]
+
+
+def test_text_function_fallback():
+    vals = np.array(["Hello", "WORLD", "MiXeD"], dtype=object)
+    b = raw_block(vals)
+    got = project_block(b, [func("upper", col("s")).alias("u")])
+    got = TableBlock(got.columns, b.row_mask).to_pandas()["u"]
+    assert got.tolist() == ["HELLO", "WORLD", "MIXED"]
+
+
+def test_length_device_native():
+    vals = np.array(["", "a", "abcd", "héllo"], dtype=object)
+    b = raw_block(vals)
+    lens = np.asarray(SR.raw_lengths(b.columns["s"].values))[:4]
+    assert lens.tolist() == [0, 1, 4, 6]  # é is 2 UTF-8 bytes
+
+
+def test_spmd_exchange_groupby_raw_keys():
+    """Hash exchange + distributed group-by on raw string keys over the
+    8-device mesh must equal the single-device result."""
+    import auron_tpu.sql  # noqa: F401
+    from auron_tpu.plan import Session
+    rng = np.random.default_rng(6)
+    keys = _strings(64, rng)
+    df = pd.DataFrame({
+        "s": np.array([keys[rng.integers(0, 64)] for _ in range(2000)],
+                      dtype=object),
+        "v": rng.integers(0, 50, 2000).astype(np.int64)})
+    want = df.groupby("s").agg(c=("v", "size"),
+                               sv=("v", "sum")).reset_index()
+    with config.conf.scoped(**{"auron.string.raw.min.distinct": 16,
+                               "auron.string.raw.min.distinct.fraction": 0.0}):
+        for nparts in (1, 4):
+            sess = Session()
+            sess.register_pandas("t", df, num_partitions=nparts)
+            blk = sess.tables["t"][0]
+            assert blk.columns["s"].dtype.is_raw_string
+            got = sess.sql("SELECT s, COUNT(*) AS c, SUM(v) AS sv FROM t "
+                           "GROUP BY s ORDER BY s")
+            assert got["s"].tolist() == sorted(want["s"].tolist())
+            w = want.sort_values("s")
+            assert got["c"].tolist() == w["c"].tolist()
+            assert got["sv"].tolist() == w["sv"].tolist()
