@@ -47,6 +47,9 @@ from auron_tpu.dtypes import (  # noqa: E402
     INT32,
     INT64,
     STRING,
+    STRING_RAW,
+    DECIMAL128,
+    TIMESTAMP64,
     DataType,
     Field,
     Schema,
@@ -71,5 +74,8 @@ __all__ = [
     "FLOAT64",
     "DATE32",
     "DECIMAL64",
+    "DECIMAL128",
     "STRING",
+    "STRING_RAW",
+    "TIMESTAMP64",
 ]

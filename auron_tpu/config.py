@@ -265,6 +265,13 @@ RAW_STRING_MAX_BYTES = ConfigOption(
     "columns stay dictionary-encoded (values are never truncated). Must be "
     "a multiple of 4.", validator=lambda v: v % 4 == 0 and v > 0)
 
+UDF_STRING_BYTES = ConfigOption(
+    "auron.udf.string.width.bytes", 64, int,
+    "Byte-plane width for string-valued python UDF outputs under jit "
+    "(outputs ride string_raw planes — fixed shape, no host dictionary). "
+    "A UDF producing a longer value errors; raise this option. "
+    "Must be a multiple of 4.", validator=lambda v: v % 4 == 0 and v > 0)
+
 DEBUG_CHECKS = ConfigOption(
     "auron.debug.checks.enable", False, bool,
     "Emit runtime warnings from inside jitted programs (join output "

@@ -576,39 +576,52 @@ def _py_udf(expr: "N.PyUDF", block: TableBlock) -> Column:
     import jax
     cap = block.capacity
     cols = [materialize(evaluate(a, block), cap) for a in expr.args]
-    if expr.dtype.is_string:
-        raise NotImplementedError("PyUDF cannot produce string columns "
-                                  "(dictionary is data-dependent)")
+    out_t = expr.dtype
+    if out_t.is_string:
+        # string outputs ride raw byte planes (fixed shape, jit-safe) —
+        # a data-dependent dictionary cannot be built under tracing
+        from auron_tpu import config as _cfg
+        from auron_tpu.dtypes import STRING_RAW
+        out_t = STRING_RAW(_cfg.conf.get(_cfg.UDF_STRING_BYTES) // 4)
 
     decoders = []
     for c in cols:
         if c.dtype.is_string:
             dv = c.dict_values
             decoders.append(("str", dv))
+        elif c.dtype.is_raw_string:
+            decoders.append(("rawstr", None))
         else:
             decoders.append(("raw", None))
 
     fn = expr.fn
 
     def host_call(*arrays):
+        from auron_tpu.expr import strings_raw as SR
         decoded = []
         for (kind, dv), arr in zip(decoders, arrays):
             arr = np.asarray(arr)
             if kind == "str":
                 codes = np.clip(arr, 0, len(dv) - 1)
                 decoded.append(dv[codes])
+            elif kind == "rawstr":
+                decoded.append(SR.decode_planes(arr))
             else:
                 decoded.append(arr)
         out = np.asarray(fn(*decoded))
-        return out.astype(expr.dtype.np_dtype, copy=False)
+        if out_t.is_raw_string:
+            return SR.encode_object_array(out.astype(object),
+                                          out_t.params[0])
+        return out.astype(out_t.np_dtype, copy=False)
 
+    shape = (cap, out_t.params[0]) if out_t.is_raw_string else (cap,)
     result = jax.pure_callback(
         host_call,
-        jax.ShapeDtypeStruct((cap,), expr.dtype.np_dtype),
+        jax.ShapeDtypeStruct(shape, out_t.np_dtype),
         *[c.values for c in cols],
         vmap_method="sequential")
     validity = _combine_validity(*cols)
-    return Column.of(result, expr.dtype, validity)
+    return Column.of(result, out_t, validity)
 
 
 def _scalar_subquery(expr) -> Column:

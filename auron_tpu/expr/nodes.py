@@ -284,8 +284,9 @@ class PyUDF(Expr):
     result column back — usable inside jit, at host-roundtrip cost.
 
     ``fn(*np_arrays) -> np_array`` of length capacity; string arguments
-    arrive decoded as object arrays; output must be a non-string dtype
-    (data-dependent dictionaries cannot be built under tracing).
+    (dictionary or raw byte-plane) arrive decoded as object arrays; string
+    outputs return as raw byte planes (``string_raw``, width from
+    ``auron.udf.string.width.bytes``) — fixed shape, so usable under jit.
     """
 
     name: str

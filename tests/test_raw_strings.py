@@ -234,3 +234,27 @@ def test_spmd_exchange_groupby_raw_keys():
             w = want.sort_values("s")
             assert got["c"].tolist() == w["c"].tolist()
             assert got["sv"].tolist() == w["sv"].tolist()
+
+
+def test_pyudf_string_output_under_jit():
+    """String-valued python UDFs return raw byte planes — fixed shape,
+    usable inside a jitted program (reference spark_udf_wrapper.rs parity;
+    round 1 this raised NotImplementedError)."""
+    import jax
+    from auron_tpu.dtypes import STRING as _S
+    from auron_tpu.expr.nodes import py_udf
+
+    def fmt(v, s):
+        return np.array([f"{x}:{t}" for x, t in zip(v, s)], dtype=object)
+
+    vals = np.array(["a", "bb", "ccc"], dtype=object)
+    b = raw_block(vals, extra={"v": np.arange(3, dtype=np.int64)})
+    e = py_udf("fmt", fmt, _S, col("v"), col("s"))
+
+    def step(blk):
+        return project_block(blk, [e.alias("o")])
+
+    out = jax.jit(step)(b)
+    got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+    assert got.tolist() == ["0:a", "1:bb", "2:ccc"]
+    assert out.columns["o"].dtype.is_raw_string
