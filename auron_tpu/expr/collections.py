@@ -152,7 +152,25 @@ def transform_output_names(fn: str, params) -> list:
 
 
 def apply_transform(block: TableBlock, fn: str, params) -> TableBlock:
-    return BLOCK_TRANSFORMS[fn][0](block, *params)
+    # constructors consume dictionary strings: raw byte-plane columns
+    # convert for the transform's view (eager boundaries only), and any
+    # column the transform merely passed through keeps its raw planes
+    import jax.core
+    raw = [n for n, c in block.columns.items()
+           if c.dtype.is_raw_string
+           and not isinstance(c.values, jax.core.Tracer)]
+    view = block
+    if raw:
+        from auron_tpu.expr import strings_raw as SR
+        view = block.with_columns(
+            {n: SR.to_dictionary_column(block.columns[n]) for n in raw})
+    out = BLOCK_TRANSFORMS[fn][0](view, *params)
+    if raw:
+        restore = {n: block.columns[n] for n in raw
+                   if out.columns.get(n) is view.columns[n]}
+        if restore:
+            out = out.with_columns(restore)
+    return out
 
 
 @_transform("split", lambda p: [f"{p[0]}#vals", f"{p[0]}#len"])

@@ -457,6 +457,9 @@ def _substring(block, c: Column, pos: int, length: int = 1 << 30) -> Column:
 
 @register("length")
 def _length(block, c: Column) -> Column:
+    if c.dtype.is_raw_string:
+        from auron_tpu.expr import strings_raw as SR
+        return Column.of(SR.raw_char_lengths(c.values), INT32, c.validity)
     return S.map_to_values(c, ("length",), lambda s: len(s), INT32)
 
 
@@ -545,12 +548,20 @@ def _concat_ws(block, *args) -> Column:
 def _predicate(name):
     @register(name)
     def fn(block, c: Column, pattern: str) -> Column:
+        if c.dtype.is_raw_string:
+            from auron_tpu.expr import strings_raw as SR
+            pre = SR.like_prefix(name, pattern)
+            if pre is not None:  # prefix tests run on-device on the planes
+                return Column.of(SR.prefix_match(c.values, pre), BOOL,
+                                 c.validity)
+            c = SR.to_dictionary_column(c)  # general patterns: host (eager)
         return S.string_predicate(c, name, pattern)
     return fn
 
 
 for _k in ("like", "rlike", "startswith", "endswith", "contains"):
     _predicate(_k)
+_RAW_NATIVE.update(("like", "startswith", "rlike", "endswith", "contains"))
 
 
 # -- hash --------------------------------------------------------------------

@@ -160,9 +160,57 @@ def le_words_and_lens(values):
     return le, jnp.sum(nbytes, axis=1).astype(jnp.int32)
 
 
+def like_prefix(kind: str, pattern: str) -> Optional[str]:
+    """The literal prefix when a LIKE/startswith predicate is a pure
+    prefix test (runs device-native on planes); None otherwise."""
+    if kind == "startswith":
+        return pattern
+    if kind == "like" and pattern.endswith("%") and \
+            not any(ch in pattern[:-1] for ch in "%_\\"):
+        return pattern[:-1]
+    return None
+
+
+def prefix_match(values, prefix: str):
+    """Device: does each row start with `prefix`? Whole words compare
+    directly; the partial tail word compares under a byte mask."""
+    import jax
+    b = prefix.encode("utf-8")
+    cap, W = values.shape
+    if len(b) > W * 4:
+        return jnp.zeros(cap, jnp.bool_)
+    u = jax.lax.bitcast_convert_type(values, jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    out = jnp.ones(cap, jnp.bool_)
+    full, r = divmod(len(b), 4)
+    for w in range(full):
+        want = int.from_bytes(b[w * 4:w * 4 + 4], "big")
+        out = out & (u[:, w] == jnp.uint32(want))
+    if r:
+        shift = (4 - r) * 8
+        mask = np.uint32((0xFFFFFFFF >> shift) << shift)
+        want = int.from_bytes(b[full * 4:] + b"\x00" * (4 - r), "big")
+        out = out & ((u[:, full] & mask) == jnp.uint32(want))
+    return out
+
+
 def raw_lengths(values):
-    """Device byte length of every row (the `length` kernel)."""
+    """Device byte length of every row (murmur3 tail handling)."""
     return le_words_and_lens(values)[1]
+
+
+def raw_char_lengths(values):
+    """Device CHARACTER count (Spark `length`): UTF-8 bytes that are not
+    continuation bytes (10xxxxxx), computed per byte lane."""
+    import jax
+    u = jax.lax.bitcast_convert_type(jnp.asarray(values), jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    total = jnp.zeros(values.shape[0], jnp.int32)
+    for shift in (24, 16, 8, 0):
+        byte = (u >> shift) & 0xFF
+        is_char = (byte != 0) & ((byte & 0xC0) != 0x80)
+        total = total + jnp.sum(is_char.astype(jnp.int32), axis=1)
+    return total
 
 
 # -- representation changes ---------------------------------------------------

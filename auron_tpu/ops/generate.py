@@ -138,6 +138,7 @@ def py_udtf_block(block: TableBlock, node) -> TableBlock:
     decoders = []
     for c in arg_cols:
         decoders.append(("str", c.dict_values) if c.dtype.is_string
+                        else ("rawstr", None) if c.dtype.is_raw_string
                         else ("raw", None))
     fn = node.fn
     outer = node.outer
@@ -149,6 +150,9 @@ def py_udtf_block(block: TableBlock, node) -> TableBlock:
             if kind == "str":
                 vals = np.asarray(dv, dtype=object)[
                     np.clip(arr, 0, len(dv) - 1)]
+            elif kind == "rawstr":
+                from auron_tpu.expr import strings_raw as SR
+                vals = SR.decode_planes(arr)
             else:
                 vals = arr.astype(object)
             if va is not None:

@@ -258,3 +258,61 @@ def test_pyudf_string_output_under_jit():
     got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
     assert got.tolist() == ["0:a", "1:bb", "2:ccc"]
     assert out.columns["o"].dtype.is_raw_string
+
+
+def test_prefix_like_device_native():
+    import jax
+    vals = np.array(["alpha-1", "alpha-2", "beta-1", "alp", "álpha"],
+                    dtype=object)
+    b = raw_block(vals)
+    e = func("like", col("s"), params=("alpha%",))
+
+    def step(blk):  # device-native: runs under jit (no host dictionary)
+        return project_block(blk, [e.alias("m")])
+
+    out = jax.jit(step)(b)
+    got = np.asarray(out.columns["m"].values)[:5]
+    assert got.tolist() == [True, True, False, False, False]
+    out2 = project_block(b, [func("startswith", col("s"),
+                                  params=("alp",)).alias("m")])
+    assert np.asarray(out2.columns["m"].values)[:5].tolist() == \
+        [True, True, False, True, False]
+    # general pattern falls back to the dictionary path (eager)
+    out3 = project_block(b, [func("like", col("s"),
+                                  params=("%a-1",)).alias("m")])
+    assert np.asarray(out3.columns["m"].values)[:5].tolist() == \
+        [True, False, True, False, False]
+
+
+def test_char_length_raw():
+    import jax
+    vals = np.array(["", "a", "abcd", "héllo", "日本語"], dtype=object)
+    b = raw_block(vals)
+    out = jax.jit(lambda blk: project_block(
+        blk, [func("length", col("s")).alias("n")]))(b)
+    assert np.asarray(out.columns["n"].values)[:5].tolist() == \
+        [0, 1, 4, 5, 3]
+
+
+def test_explode_passthrough_raw_column():
+    """A raw string column riding through explode must gather planes by
+    owner row (axis=0) without corruption."""
+    from auron_tpu.plan import Generate, MemoryScan, Session, execute_plan
+    from auron_tpu.plan.nodes import BlockTransform
+    df = pd.DataFrame({
+        "tags": ["a,b", "c", "d,e,f"],
+        "url": [f"https://x.io/{i:05d}" for i in range(3)]})
+    s = Session()
+    with config.conf.scoped(**{"auron.string.raw.min.distinct": 2,
+                               "auron.string.raw.min.distinct.fraction": 0.0}):
+        s.register_pandas("t", df)
+    blk = s.tables["t"][0]
+    assert blk.columns["url"].dtype.is_raw_string
+    plan = Generate(BlockTransform(MemoryScan("t"), "split",
+                                   ("arr", "tags", ",")),
+                    "arr", kind="explode", out_name="tag")
+    out = pd.concat([b.to_pandas() for b in execute_plan(plan, s)],
+                    ignore_index=True)
+    want = df.assign(tags=df.tags.str.split(",")).explode("tags")
+    assert out["tag"].tolist() == want["tags"].tolist()
+    assert out["url"].tolist() == want["url"].tolist()
