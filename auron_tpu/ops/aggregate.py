@@ -402,8 +402,36 @@ def key_group_ids_sorted(block: TableBlock, key_names: Sequence[str]):
     """
     cap = block.capacity
     ops: List[jnp.ndarray] = [~block.row_mask]
+    # Mixed-radix packing: grouping needs EQUALITY only, so keys with a
+    # statically bounded code domain (dictionary strings, bools) pack into
+    # one shared int32 operand — one lax.sort operand instead of two
+    # (null_rank + rank) per key. NULL takes its own radix slot.
+    acc = None
+    acc_radix = 1
+
+    def _flush():
+        nonlocal acc, acc_radix
+        if acc is not None:
+            ops.append(acc)
+            acc, acc_radix = None, 1
+
     for name in key_names:
         c = block.columns[name]
+        if c.dtype.is_string and c.dict_values is not None:
+            d = max(len(c.dict_values), 1)
+        elif c.dtype.name == "bool":
+            d = 2
+        else:
+            d = None
+        if d is not None and acc_radix * (d + 1) < (1 << 31):
+            enc = jnp.clip(c.values.astype(jnp.int32), 0, d - 1) \
+                if c.dtype.is_string else c.values.astype(jnp.int32)
+            if c.validity is not None:
+                enc = jnp.where(c.validity, enc, jnp.int32(d))
+            acc = enc if acc is None else acc * jnp.int32(d + 1) + enc
+            acc_radix *= d + 1
+            continue
+        _flush()
         ovs = orderable_ops_list(c)
         if c.validity is not None:
             ops.append(jnp.where(c.validity, jnp.int8(0), jnp.int8(1)))
@@ -412,6 +440,7 @@ def key_group_ids_sorted(block: TableBlock, key_names: Sequence[str]):
             ovs = [jnp.where(c.validity, ov, jnp.zeros_like(ov))
                    for ov in ovs]
         ops.extend(ovs)
+    _flush()
     iota = jnp.arange(cap, dtype=jnp.int32)
     sorted_all = jax.lax.sort(tuple(ops) + (iota,), dimension=0,
                               is_stable=True, num_keys=len(ops))
