@@ -28,8 +28,20 @@ jax.config.update("jax_enable_x64", True)
 _cache_dir = os.environ.get("AURON_TPU_COMPILE_CACHE",
                             os.path.expanduser("~/.cache/auron_tpu_xla"))
 if _cache_dir.lower() not in ("off", "0", "false"):
+    # partition by host CPU fingerprint: XLA:CPU AOT entries embed the
+    # compiling machine's ISA features, and loading them on a different
+    # host warns about (and risks) SIGILL — entries must not cross hosts
     try:
-        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        import hashlib
+        with open("/proc/cpuinfo", "rb") as _f:
+            _flags = [ln for ln in _f.read().split(b"\n")
+                      if ln.startswith((b"flags", b"model name"))][:2]
+        _fp = hashlib.md5(b"|".join(_flags)).hexdigest()[:10]
+    except OSError:
+        _fp = "generic"
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_cache_dir, _fp))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:  # older jax without the knobs
         pass
