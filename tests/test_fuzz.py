@@ -194,3 +194,65 @@ def test_window_last_value(rng):
     assert list(got["lv"]) == [30., 30., 30., 50., 50.]
     # cumulative: frame ends at current row (unique order keys)
     assert list(got["lc"]) == [10., 20., 30., 40., 50.]
+
+
+@pytest.mark.parametrize("seed", [71, 72, 73])
+def test_fuzz_raw_string_keys_spmd_join_agg(seed):
+    """Raw byte-plane string keys through the full distributed pipeline:
+    hash exchange, join, partial/final agg — vs pandas, with nulls,
+    duplicates, and keys colliding on prefixes."""
+    from jax.sharding import Mesh
+    from auron_tpu import config
+    from auron_tpu.dtypes import STRING_RAW
+    from auron_tpu.expr import strings_raw as SR
+    from auron_tpu.plan import Join
+    from auron_tpu.parallel.spmd import run_plan_spmd, unstack_result
+
+    rng = np.random.default_rng(seed)
+    n = 1536
+    base = [f"k-{i:03d}" for i in range(48)]
+    # prefix-colliding long keys force multi-word compares
+    base += [f"k-{i:03d}-suffix-{j}" for i in range(8) for j in range(3)]
+    keys = np.array([base[rng.integers(0, len(base))] for _ in range(n)],
+                    dtype=object)
+    null_rows = rng.random(n) < 0.08
+    fact = pd.DataFrame({"k": np.where(null_rows, None, keys),
+                         "v": rng.integers(0, 100, n).astype(np.int64)})
+    dim_keys = np.array(sorted(set(base) - {base[1], base[5]}), dtype=object)
+    dim = pd.DataFrame({"j": dim_keys,
+                        "w": np.arange(len(dim_keys), dtype=np.int64)})
+
+    W = max((SR.max_bytes(keys) + 3) // 4, 1)
+    parts = np.array_split(np.arange(n), 8)
+    tables = {
+        "fact": [TableBlock.from_numpy(
+            {"k": np.where(null_rows, "", keys)[i],
+             "v": fact["v"].to_numpy()[i]},
+            {"k": STRING_RAW(W)},
+            validity={"k": ~null_rows[i]}, capacity=256)
+            for i in parts],
+        "dim": [TableBlock.from_numpy({"j": dim_keys,
+                                       "w": dim["w"].to_numpy()},
+                                      {"j": STRING_RAW(W)})]}
+    mesh = Mesh(np.array(jax.devices()[:8]), ("p",))
+    from auron_tpu.expr.nodes import col
+    join = Join(Exchange(MemoryScan("fact"), HashPartitioning(("k",), 8)),
+                Exchange(MemoryScan("dim"), HashPartitioning(("j",), 8)),
+                ("k",), ("j",), join_type="inner", strategy="partitioned",
+                out_capacity=1024)
+    plan = Agg(join, keys=(("j", col("j")),),
+               calls=(AggCall("s", "sum", col("v")),
+                      AggCall("c", "count_star")), mode="single")
+    stacked = run_plan_spmd(plan, mesh, tables)
+    got = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    # distributed single-mode agg leaves per-shard partials: re-aggregate
+    got = got.groupby("j").agg(s=("s", "sum"), c=("c", "sum")).reset_index()
+    want = fact.dropna(subset=["k"]).merge(
+        dim, left_on="k", right_on="j").groupby("j").agg(
+        s=("v", "sum"), c=("v", "size")).reset_index()
+    got = got.sort_values("j").reset_index(drop=True)
+    want = want.sort_values("j").reset_index(drop=True)
+    assert got["j"].tolist() == want["j"].tolist()
+    assert got["s"].tolist() == want["s"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
