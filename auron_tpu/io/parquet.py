@@ -70,10 +70,21 @@ def _arrow_to_block(table, const_cols=None) -> TableBlock:
             darr = arr if pa.types.is_dictionary(t) \
                 else arr.dictionary_encode()
             codes = np.asarray(darr.indices.fill_null(0)).astype(np.int32)
-            data[name] = codes
-            dicts[name] = np.asarray(darr.dictionary).astype(object)
-            from auron_tpu.dtypes import STRING as _S
-            dts[name] = _S
+            uniq = np.asarray(darr.dictionary).astype(object)
+            from auron_tpu.block import _raw_promotion_words
+            raw_w = _raw_promotion_words(None, name, uniq, n)
+            if raw_w is not None:
+                # high-cardinality column: raw byte planes at the scan
+                # boundary, same promotion rule as TableBlock.from_pandas
+                from auron_tpu.dtypes import STRING_RAW
+                from auron_tpu.expr import strings_raw as SR
+                data[name] = SR.encode_object_array(uniq, raw_w)[codes]
+                dts[name] = STRING_RAW(raw_w)
+            else:
+                data[name] = codes
+                dicts[name] = uniq
+                from auron_tpu.dtypes import STRING as _S
+                dts[name] = _S
         else:
             data[name] = arr.fill_null(0).to_numpy(zero_copy_only=False)
     for name, value in (const_cols or {}).items():

@@ -316,3 +316,20 @@ def test_explode_passthrough_raw_column():
     want = df.assign(tags=df.tags.str.split(",")).explode("tags")
     assert out["tag"].tolist() == want["tags"].tolist()
     assert out["url"].tolist() == want["url"].tolist()
+
+
+def test_parquet_scan_promotes_high_cardinality(tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from auron_tpu.plan import ParquetScan, Session, execute_plan
+    n = 400
+    urls = [f"https://host/p/{i:06d}" for i in range(n)]
+    df = pd.DataFrame({"u": urls, "v": np.arange(n, dtype=np.int64)})
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
+    with config.conf.scoped(**{"auron.string.raw.min.distinct": 64,
+                               "auron.string.raw.min.distinct.fraction": 0.5}):
+        blocks = execute_plan(ParquetScan((path,)), Session())
+    assert blocks[0].columns["u"].dtype.is_raw_string
+    got = blocks[0].to_pandas()
+    assert got["u"].tolist() == urls
