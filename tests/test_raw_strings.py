@@ -333,3 +333,55 @@ def test_parquet_scan_promotes_high_cardinality(tmp_path):
     assert blocks[0].columns["u"].dtype.is_raw_string
     got = blocks[0].to_pandas()
     assert got["u"].tolist() == urls
+
+
+def test_window_over_raw_partition_keys():
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.ops.window import WindowFunc, window_block
+    rng = np.random.default_rng(9)
+    parts = np.array([f"sess-{rng.integers(0, 20):04d}-xyz"
+                      for _ in range(300)], dtype=object)
+    v = rng.integers(0, 1000, 300).astype(np.int64)
+    W = max((SR.max_bytes(parts) + 3) // 4, 1)
+    b = TableBlock.from_numpy({"p": parts, "v": v},
+                              {"p": STRING_RAW(W)})
+    out = window_block(b, ("p",), (SortKey("v"),),
+                       [WindowFunc("rn", "row_number")]).to_pandas()
+    want = pd.DataFrame({"p": parts, "v": v})
+    want["rn"] = want.sort_values("v").groupby("p").cumcount() + 1
+    got = out.sort_values(["p", "v"]).reset_index(drop=True)
+    want = want.sort_values(["p", "v"]).reset_index(drop=True)
+    assert got["rn"].tolist() == want["rn"].tolist()
+
+
+def test_skewed_join_raw_string_keys():
+    """Hot raw-string key through the skew handler (count-sketch hashes the
+    byte planes; heavy build rows replicate)."""
+    import jax
+    from jax.sharding import Mesh
+    from auron_tpu.plan import Join, MemoryScan
+    from auron_tpu.parallel.spmd import run_plan_spmd, unstack_result
+    rng = np.random.default_rng(10)
+    n = 2048
+    hot = rng.random(n) < 0.6
+    pool = np.array([f"key-{i:05d}" for i in range(64)], dtype=object)
+    keys = np.where(hot, "key-00003", pool[rng.integers(0, 64, n)])
+    fact = pd.DataFrame({"k": keys, "v": rng.normal(size=n).round(3)})
+    dim = pd.DataFrame({"j": pool, "w": np.arange(64, dtype=np.int64)})
+    W = max((SR.max_bytes(pool) + 3) // 4, 1)
+    parts = np.array_split(np.arange(n), 8)
+    tables = {"fact": [TableBlock.from_numpy(
+                  {"k": keys[i], "v": fact["v"].to_numpy()[i]},
+                  {"k": STRING_RAW(W)}, capacity=256) for i in parts],
+              "dim": [TableBlock.from_numpy(
+                  {"j": pool, "w": dim["w"].to_numpy()},
+                  {"j": STRING_RAW(W)})]}
+    mesh = Mesh(np.array(__import__("jax").devices()[:8]), ("p",))
+    plan = Join(MemoryScan("fact"), MemoryScan("dim"), ("k",), ("j",),
+                join_type="inner", strategy="skewed", out_capacity=1024)
+    stacked = run_plan_spmd(plan, mesh, tables)
+    got = pd.concat([b.to_pandas() for b in unstack_result(stacked)],
+                    ignore_index=True)
+    want = fact.merge(dim, left_on="k", right_on="j")
+    assert len(got) == len(want)
+    assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())
