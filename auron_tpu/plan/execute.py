@@ -87,6 +87,34 @@ class Session:
             mb.register_table(name, blocks)
         return self
 
+    def register_files(self, name: str, paths, format: str = "parquet",
+                       num_partitions: int = 1,
+                       columns=None) -> "Session":
+        """Register a parquet/ORC dataset as a named table (pruned scan,
+        partition-value injection — io/parquet.py). Paths may be local or
+        URI-shaped (file/s3/gs/hdfs via the filesystem bridge)."""
+        if isinstance(paths, str):
+            paths = (paths,)
+        cls = PN.ParquetScan if format == "parquet" else PN.OrcScan
+        node = cls(tuple(paths),
+                   projection=tuple(columns) if columns else None,
+                   num_partitions=num_partitions)
+        self.tables[name] = _dispatch(node, self)
+        return self
+
+    def register_lakehouse(self, name: str, path: str,
+                           format: str = "iceberg",
+                           num_partitions: int = 1,
+                           **options) -> "Session":
+        """Register an Iceberg/Hudi/Paimon table snapshot as a named table
+        (auron_tpu/connectors; options: snapshot_id=, as_of_ms=,
+        snapshot=)."""
+        node = PN.LakehouseScan(format, path,
+                                num_partitions=num_partitions,
+                                options=tuple(options.items()))
+        self.tables[name] = _dispatch(node, self)
+        return self
+
     def metrics_report(self) -> str:
         """Formatted per-operator metrics (the Spark SQL metrics tree analog,
         reference NativeHelper.scala:167-199 + metrics push-back). After a

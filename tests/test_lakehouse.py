@@ -329,3 +329,28 @@ def test_lakehouse_under_full_plan(iceberg_table):
                     ignore_index=True).sort_values("dt")
     assert out["dt"].tolist() == ["a"]
     assert out["s"].tolist() == [6]
+
+
+def test_sql_over_lakehouse_table(iceberg_table):
+    import auron_tpu.sql  # noqa: F401  installs Session.sql
+    s = Session()
+    s.register_lakehouse("ice", iceberg_table, format="iceberg")
+    got = s.sql("SELECT dt, SUM(v) AS sv, COUNT(*) AS c FROM ice "
+                "GROUP BY dt ORDER BY dt")
+    assert got["dt"].tolist() == ["a", "b"]
+    assert got["sv"].tolist() == [6, 201]
+    assert got["c"].tolist() == [3, 2]
+
+
+def test_sql_over_registered_parquet(tmp_path):
+    import auron_tpu.sql  # noqa: F401
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    df = pd.DataFrame({"g": ["x", "y", "x"], "v": [1, 2, 3]})
+    p = str(tmp_path / "f.parquet")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), p)
+    s = Session()
+    s.register_files("t", p, num_partitions=2)
+    got = s.sql("SELECT g, SUM(v) AS sv FROM t GROUP BY g ORDER BY g")
+    assert got["g"].tolist() == ["x", "y"]
+    assert got["sv"].tolist() == [4, 2]
