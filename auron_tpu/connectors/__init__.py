@@ -95,17 +95,37 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
     columns = list(node.projection) if node.projection else None
     filt = _expr_to_arrow_filter(node.predicate)
 
+    field_ids = info.get("field_ids") or {}
     tables = []
     for f in kept:
         dset = ds.dataset(f["path"], format=f["format"])
+        # Iceberg schema evolution: columns map by FIELD ID, not name
+        # (auron.proto:836-837; renamed columns keep their id). Parquet
+        # written by Iceberg carries PARQUET:field_id metadata per field;
+        # files that predate a rename read under their old name and
+        # surface under the current one.
+        rename: Dict[str, str] = {}
+        if field_ids:
+            for fld in dset.schema:
+                fid = (fld.metadata or {}).get(b"PARQUET:field_id")
+                if fid is None:
+                    continue
+                cur = field_ids.get(int(fid))
+                if cur is not None and cur != fld.name:
+                    rename[fld.name] = cur
+        inv = {v: k for k, v in rename.items()}
         cols = None
         if columns is not None:
-            cols = [c for c in columns if c not in f.get("consts", {})
-                    and c in dset.schema.names]
+            cols = [inv.get(c, c) for c in columns
+                    if c not in f.get("consts", {})
+                    and inv.get(c, c) in dset.schema.names]
         try:
-            t = dset.to_table(columns=cols, filter=filt)
+            t = dset.to_table(columns=cols,
+                              filter=None if rename else filt)
         except (pa.lib.ArrowInvalid, KeyError):
             t = dset.to_table(columns=cols)  # filter names injected cols
+        if rename:
+            t = t.rename_columns([rename.get(n, n) for n in t.column_names])
         consts = {k: v for k, v in f.get("consts", {}).items()
                   if columns is None or k in columns}
         tables.append((t, consts))

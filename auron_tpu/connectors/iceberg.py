@@ -162,6 +162,7 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
                 "bounds": bounds,
             })
     return {"files": files, "schema": schema_types,
+            "field_ids": {f["id"]: f["name"] for f in fields},
             "snapshot_id": snap["snapshot-id"]}
 
 

@@ -354,3 +354,47 @@ def test_sql_over_registered_parquet(tmp_path):
     got = s.sql("SELECT g, SUM(v) AS sv FROM t GROUP BY g ORDER BY g")
     assert got["g"].tolist() == ["x", "y"]
     assert got["sv"].tolist() == [4, 2]
+
+
+def test_iceberg_field_id_schema_evolution(iceberg_table, tmp_path):
+    """A file written before a column rename maps by PARQUET field id:
+    old name `v` in the file surfaces under the current schema name
+    `quantity` (reference field-id mapping, auron.proto:836-837)."""
+    root = str(tmp_path / "evo")
+    # data file with explicit field-id metadata under the OLD name "v"
+    fields = [pa.field("v", pa.int32(),
+                       metadata={b"PARQUET:field_id": b"2"}),
+              pa.field("name", pa.string(),
+                       metadata={b"PARQUET:field_id": b"3"})]
+    t = pa.table({"v": pa.array([7, 8], pa.int32()),
+                  "name": ["a", "b"]}, schema=pa.schema(fields))
+    os.makedirs(f"{root}/data", exist_ok=True)
+    pq.write_table(t, f"{root}/data/A.parquet")
+    mdir = f"{root}/metadata"
+    os.makedirs(mdir)
+    avro.write_container(f"{mdir}/m1.avro", MANIFEST_ENTRY_SCHEMA, [
+        _ice_entry(f"{root}/data/A.parquet", None, 2, 7, 8)])
+    avro.write_container(f"{mdir}/sl1.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/m1.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 1}])
+    meta = {"format-version": 2, "table-uuid": "1" * 32, "location": root,
+            "current-schema-id": 1,
+            "schemas": [{"schema-id": 1, "type": "struct", "fields": [
+                # field id 2 was renamed v -> quantity
+                {"id": 2, "name": "quantity", "required": False,
+                 "type": "int"},
+                {"id": 3, "name": "name", "required": False,
+                 "type": "string"}]}],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "timestamp-ms": 1,
+                           "manifest-list": f"{mdir}/sl1.avro"}]}
+    with open(f"{mdir}/v1.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("1")
+    got = _collect(LakehouseScan("iceberg", root))
+    assert sorted(got["quantity"].tolist()) == [7, 8]
+    got = _collect(LakehouseScan("iceberg", root,
+                                 projection=("quantity",)))
+    assert list(got.columns) == ["quantity"]
