@@ -145,11 +145,20 @@ def run_query(name: str, session: Session,
 
 def run_all(sf: float = 1.0, num_partitions: int = 1, seed: int = 0,
             skew: float = 0.0, queries: Optional[List[str]] = None,
-            jit: bool = False) -> List[Dict]:
-    tables = generate_cached(sf, seed, skew)
-    session = make_session(tables, num_partitions)
-    names = queries or list(QUERIES)
-    return [run_query(q, session, tables, jit=jit) for q in names]
+            jit: bool = False, raw_strings: bool = False) -> List[Dict]:
+    from auron_tpu import config as _cfg
+    overrides = {}
+    if raw_strings:
+        # stress mode: EVERY string column rides raw byte planes — proves
+        # the no-dictionary representation end-to-end across the suite
+        overrides = {"auron.string.raw.min.distinct": 1,
+                     "auron.string.raw.min.distinct.fraction": 0.0,
+                     "auron.string.raw.max.bytes": 104}
+    with _cfg.conf.scoped(**overrides):
+        tables = generate_cached(sf, seed, skew)
+        session = make_session(tables, num_partitions)
+        names = queries or list(QUERIES)
+        return [run_query(q, session, tables, jit=jit) for q in names]
 
 
 if __name__ == "__main__":
@@ -161,7 +170,8 @@ if __name__ == "__main__":
     p.add_argument("--skew", type=float, default=0.0)
     p.add_argument("--queries", nargs="*", default=None)
     p.add_argument("--jit", action="store_true")
+    p.add_argument("--raw-strings", action="store_true")
     a = p.parse_args()
     for r in run_all(a.sf, a.partitions, skew=a.skew, queries=a.queries,
-                     jit=a.jit):
+                     jit=a.jit, raw_strings=a.raw_strings):
         print(json.dumps(r))

@@ -385,3 +385,13 @@ def test_skewed_join_raw_string_keys():
     want = fact.merge(dim, left_on="k", right_on="j")
     assert len(got) == len(want)
     assert sorted(got["w"].tolist()) == sorted(want["w"].tolist())
+
+
+@pytest.mark.parametrize("q", ["q3", "q42", "q55", "q19", "q52", "q98"])
+def test_tpcds_differential_all_strings_raw(q):
+    """TPC-DS queries with EVERY string column forced onto raw byte planes
+    — the no-dictionary representation end-to-end (joins on string keys,
+    CASE pivots, text predicates via the eager fallback)."""
+    from auron_tpu.tpcds.runner import run_all
+    (res,) = run_all(0.2, 2, raw_strings=True, queries=[q])
+    assert res["match"], res
