@@ -40,8 +40,33 @@ def _pandas_query(fact, dim):
     return out.sort_values("grp").reset_index(drop=True)
 
 
+def _ensure_backend_alive(timeout_s: float = 600.0) -> str:
+    """The axon tunnel occasionally wedges (device init never returns).
+    Probe it in a SUBPROCESS under a watchdog; on a wedge, pin this
+    process to CPU before jax initializes any backend, so the bench always
+    emits its JSON line (labeled with the backend actually used)."""
+    import subprocess
+    import sys
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp;"
+             "float(jnp.arange(4.0).sum());"
+             "print(jax.default_backend())"],
+            capture_output=True, text=True, timeout=timeout_s)
+        backend = out.stdout.strip().splitlines()[-1] if out.stdout else ""
+        if out.returncode == 0 and backend:
+            return backend
+    except subprocess.TimeoutExpired:
+        pass
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    return "cpu-fallback"
+
+
 def main():
     import jax
+    backend = _ensure_backend_alive()
     from auron_tpu.block import TableBlock, round_capacity
     from auron_tpu.expr.nodes import col, lit
     from auron_tpu.ops.sort import SortKey
@@ -132,6 +157,7 @@ def main():
         "unit": "rows/s/chip",
         "latency_s": round(t_latency, 4),
         "vs_baseline": round(t_vanilla / t_engine, 3),
+        "backend": backend,
     }))
 
 

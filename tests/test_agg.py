@@ -168,3 +168,35 @@ def test_decimal_sum_and_arithmetic(rng):
     want = want.sort_values("k").reset_index(drop=True)
     np.testing.assert_allclose(got["total"], want["total"], rtol=1e-12)
     np.testing.assert_allclose(got["mx"], want["mx"], rtol=1e-12)
+
+
+def test_mixed_radix_key_packing_equivalence():
+    """Packed (dict/bool) + unpacked (int/float) group keys produce exactly
+    the groups pandas does — stale codes under NULL slots, radix overflow
+    spill-over to extra operands, and >2^31 product all covered."""
+    import pandas as pd
+    from auron_tpu.block import TableBlock
+    from auron_tpu.ops.aggregate import AggSpec, groupby_sorted
+
+    rng = np.random.default_rng(17)
+    n = 700
+    df = pd.DataFrame({
+        "s1": rng.choice(["a", "b", "c", None], n),
+        "b": rng.random(n) < 0.5,
+        "s2": rng.choice([f"x{i}" for i in range(40)], n),
+        "i": rng.integers(-5, 5, n),  # unbounded: flushes the accumulator
+        "s3": rng.choice(["p", "q"], n),
+        "v": rng.integers(0, 100, n).astype(np.int64),
+    })
+    blk = TableBlock.from_pandas(df)
+    out = groupby_sorted(blk, ["s1", "b", "s2", "i", "s3"],
+                         [(AggSpec("sv", "sum"), blk.columns["v"]),
+                          (AggSpec("c", "count_star"), None)]).to_pandas()
+    want = df.groupby(["s1", "b", "s2", "i", "s3"], dropna=False).agg(
+        sv=("v", "sum"), c=("v", "size")).reset_index()
+    keys = ["s1", "b", "s2", "i", "s3"]
+    got = out.sort_values(keys).reset_index(drop=True)
+    want = want.sort_values(keys).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got["sv"].tolist() == want["sv"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
