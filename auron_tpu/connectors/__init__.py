@@ -96,6 +96,19 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
     filt = _expr_to_arrow_filter(node.predicate)
 
     field_ids = info.get("field_ids") or {}
+    # Iceberg position deletes: delete files are (file_path, pos) tables;
+    # group deleted row ordinals per data file and mask them at read time
+    deleted_pos: Dict[str, Any] = {}
+    for d in info.get("deletes", ()):
+        dt = ds.dataset(d["path"], format=d["format"]).to_table(
+            columns=["file_path", "pos"])
+        fp = dt.column("file_path").to_pylist()
+        pos = dt.column("pos").to_pylist()
+        for p, i in zip(fp, pos):
+            if p.startswith("file://"):
+                p = p[len("file://"):]
+            deleted_pos.setdefault(p, set()).add(int(i))
+
     tables = []
     for f in kept:
         dset = ds.dataset(f["path"], format=f["format"])
@@ -119,11 +132,28 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             cols = [inv.get(c, c) for c in columns
                     if c not in f.get("consts", {})
                     and inv.get(c, c) in dset.schema.names]
-        try:
-            t = dset.to_table(columns=cols,
-                              filter=None if rename else filt)
-        except (pa.lib.ArrowInvalid, KeyError):
-            t = dset.to_table(columns=cols)  # filter names injected cols
+        dels = deleted_pos.get(f["path"])
+        if dels is None and deleted_pos:
+            import os as _os
+            base = _os.path.basename(f["path"])
+            dels = next((v for k, v in deleted_pos.items()
+                         if _os.path.basename(k) == base), None)
+        if dels is not None:
+            # positions are file row ordinals: read unfiltered to keep
+            # alignment, mask deleted rows (residual filter re-applies
+            # on device via the plan's Filter node)
+            t = dset.to_table(columns=cols)
+            keep = np.ones(t.num_rows, np.bool_)
+            idx = np.fromiter((i for i in dels if i < t.num_rows),
+                              np.int64, count=-1)
+            keep[idx] = False
+            t = t.filter(pa.array(keep))
+        else:
+            try:
+                t = dset.to_table(columns=cols,
+                                  filter=None if rename else filt)
+            except (pa.lib.ArrowInvalid, KeyError):
+                t = dset.to_table(columns=cols)  # filter names injected
         if rename:
             t = t.rename_columns([rename.get(n, n) for n in t.column_names])
         consts = {k: v for k, v in f.get("consts", {}).items()

@@ -7,8 +7,8 @@ field-id column mapping (auron.proto:836-837). Here the resolution itself
 is native: metadata JSON -> manifest-list Avro -> manifest Avro (decoded by
 io/avro.py), with snapshot selection (time travel), identity-partition
 value injection, and file-level min/max pruning from the manifest column
-bounds. Merge-on-read (delete files) is detected and rejected loudly —
-copy-on-write tables only, matching the reference's scan-only integration.
+bounds. Merge-on-read POSITION deletes apply as row masks at read time
+(connectors/__init__.py); equality deletes are rejected loudly.
 """
 
 from __future__ import annotations
@@ -117,11 +117,25 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
 
     mlist = _local(snap["manifest-list"], table_path)
     files: List[Dict[str, Any]] = []
+    deletes: List[Dict[str, Any]] = []
     for mf in avro.read_container(mlist):
         if mf.get("content", 0) == 1:
-            raise NotImplementedError(
-                "Iceberg merge-on-read (delete manifests) is not supported "
-                "— copy-on-write tables only")
+            # delete manifest: POSITION delete files apply as row masks at
+            # read time (connectors/__init__.py); equality deletes need
+            # value matching and are rejected loudly
+            for entry in avro.read_container(_local(mf["manifest_path"],
+                                                    table_path)):
+                if entry.get("status") == 2:
+                    continue
+                df = entry["data_file"]
+                if df.get("content", 0) == 2:
+                    raise NotImplementedError(
+                        "Iceberg equality deletes are not supported — "
+                        "position deletes and copy-on-write only")
+                deletes.append({
+                    "path": _local(df["file_path"], table_path),
+                    "format": df.get("file_format", "PARQUET").lower()})
+            continue
         spec_id = mf.get("partition_spec_id", 0)
         identity_cols = {}
         for pf in spec_fields.get(spec_id, []):
@@ -136,7 +150,7 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
             df = entry["data_file"]
             if df.get("content", 0) != 0:
                 raise NotImplementedError(
-                    "Iceberg delete files (merge-on-read) not supported")
+                    "delete files in a DATA manifest (content=0 expected)")
             consts = {}
             part = df.get("partition") or {}
             for pname, src_name in identity_cols.items():
@@ -163,6 +177,7 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
             })
     return {"files": files, "schema": schema_types,
             "field_ids": {f["id"]: f["name"] for f in fields},
+            "deletes": deletes,
             "snapshot_id": snap["snapshot-id"]}
 
 

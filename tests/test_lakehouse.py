@@ -398,3 +398,63 @@ def test_iceberg_field_id_schema_evolution(iceberg_table, tmp_path):
     got = _collect(LakehouseScan("iceberg", root,
                                  projection=("quantity",)))
     assert list(got.columns) == ["quantity"]
+
+
+def test_iceberg_position_deletes(iceberg_table, tmp_path):
+    """Merge-on-read position deletes: a delete manifest masks row
+    ordinals of matching data files (iceberg spec content=1 manifests,
+    positional delete file = (file_path, pos) rows)."""
+    root = iceberg_table
+    mdir = f"{root}/metadata"
+    # delete rows 0 and 2 of file A (values 1 and 3)
+    del_path = f"{root}/data/del1.parquet"
+    pq.write_table(pa.table({
+        "file_path": [f"{root}/data/dt=a/A.parquet"] * 2,
+        "pos": pa.array([0, 2], pa.int64())}), del_path)
+    avro.write_container(f"{mdir}/dm1.avro", MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "snapshot_id": 3, "data_file": {
+            "content": 1, "file_path": del_path,
+            "file_format": "PARQUET", "partition": {"dt": None},
+            "record_count": 2, "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None}}])
+    avro.write_container(f"{mdir}/sl3.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/m2.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 2},
+        {"manifest_path": f"{mdir}/dm1.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 3}])
+    with open(f"{mdir}/v2.metadata.json") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 3, "timestamp-ms": 3000,
+                              "manifest-list": f"{mdir}/sl3.avro"})
+    meta["current-snapshot-id"] = 3
+    with open(f"{mdir}/v3.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("3")
+    got = _collect(LakehouseScan("iceberg", root))
+    # A had [1,2,3]: rows 0,2 deleted -> [2]; C untouched [100,101]
+    assert sorted(got["v"].tolist()) == [2, 100, 101]
+
+
+def test_iceberg_equality_deletes_rejected(iceberg_table):
+    mdir = f"{iceberg_table}/metadata"
+    avro.write_container(f"{mdir}/dm2.avro", MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "snapshot_id": 4, "data_file": {
+            "content": 2, "file_path": "eq.parquet",
+            "file_format": "PARQUET", "partition": {"dt": None},
+            "record_count": 1, "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None}}])
+    avro.write_container(f"{mdir}/sl4.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/dm2.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 4}])
+    with open(f"{mdir}/v2.metadata.json") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 4, "timestamp-ms": 4000,
+                              "manifest-list": f"{mdir}/sl4.avro"})
+    meta["current-snapshot-id"] = 4
+    with open(f"{mdir}/v4.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("4")
+    with pytest.raises(NotImplementedError):
+        _collect(LakehouseScan("iceberg", iceberg_table))
