@@ -96,10 +96,20 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
     filt = _expr_to_arrow_filter(node.predicate)
 
     field_ids = info.get("field_ids") or {}
-    # Iceberg position deletes: delete files are (file_path, pos) tables;
-    # group deleted row ordinals per data file and mask them at read time
+    # Iceberg merge-on-read deletes. POSITION deletes are (file_path, pos)
+    # tables -> per-file row-ordinal masks. EQUALITY deletes are value rows
+    # over the file's equality-id columns -> anti-join masks, applied only
+    # to data files with a LOWER sequence number (spec scoping).
     deleted_pos: Dict[str, Any] = {}
+    eq_deletes = []  # (seq, cols, set of value tuples)
     for d in info.get("deletes", ()):
+        if d.get("kind") == "equality":
+            cols = d["equality_cols"]
+            dt = ds.dataset(d["path"], format=d["format"]).to_table(
+                columns=cols)
+            rows = set(zip(*(dt.column(c).to_pylist() for c in cols)))
+            eq_deletes.append((d.get("seq", 0), cols, rows))
+            continue
         dt = ds.dataset(d["path"], format=d["format"]).to_table(
             columns=["file_path", "pos"])
         fp = dt.column("file_path").to_pylist()
@@ -138,16 +148,32 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             base = _os.path.basename(f["path"])
             dels = next((v for k, v in deleted_pos.items()
                          if _os.path.basename(k) == base), None)
-        if dels is not None:
-            # positions are file row ordinals: read unfiltered to keep
-            # alignment, mask deleted rows (residual filter re-applies
-            # on device via the plan's Filter node)
-            t = dset.to_table(columns=cols)
+        eq_apply = [(ecols, rows) for seq, ecols, rows in eq_deletes
+                    if seq > f.get("seq", 0)]
+        if dels is not None or eq_apply:
+            # deletes need full row alignment / delete-key columns: read
+            # unfiltered with the equality columns included, mask, then
+            # project back (residual filter re-applies on device)
+            read_cols = cols
+            extra: list = []
+            if cols is not None and eq_apply:
+                need = {c for ecols, _ in eq_apply for c in ecols}
+                extra = [c for c in need
+                         if c not in cols and c in dset.schema.names]
+                read_cols = cols + extra
+            t = dset.to_table(columns=read_cols)
             keep = np.ones(t.num_rows, np.bool_)
-            idx = np.fromiter((i for i in dels if i < t.num_rows),
-                              np.int64, count=-1)
-            keep[idx] = False
+            if dels is not None:
+                idx = np.fromiter((i for i in dels if i < t.num_rows),
+                                  np.int64, count=-1)
+                keep[idx] = False
+            for ecols, rows in eq_apply:
+                vals = list(zip(*(t.column(c).to_pylist() for c in ecols)))
+                keep &= np.fromiter((v not in rows for v in vals),
+                                    np.bool_, count=len(vals))
             t = t.filter(pa.array(keep))
+            if extra:
+                t = t.drop_columns(extra)
         else:
             try:
                 t = dset.to_table(columns=cols,

@@ -118,23 +118,34 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
     mlist = _local(snap["manifest-list"], table_path)
     files: List[Dict[str, Any]] = []
     deletes: List[Dict[str, Any]] = []
+
+    def _entry_seq(entry, mf) -> int:
+        # v2 sequence inheritance: a null entry sequence inherits the
+        # manifest's (ADDED entries); v1 files have none -> 0
+        s = entry.get("sequence_number")
+        if s is None:
+            s = mf.get("sequence_number") or mf.get("min_sequence_number")
+        return int(s or 0)
+
     for mf in avro.read_container(mlist):
         if mf.get("content", 0) == 1:
-            # delete manifest: POSITION delete files apply as row masks at
-            # read time (connectors/__init__.py); equality deletes need
-            # value matching and are rejected loudly
+            # delete manifest: POSITION deletes apply as row-ordinal masks,
+            # EQUALITY deletes as anti-joins on the equality-id columns,
+            # both scoped by sequence number (connectors/__init__.py)
             for entry in avro.read_container(_local(mf["manifest_path"],
                                                     table_path)):
                 if entry.get("status") == 2:
                     continue
                 df = entry["data_file"]
-                if df.get("content", 0) == 2:
-                    raise NotImplementedError(
-                        "Iceberg equality deletes are not supported — "
-                        "position deletes and copy-on-write only")
+                eq_ids = df.get("equality_ids") or []
                 deletes.append({
                     "path": _local(df["file_path"], table_path),
-                    "format": df.get("file_format", "PARQUET").lower()})
+                    "format": df.get("file_format", "PARQUET").lower(),
+                    "kind": "equality" if df.get("content") == 2
+                            else "position",
+                    "seq": _entry_seq(entry, mf),
+                    "equality_cols": [by_id[i]["name"] for i in eq_ids
+                                      if i in by_id]})
             continue
         spec_id = mf.get("partition_spec_id", 0)
         identity_cols = {}
@@ -174,6 +185,7 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
                 "consts": consts,
                 "record_count": df.get("record_count"),
                 "bounds": bounds,
+                "seq": _entry_seq(entry, mf),
             })
     return {"files": files, "schema": schema_types,
             "field_ids": {f["id"]: f["name"] for f in fields},

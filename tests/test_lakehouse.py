@@ -45,6 +45,7 @@ MANIFEST_ENTRY_SCHEMA = {
     "type": "record", "name": "manifest_entry", "fields": [
         {"name": "status", "type": "int"},
         {"name": "snapshot_id", "type": ["null", "long"]},
+        {"name": "sequence_number", "type": ["null", "long"]},
         {"name": "data_file", "type": {
             "type": "record", "name": "r2", "fields": [
                 {"name": "content", "type": "int"},
@@ -57,6 +58,8 @@ MANIFEST_ENTRY_SCHEMA = {
                 {"name": "file_size_in_bytes", "type": "long"},
                 {"name": "lower_bounds", "type": ["null", KV]},
                 {"name": "upper_bounds", "type": ["null", KV]},
+                {"name": "equality_ids",
+                 "type": ["null", {"type": "array", "items": "int"}]},
             ]}},
     ]}
 
@@ -436,15 +439,36 @@ def test_iceberg_position_deletes(iceberg_table, tmp_path):
     assert sorted(got["v"].tolist()) == [2, 100, 101]
 
 
-def test_iceberg_equality_deletes_rejected(iceberg_table):
-    mdir = f"{iceberg_table}/metadata"
+def test_iceberg_equality_deletes(iceberg_table, tmp_path):
+    """Equality deletes anti-join on the equality-id columns, scoped by
+    sequence number: rows matching (name='y') vanish from data files with
+    a LOWER sequence; a same-or-higher-sequence data file is untouched."""
+    root = iceberg_table
+    mdir = f"{root}/metadata"
+    eq_path = f"{root}/data/eqdel.parquet"
+    pq.write_table(pa.table({"name": ["y", "r"]}), eq_path)
     avro.write_container(f"{mdir}/dm2.avro", MANIFEST_ENTRY_SCHEMA, [
-        {"status": 1, "snapshot_id": 4, "data_file": {
-            "content": 2, "file_path": "eq.parquet",
+        {"status": 1, "snapshot_id": 4, "sequence_number": 5,
+         "data_file": {
+            "content": 2, "file_path": eq_path,
             "file_format": "PARQUET", "partition": {"dt": None},
-            "record_count": 1, "file_size_in_bytes": 1,
-            "lower_bounds": None, "upper_bounds": None}}])
+            "record_count": 2, "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": [3]}}])
+    # a NEW data file written at sequence 6 (after the delete): kept even
+    # though it contains name='y'
+    dfn = pd.DataFrame({"v": np.array([500], np.int32), "name": ["y"]})
+    pn = f"{root}/data/dt=a/N.parquet"
+    _write_parquet(pn, dfn)
+    new_entry = _ice_entry(pn, "a", 1, 500, 500)
+    new_entry["sequence_number"] = 6
+    avro.write_container(f"{mdir}/m3.avro", MANIFEST_ENTRY_SCHEMA,
+                         [new_entry])
     avro.write_container(f"{mdir}/sl4.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/m2.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 2},
+        {"manifest_path": f"{mdir}/m3.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 4},
         {"manifest_path": f"{mdir}/dm2.avro", "manifest_length": 1,
          "partition_spec_id": 0, "content": 1, "added_snapshot_id": 4}])
     with open(f"{mdir}/v2.metadata.json") as f:
@@ -456,5 +480,11 @@ def test_iceberg_equality_deletes_rejected(iceberg_table):
         json.dump(meta, f)
     with open(f"{mdir}/version-hint.text", "w") as f:
         f.write("4")
-    with pytest.raises(NotImplementedError):
-        _collect(LakehouseScan("iceberg", iceberg_table))
+    got = _collect(LakehouseScan("iceberg", root))
+    # A: [1(x) 2(y) 3(z)] loses y -> [1, 3]; C: [100(r) 101(s)] loses r;
+    # N (seq 6 > delete seq 5): keeps its y row
+    assert sorted(got["v"].tolist()) == [1, 3, 101, 500]
+    # projection that drops the equality column still applies the delete
+    got = _collect(LakehouseScan("iceberg", root, projection=("v",)))
+    assert sorted(got["v"].tolist()) == [1, 3, 101, 500]
+    assert list(got.columns) == ["v"]
