@@ -82,7 +82,9 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
     import pyarrow as pa
     import pyarrow.dataset as ds
 
-    from auron_tpu.io.parquet import (_arrow_to_block, _expr_to_arrow_filter)
+    from auron_tpu.io.parquet import (_arrow_to_block,
+                                      _expr_to_arrow_filter,
+                                      scan_raw_decisions)
     from auron_tpu.ops.join import concat_blocks
 
     info = resolve_table(node.fmt, node.path, **dict(node.options or ()))
@@ -100,7 +102,7 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
     # tables -> per-file row-ordinal masks. EQUALITY deletes are value rows
     # over the file's equality-id columns -> anti-join masks, applied only
     # to data files with a LOWER sequence number (spec scoping).
-    deleted_pos: Dict[str, Any] = {}
+    deleted_pos: Dict[str, Dict[int, int]] = {}  # path -> {pos: seq}
     eq_deletes = []  # (seq, cols, set of value tuples)
     for d in info.get("deletes", ()):
         if d.get("kind") == "equality":
@@ -108,16 +110,21 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             dt = ds.dataset(d["path"], format=d["format"]).to_table(
                 columns=cols)
             rows = set(zip(*(dt.column(c).to_pylist() for c in cols)))
-            eq_deletes.append((d.get("seq", 0), cols, rows))
+            eq_deletes.append((d.get("seq", 0), cols, rows,
+                               d.get("consts") or {}))
             continue
         dt = ds.dataset(d["path"], format=d["format"]).to_table(
             columns=["file_path", "pos"])
         fp = dt.column("file_path").to_pylist()
         pos = dt.column("pos").to_pylist()
+        dseq = d.get("seq", 0)
         for p, i in zip(fp, pos):
-            if p.startswith("file://"):
-                p = p[len("file://"):]
-            deleted_pos.setdefault(p, set()).add(int(i))
+            # re-root recorded data-file paths exactly like the manifest
+            # paths (no basename fallback — same-named files in different
+            # partitions must never share a delete set)
+            p = iceberg._local(p, node.path)
+            cur = deleted_pos.setdefault(p, {})
+            cur[int(i)] = max(cur.get(int(i), 0), dseq)
 
     tables = []
     for f in kept:
@@ -142,14 +149,18 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             cols = [inv.get(c, c) for c in columns
                     if c not in f.get("consts", {})
                     and inv.get(c, c) in dset.schema.names]
-        dels = deleted_pos.get(f["path"])
-        if dels is None and deleted_pos:
-            import os as _os
-            base = _os.path.basename(f["path"])
-            dels = next((v for k, v in deleted_pos.items()
-                         if _os.path.basename(k) == base), None)
-        eq_apply = [(ecols, rows) for seq, ecols, rows in eq_deletes
-                    if seq > f.get("seq", 0)]
+        # position deletes apply to data files with sequence <= delete's
+        # (spec scoping); the path identifies the exact file
+        pos_map = deleted_pos.get(f["path"]) or {}
+        dels = {i for i, s in pos_map.items()
+                if s >= f.get("seq", 0)} or None
+        f_consts = f.get("consts", {})
+        eq_apply = [
+            (ecols, rows) for seq, ecols, rows, dconsts in eq_deletes
+            if seq > f.get("seq", 0)
+            # a partitioned delete file scopes to its own partition; an
+            # unpartitioned (global) one applies everywhere
+            and all(f_consts.get(k) == v for k, v in dconsts.items())]
         if dels is not None or eq_apply:
             # deletes need full row alignment / delete-key columns: read
             # unfiltered with the equality columns included, mask, then
@@ -200,6 +211,7 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
                 f"{node.fmt} table {node.path} has no data files")
 
     n_parts = node.num_partitions
+    raw_cols = scan_raw_decisions(tables)
     out: List[TableBlock] = []
     groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
     for i, item in enumerate(tables):
@@ -209,10 +221,11 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             merged = pa.concat_tables([t for t, _ in grp],
                                       promote_options="permissive") \
                 if len(grp) > 1 else grp[0][0]
-            out.append(_arrow_to_block(merged, grp[0][1]))
+            out.append(_arrow_to_block(merged, grp[0][1], raw_cols))
         else:
-            out.append(concat_blocks([_arrow_to_block(t, c)
+            out.append(concat_blocks([_arrow_to_block(t, c, raw_cols)
                                       for t, c in grp]))
     while len(out) < n_parts:
         out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
-    return out
+    from auron_tpu.io.parquet import apply_residual_predicate
+    return apply_residual_predicate(out, node.predicate)

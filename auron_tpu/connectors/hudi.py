@@ -17,8 +17,12 @@ import os
 from typing import Any, Dict, List
 
 
-def _completed_instants(table_path: str) -> List[str]:
+def _completed_instants(table_path: str):
+    """(sorted completed instants, {(partition, file_id): replace_instant}
+    for file groups replaced by clustering / INSERT OVERWRITE)."""
+    import json
     out = []
+    replaced = {}
     for tl in (os.path.join(table_path, ".hoodie"),
                os.path.join(table_path, ".hoodie", "timeline")):
         if not os.path.isdir(tl):
@@ -26,10 +30,26 @@ def _completed_instants(table_path: str) -> List[str]:
         for name in os.listdir(tl):
             # completed: "<ts>.commit" / "<ts>.replacecommit" (JSON body);
             # 1.x adds "<ts>_<completion-ts>.commit"
-            if name.endswith((".commit", ".replacecommit")) and \
-                    ".inflight" not in name and ".requested" not in name:
-                out.append(name.split(".")[0].split("_")[0])
-    return sorted(set(out))
+            if not name.endswith((".commit", ".replacecommit")) or \
+                    ".inflight" in name or ".requested" in name:
+                continue
+            instant = name.split(".")[0].split("_")[0]
+            out.append(instant)
+            if name.endswith(".replacecommit"):
+                # replaced file groups become invisible from this instant
+                try:
+                    with open(os.path.join(tl, name)) as f:
+                        body = json.load(f)
+                except (OSError, ValueError):
+                    body = {}
+                for part, fids in (body.get("partitionToReplaceFileIds")
+                                   or {}).items():
+                    for fid in fids:
+                        key = (part or ".", fid)
+                        cur = replaced.get(key)
+                        if cur is None or instant > cur:
+                            replaced[key] = instant
+    return sorted(set(out)), replaced
 
 
 def resolve(table_path: str) -> Dict[str, Any]:
@@ -39,7 +59,8 @@ def resolve(table_path: str) -> Dict[str, Any]:
     """
     if not os.path.isdir(os.path.join(table_path, ".hoodie")):
         raise FileNotFoundError(f"{table_path}: no .hoodie timeline")
-    completed = set(_completed_instants(table_path))
+    completed_list, replaced = _completed_instants(table_path)
+    completed = set(completed_list)
     if not completed:
         return {"files": [], "instant": None}
 
@@ -72,7 +93,10 @@ def resolve(table_path: str) -> Dict[str, Any]:
                 groups[key] = (instant, os.path.join(root, name))
 
     files = []
-    for (rel, _fid), (_instant, path) in sorted(groups.items()):
+    for (rel, fid), (instant, path) in sorted(groups.items()):
+        rep = replaced.get((rel, fid))
+        if rep is not None and instant <= rep:
+            continue  # file group replaced by clustering/insert_overwrite
         consts = {}
         if rel != ".":
             for seg in rel.split(os.sep):

@@ -50,7 +50,18 @@ def _latest_metadata(table_path: str) -> str:
     metas = [f for f in os.listdir(mdir) if f.endswith(".metadata.json")]
     if not metas:
         raise FileNotFoundError(f"no Iceberg metadata under {mdir}")
-    return os.path.join(mdir, sorted(metas)[-1])
+
+    def _version(name: str):
+        # HadoopTables: v<N>.metadata.json (NOT zero-padded — numeric sort,
+        # else v10 < v9); metastore layout: <00000N>-<uuid>.metadata.json
+        import re
+        m = re.match(r"v(\d+)\.metadata\.json$", name)
+        if m:
+            return (int(m.group(1)), name)
+        m = re.match(r"(\d+)-", name)
+        return (int(m.group(1)) if m else -1, name)
+
+    return os.path.join(mdir, max(metas, key=_version))
 
 
 def _decode_bound(type_name: str, raw: bytes) -> Any:
@@ -131,19 +142,30 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
         if mf.get("content", 0) == 1:
             # delete manifest: POSITION deletes apply as row-ordinal masks,
             # EQUALITY deletes as anti-joins on the equality-id columns,
-            # both scoped by sequence number (connectors/__init__.py)
+            # both scoped by sequence number AND (for partitioned delete
+            # files) by partition (connectors/__init__.py)
+            del_identity = {}
+            for pf in spec_fields.get(mf.get("partition_spec_id", 0), []):
+                if pf.get("transform") == "identity":
+                    src = by_id.get(pf["source-id"])
+                    if src is not None:
+                        del_identity[pf["name"]] = src["name"]
             for entry in avro.read_container(_local(mf["manifest_path"],
                                                     table_path)):
                 if entry.get("status") == 2:
                     continue
                 df = entry["data_file"]
                 eq_ids = df.get("equality_ids") or []
+                part = df.get("partition") or {}
+                consts = {src: part[p] for p, src in del_identity.items()
+                          if part.get(p) is not None}
                 deletes.append({
                     "path": _local(df["file_path"], table_path),
                     "format": df.get("file_format", "PARQUET").lower(),
                     "kind": "equality" if df.get("content") == 2
                             else "position",
                     "seq": _entry_seq(entry, mf),
+                    "consts": consts,
                     "equality_cols": [by_id[i]["name"] for i in eq_ids
                                       if i in by_id]})
             continue

@@ -356,7 +356,11 @@ def _arith(op: str, l: Column, r: Column) -> Column:
                 (not r.dtype.is_decimal and r.dtype.is_float):
             from auron_tpu.expr.cast import cast_column
             from auron_tpu.dtypes import FLOAT64 as _F64
-            cap = int((r if l.dtype.is_decimal else l).values.shape[0])
+            # literal columns are scalar-shaped: take cap from whichever
+            # side actually has a row axis
+            shapes = [c.values.shape for c in (l, r)
+                      if getattr(c.values, "ndim", 0) >= 1]
+            cap = int(shapes[0][0]) if shapes else 1
             lf = cast_column(l, _F64, cap) if l.dtype.is_decimal else l
             rf = cast_column(r, _F64, cap) if r.dtype.is_decimal else r
             return _arith(op, lf, rf)
@@ -510,14 +514,32 @@ def _case_when(expr: N.CaseWhen, block: TableBlock) -> Column:
         if _NUM_ORDER.get(v.dtype.name, -1) > _NUM_ORDER.get(out_t.name, -1):
             out_t = v.dtype
     if any(v.dtype.is_raw_string for v in pool):
-        # mixed raw/dictionary string branches converge on raw planes
+        # mixed raw/dictionary string branches converge on raw planes;
+        # NULL-literal branches (non-string dtype, all-invalid) become
+        # all-NULL raw columns instead of entering the width computation
         from auron_tpu.dtypes import STRING_RAW
         from auron_tpu.expr import strings_raw as SR
+
+        def _is_null_branch(v):
+            return not (v.dtype.is_raw_string or v.dtype.is_string)
+
         W = max(SR.width_words(v.dtype) if v.dtype.is_raw_string
                 else max((SR.max_bytes(v.dict_values) + 3) // 4, 1)
-                for v in pool)
+                for v in pool if not _is_null_branch(v))
         out_t = STRING_RAW(W)
-        cast_pool = [cast_column(v, out_t, block.capacity) for v in pool]
+        cap0 = block.capacity
+
+        def _to_raw(v):
+            if _is_null_branch(v):
+                # only the NULL literal coerces with strings in Spark's
+                # type system — an all-NULL raw column is its raw form
+                empty = jnp.full((cap0, W), jnp.int32(-0x80000000),
+                                 jnp.int32)
+                return Column(empty, jnp.zeros(cap0, jnp.bool_), out_t,
+                              None)
+            return cast_column(v, out_t, cap0)
+
+        cast_pool = [_to_raw(v) for v in pool]
     elif out_t.is_string:
         cast_pool, _merged = S.unify_string_columns(pool)
     else:

@@ -52,11 +52,47 @@ def _convert(e: E.Expr, pc):
 LAST_SCAN_STATS: Dict[str, int] = {}
 
 
-def _arrow_to_block(table, const_cols=None) -> TableBlock:
+def scan_raw_decisions(tables) -> Dict[str, Optional[int]]:
+    """ONE raw-byte-plane promotion decision per string column for a whole
+    scan (every partition block of a table must share a representation —
+    SPMD stacking and concat need identical column shapes). Distincts union
+    across all of the scan's arrow tables before the from_pandas rule
+    (block._raw_promotion_words) is applied."""
+    import pyarrow as pa
+    from auron_tpu.block import _raw_promotion_words
+    per_col: Dict[str, list] = {}
+    totals: Dict[str, int] = {}
+    stringish: Dict[str, bool] = {}
+    for t, _consts in tables:
+        for name in t.column_names:
+            arr = t.column(name).combine_chunks()
+            ty = arr.type
+            is_str = pa.types.is_string(ty) or pa.types.is_large_string(ty) \
+                or pa.types.is_dictionary(ty)
+            stringish[name] = stringish.get(name, True) and is_str
+            if not is_str:
+                continue
+            d = arr if pa.types.is_dictionary(ty) else arr.dictionary_encode()
+            per_col.setdefault(name, []).append(
+                np.asarray(d.dictionary).astype(object))
+            totals[name] = totals.get(name, 0) + len(arr)
+    out: Dict[str, Optional[int]] = {}
+    for name, uniqs in per_col.items():
+        if not stringish.get(name, False):
+            out[name] = None
+            continue
+        uniq = np.unique(np.concatenate(uniqs).astype(str)).astype(object) \
+            if uniqs else np.array([], object)
+        out[name] = _raw_promotion_words(None, name, uniq, totals[name])
+    return out
+
+
+def _arrow_to_block(table, const_cols=None, raw_cols=None) -> TableBlock:
     """Arrow table -> TableBlock directly (no pandas intermediary): values
     land as numpy views/fills, strings dictionary-encode via arrow, nulls
     become validity planes. ``const_cols`` injects hive partition values as
-    constant columns (auron.proto:410-416)."""
+    constant columns (auron.proto:410-416); ``raw_cols`` is the scan-wide
+    byte-plane promotion decision (scan_raw_decisions)."""
     import pyarrow as pa
     n = table.num_rows
     data, dts, validity, dicts = {}, {}, {}, {}
@@ -71,8 +107,11 @@ def _arrow_to_block(table, const_cols=None) -> TableBlock:
                 else arr.dictionary_encode()
             codes = np.asarray(darr.indices.fill_null(0)).astype(np.int32)
             uniq = np.asarray(darr.dictionary).astype(object)
-            from auron_tpu.block import _raw_promotion_words
-            raw_w = _raw_promotion_words(None, name, uniq, n)
+            if raw_cols is not None:
+                raw_w = raw_cols.get(name)
+            else:
+                from auron_tpu.block import _raw_promotion_words
+                raw_w = _raw_promotion_words(None, name, uniq, n)
             if raw_w is not None:
                 # high-cardinality column: raw byte planes at the scan
                 # boundary, same promotion rule as TableBlock.from_pandas
@@ -96,6 +135,19 @@ def _arrow_to_block(table, const_cols=None) -> TableBlock:
         else:
             data[name] = np.full(n, value)
     return TableBlock.from_numpy(data, dts, None, validity, dicts)
+
+
+
+
+def apply_residual_predicate(blocks, predicate):
+    """Scans prune best-effort (arrow filters can be skipped on delete /
+    rename / partition-field paths) — the node's predicate is made
+    AUTHORITATIVE here by AND-ing it into every block's row mask on device
+    (mask-only, zero movement)."""
+    if predicate is None:
+        return blocks
+    from auron_tpu.expr.eval import filter_block
+    return [filter_block(b, predicate) for b in blocks]
 
 
 def resolve_filesystem(paths: Sequence[str]):
@@ -186,6 +238,7 @@ def read_parquet_blocks(node) -> List[TableBlock]:
         tables = [(empty, {})]
     # round-robin row groups over partitions (row-group granularity)
     import pyarrow as pa
+    raw_cols = scan_raw_decisions(tables)
     out: List[TableBlock] = []
     groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
     for i, item in enumerate(tables):
@@ -198,14 +251,14 @@ def read_parquet_blocks(node) -> List[TableBlock]:
         # shares the value; mixed groups materialize per-piece instead
         same = all(c == consts0 for _, c in grp)
         if same:
-            out.append(_arrow_to_block(merged, consts0))
+            out.append(_arrow_to_block(merged, consts0, raw_cols))
         else:
             from auron_tpu.ops.join import concat_blocks
-            out.append(concat_blocks([_arrow_to_block(t, c)
+            out.append(concat_blocks([_arrow_to_block(t, c, raw_cols)
                                       for t, c in grp]))
     while len(out) < n_parts:
         out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
-    return out
+    return apply_residual_predicate(out, node.predicate)
 
 
 def write_parquet(blocks: Sequence[TableBlock], path: str,
@@ -271,6 +324,7 @@ def read_orc_blocks(node) -> List[TableBlock]:
                                   if c in empty.column_names])
         tables = [(empty, {})]
     n_parts = node.num_partitions
+    raw_cols = scan_raw_decisions(tables)
     out: List[TableBlock] = []
     groups: List[List] = [[] for _ in range(min(n_parts, len(tables)))]
     for i, item in enumerate(tables):
@@ -280,13 +334,13 @@ def read_orc_blocks(node) -> List[TableBlock]:
         if len(grp) == 1 or all(c == grp[0][1] for _, c in grp):
             merged = pa.concat_tables([t for t, _ in grp]) \
                 if len(grp) > 1 else grp[0][0]
-            out.append(_arrow_to_block(merged, grp[0][1]))
+            out.append(_arrow_to_block(merged, grp[0][1], raw_cols))
         else:
-            out.append(concat_blocks([_arrow_to_block(t, c)
+            out.append(concat_blocks([_arrow_to_block(t, c, raw_cols)
                                       for t, c in grp]))
     while len(out) < n_parts:
         out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
-    return out
+    return apply_residual_predicate(out, node.predicate)
 
 
 def write_orc(blocks: Sequence[TableBlock], path: str,

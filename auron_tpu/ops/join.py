@@ -580,7 +580,20 @@ def unify_block_dtypes(blocks: Sequence[TableBlock]) -> List[TableBlock]:
         dts = [b.columns[name].dtype for b in blocks]
         if any(d.name != dts[0].name or d.params != dts[0].params
                for d in dts[1:]):
-            targets[name] = union_common_dtype(dts)
+            to = union_common_dtype(dts)
+            if to.is_raw_string:
+                # value-aware widening: a dictionary side may hold strings
+                # longer than any raw side's planes (union_common_dtype
+                # sees only dtypes) — widen to fit the actual values
+                from auron_tpu.dtypes import STRING_RAW
+                from auron_tpu.expr import strings_raw as SR
+                w = to.params[0]
+                for b in blocks:
+                    c = b.columns[name]
+                    if c.dtype.is_string and c.dict_values is not None:
+                        w = max(w, (SR.max_bytes(c.dict_values) + 3) // 4)
+                to = STRING_RAW(w)
+            targets[name] = to
     if not targets:
         return list(blocks)
     out = []

@@ -93,7 +93,14 @@ def make_session(tables: Dict[str, pd.DataFrame],
                  "catalog_returns", "web_sales", "web_returns", "inventory")
         parts = num_partitions if name in facts else 1
         if gen_key is not None:
-            bkey = (gen_key, name, parts)
+            # the string representation is part of the block identity:
+            # a --raw-strings run must not reuse dictionary-encoded blocks
+            from auron_tpu import config as _c
+            rep = (_c.conf.get(_c.RAW_STRING_MIN_DISTINCT),
+                   _c.conf.get(_c.RAW_STRING_MIN_FRACTION),
+                   _c.conf.get(_c.RAW_STRING_MAX_BYTES),
+                   _c.conf.get(_c.RAW_STRING_ENABLE))
+            bkey = (gen_key, name, parts, rep)
             blocks = _BLOCK_CACHE.get(bkey)
             if blocks is None:
                 s.register_pandas(name, df, num_partitions=parts)

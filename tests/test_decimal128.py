@@ -347,3 +347,18 @@ def test_decimal128_times_int_and_float():
                                [61.725, -1.25, 0.21], rtol=1e-12)
     dd = out.columns["dd"]
     assert dd.dtype.is_decimal
+
+
+def test_decimal_times_float_literal():
+    """decimal column x float LITERAL (scalar-shaped) goes through double
+    arithmetic without crashing on the literal's empty shape."""
+    from auron_tpu.block import TableBlock
+    from auron_tpu.dtypes import DECIMAL64
+    from auron_tpu.expr.eval import project_block
+    from auron_tpu.expr.nodes import col, lit
+    blk = TableBlock.from_numpy(
+        {"d": np.array([150, -250], np.int64)}, {"d": DECIMAL64(10, 2)})
+    out = project_block(blk, [(col("d") * lit(0.5)).alias("x")])
+    assert out.columns["x"].dtype.is_float
+    np.testing.assert_allclose(np.asarray(out.columns["x"].values)[:2],
+                               [0.75, -1.25])

@@ -488,3 +488,71 @@ def test_iceberg_equality_deletes(iceberg_table, tmp_path):
     got = _collect(LakehouseScan("iceberg", root, projection=("v",)))
     assert sorted(got["v"].tolist()) == [1, 3, 101, 500]
     assert list(got.columns) == ["v"]
+
+
+def test_hudi_replacecommit_evicts_file_groups(tmp_path):
+    """Clustering/INSERT OVERWRITE (.replacecommit): replaced file groups
+    must vanish even though their base files still exist on disk."""
+    root = str(tmp_path / "hudi_rc")
+    os.makedirs(f"{root}/.hoodie", exist_ok=True)
+    with open(f"{root}/.hoodie/20240101000000.commit", "w") as f:
+        json.dump({}, f)
+    _write_parquet(f"{root}/dt=a/f1-0_0-1-0_20240101000000.parquet",
+                   pd.DataFrame({"v": np.array([1, 2], np.int64)}))
+    # clustering rewrites group f1 into f9 at t2
+    _write_parquet(f"{root}/dt=a/f9-0_0-1-0_20240102000000.parquet",
+                   pd.DataFrame({"v": np.array([1, 2], np.int64)}))
+    with open(f"{root}/.hoodie/20240102000000.replacecommit", "w") as f:
+        json.dump({"partitionToReplaceFileIds": {"dt=a": ["f1-0"]}}, f)
+    got = _collect(LakehouseScan("hudi", root))
+    assert sorted(got["v"].tolist()) == [1, 2]  # not duplicated
+
+
+def test_iceberg_metadata_numeric_version_sort(tmp_path, iceberg_table):
+    from auron_tpu.connectors.iceberg import _latest_metadata
+    mdir = f"{iceberg_table}/metadata"
+    os.remove(f"{mdir}/version-hint.text")
+    # create v3..v10 pointing at the same content as v2
+    with open(f"{mdir}/v2.metadata.json") as f:
+        body = f.read()
+    for v in range(3, 11):
+        with open(f"{mdir}/v{v}.metadata.json", "w") as f:
+            f.write(body)
+    assert _latest_metadata(iceberg_table).endswith("v10.metadata.json")
+
+
+def test_lakehouse_predicate_authoritative_with_deletes(iceberg_table):
+    """The node predicate must hold on OUTPUT rows even when a delete file
+    forces an unfiltered read."""
+    root = iceberg_table
+    mdir = f"{root}/metadata"
+    del_path = f"{root}/data/del2.parquet"
+    pq.write_table(pa.table({
+        "file_path": [f"{root}/data/dt=b/C.parquet"],
+        "pos": pa.array([0], pa.int64())}), del_path)
+    avro.write_container(f"{mdir}/dm3.avro", MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "snapshot_id": 5, "sequence_number": 9, "data_file": {
+            "content": 1, "file_path": del_path,
+            "file_format": "PARQUET", "partition": {"dt": None},
+            "record_count": 1, "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": None}}])
+    avro.write_container(f"{mdir}/sl5.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/m2.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 2},
+        {"manifest_path": f"{mdir}/dm3.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 5}])
+    with open(f"{mdir}/v2.metadata.json") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 5, "timestamp-ms": 5000,
+                              "manifest-list": f"{mdir}/sl5.avro"})
+    meta["current-snapshot-id"] = 5
+    with open(f"{mdir}/v5.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("5")
+    # C=[100,101] loses pos 0 -> [101]; predicate v > 2 must ALSO hold on
+    # the file that was read unfiltered (A stays [3])
+    got = _collect(LakehouseScan("iceberg", root,
+                                 predicate=col("v") > lit(2)))
+    assert sorted(got["v"].tolist()) == [3, 101]

@@ -395,3 +395,52 @@ def test_tpcds_differential_all_strings_raw(q):
     from auron_tpu.tpcds.runner import run_all
     (res,) = run_all(0.2, 2, raw_strings=True, queries=[q])
     assert res["match"], res
+
+
+# -- review-found regressions -------------------------------------------------
+
+def test_case_raw_with_null_branch():
+    import jax
+    from auron_tpu.expr.nodes import when
+    vals = np.array(["alpha", "beta", "gamma"], dtype=object)
+    b = raw_block(vals, extra={"v": np.arange(3, dtype=np.int64)})
+    e = when(col("v") < lit(2), col("s")).otherwise(lit(None))
+    out = jax.jit(lambda blk: project_block(blk, [e.alias("o")]))(b)
+    got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+    assert got.tolist()[:2] == ["alpha", "beta"]
+    assert pd.isna(got[2])
+
+
+def test_union_raw_with_longer_dict_strings():
+    from auron_tpu.ops.join import concat_blocks
+    raw = raw_block(np.array(["ab", "cd"], dtype=object))  # W = 1
+    d = TableBlock.from_pandas(
+        pd.DataFrame({"s": ["a-much-longer-string-here", "zz"]}),
+        dtypes={"s": STRING})
+    out = concat_blocks([raw, d]).to_pandas()
+    assert sorted(out["s"].tolist()) == \
+        ["a-much-longer-string-here", "ab", "cd", "zz"]
+
+
+def test_scan_promotion_consistent_across_partitions(tmp_path):
+    """One high-cardinality file + one low-cardinality file in one scan
+    must yield ONE representation for the column across partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from auron_tpu.plan import ParquetScan, Session, execute_plan
+    hi = pd.DataFrame({"u": [f"u-{i:05d}" for i in range(300)]})
+    lo = pd.DataFrame({"u": ["a"] * 300})
+    d = tmp_path / "mix"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pandas(hi, preserve_index=False),
+                   str(d / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(lo, preserve_index=False),
+                   str(d / "b.parquet"))
+    with config.conf.scoped(**{"auron.string.raw.min.distinct": 64,
+                               "auron.string.raw.min.distinct.fraction": 0.4}):
+        blocks = execute_plan(ParquetScan((str(d),), num_partitions=2),
+                              Session())
+    kinds = {b.columns["u"].dtype.name for b in blocks}
+    assert len(kinds) == 1, kinds
+    allv = pd.concat([b.to_pandas() for b in blocks])["u"]
+    assert sorted(allv.tolist()) == sorted(hi["u"].tolist() + lo["u"].tolist())
