@@ -263,8 +263,23 @@ def _map_concat(block: TableBlock, out: str, m1: str, m2: str) -> TableBlock:
     # m1's plane — a gather per lane.
     cap, L2 = k2.values.shape
     _, L1 = k1.values.shape
-    keys = jnp.concatenate([k2.values, k1.values], axis=1)
-    vals = jnp.concatenate([v2.values, v1.values], axis=1)
+    # LAST_WIN dedup: m1 entries whose key also lives in m2 are SHADOWED —
+    # drop them (compact kept m1 lanes left) so #len and map iteration see
+    # one entry per key, like Spark
+    lane1 = jax.lax.broadcasted_iota(jnp.int32, (cap, L1), 1)
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, (cap, L2), 1)
+    live1 = lane1 < l1.values.astype(jnp.int32)[:, None]
+    live2 = lane2 < l2.values.astype(jnp.int32)[:, None]
+    dup = jnp.any((k1.values[:, :, None] == k2.values[:, None, :])
+                  & live2[:, None, :], axis=2)
+    keep1 = live1 & ~dup
+    order = jnp.argsort(~keep1, axis=1, stable=True)
+    k1v = jnp.take_along_axis(k1.values, order, axis=1)
+    v1v = jnp.take_along_axis(v1.values, order, axis=1)
+    l1k = jnp.sum(keep1.astype(jnp.int32), axis=1)
+
+    keys = jnp.concatenate([k2.values, k1v], axis=1)
+    vals = jnp.concatenate([v2.values, v1v], axis=1)
     lane = jax.lax.broadcasted_iota(jnp.int32, (cap, L1 + L2), 1)
     len2 = l2.values.astype(jnp.int32)[:, None]
     # m1 entries must sit immediately after m2's live entries: shift left
@@ -272,7 +287,7 @@ def _map_concat(block: TableBlock, out: str, m1: str, m2: str) -> TableBlock:
     src = jnp.clip(src, 0, L1 + L2 - 1)
     keys = jnp.take_along_axis(keys, src, axis=1)
     vals = jnp.take_along_axis(vals, src, axis=1)
-    total = (l1.values.astype(jnp.int32) + l2.values.astype(jnp.int32))
+    total = (l1k + l2.values.astype(jnp.int32))
     from auron_tpu.expr.eval import _combine_validity
     validity = _combine_validity(l1, l2)
     cols = dict(block.columns)

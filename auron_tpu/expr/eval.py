@@ -65,10 +65,17 @@ def evaluate(expr: N.Expr, block: TableBlock) -> Column:
 
 
 def materialize(col: Column, capacity: int) -> Column:
-    """Broadcast scalar-valued columns to full [capacity] arrays."""
+    """Broadcast scalar-valued columns to full [capacity] arrays.
+
+    Plane-valued scalars broadcast along a new row axis: a scalar
+    decimal128 literal is a (2,) limb pair, a scalar raw string a (W,)
+    plane row — both become [capacity, planes]."""
     v = col.values
+    planes = col.dtype.name == "decimal128" or col.dtype.is_raw_string
     if getattr(v, "ndim", 1) == 0 or (hasattr(v, "shape") and v.shape == ()):
         v = jnp.broadcast_to(v, (capacity,))
+    elif planes and getattr(v, "ndim", 2) == 1:
+        v = jnp.broadcast_to(v[None, :], (capacity, v.shape[0]))
     val = col.validity
     if val is not None and (getattr(val, "ndim", 1) == 0 or val.shape == ()):
         val = jnp.broadcast_to(val, (capacity,))
@@ -242,6 +249,18 @@ def _compare(op: str, l: Column, r: Column) -> Column:
         return _compare_raw_strings(op, l, r, validity)
     if l.dtype.is_string or r.dtype.is_string:
         return _compare_strings(op, l, r, validity)
+    if (l.dtype.is_decimal or r.dtype.is_decimal) and \
+            (l.dtype.is_float or r.dtype.is_float):
+        # Spark compares decimal vs double as double — truncating the
+        # float to an integer decimal would flip results (e.g. d > 1.5)
+        from auron_tpu.dtypes import FLOAT64 as _F64
+        shapes = [c.values.shape for c in (l, r)
+                  if getattr(c.values, "ndim", 0) >= 1
+                  and not c.dtype.name == "decimal128"]
+        cap = int(shapes[0][0]) if shapes else 1
+        lf = cast_column(l, _F64, cap) if l.dtype.is_decimal else l
+        rf = cast_column(r, _F64, cap) if r.dtype.is_decimal else r
+        return _compare(op, lf, rf)
     if l.dtype.name == "decimal128" or r.dtype.name == "decimal128":
         if not (l.dtype.is_decimal and r.dtype.is_decimal):
             l, r, _ = _promote_decimal(l, r)
@@ -418,10 +437,17 @@ def _compare_decimal128(op: str, l: Column, r: Column, validity) -> Column:
     from auron_tpu.ops import decimal128 as d128
     s1, s2 = l.dtype.params[1], r.dtype.params[1]
     s = max(s1, s2)
-    lh, ll = d128.mul_pow10(*_decimal_limbs(l), s - s1)
-    rh, rl = d128.mul_pow10(*_decimal_limbs(r), s - s2)
+    # checked rescale: only ONE side rescales (the smaller-scale one); on
+    # i128 overflow that side dominates by sign instead of wrapping
+    lh, ll, lov = d128.mul_pow10_checked(*_decimal_limbs(l), s - s1)
+    rh, rl, rov = d128.mul_pow10_checked(*_decimal_limbs(r), s - s2)
+    lneg = _decimal_limbs(l)[0] < 0
+    rneg = _decimal_limbs(r)[0] < 0
     lt_ = d128.lt(lh, ll, rh, rl)
     eq_ = d128.eq(lh, ll, rh, rl)
+    # overflowed left: |l| huge -> l < r iff l negative; mirrored for right
+    lt_ = jnp.where(lov, lneg, jnp.where(rov, ~rneg, lt_))
+    eq_ = eq_ & ~lov & ~rov
     out = {"Eq": eq_, "NotEq": ~eq_, "Lt": lt_, "LtEq": lt_ | eq_,
            "Gt": ~(lt_ | eq_), "GtEq": ~lt_}[op]
     return Column.of(out, BOOL, validity)
@@ -455,13 +481,15 @@ def _arith_decimal(op: str, l: Column, r: Column, validity) -> Column:
             rv = r.values * np.int64(10 ** (s - s2))
             out = lv + rv if op == "Plus" else lv - rv
             return Column.of(out, out_t, validity)
-        lh, ll = d128.mul_pow10(*_decimal_limbs(l), s - s1)
-        rh, rl = d128.mul_pow10(*_decimal_limbs(r), s - s2)
+        lh, ll, lov = d128.mul_pow10_checked(*_decimal_limbs(l), s - s1)
+        rh, rl, rov = d128.mul_pow10_checked(*_decimal_limbs(r), s - s2)
         fn = d128.add if op == "Plus" else d128.sub
         oh, ol = fn(lh, ll, rh, rl)
         if so < s:  # precision-loss adjustment shrank the scale
             oh, ol = d128.div_pow10_round(oh, ol, s - so)
-        ok = d128.fits_precision(oh, ol, po)
+        # a rescale that exceeds i128 -> NULL (Spark computes such extreme
+        # scale mixes in BigDecimal; the 128-bit intermediate can't)
+        ok = d128.fits_precision(oh, ol, po) & ~lov & ~rov
         return _pack_decimal(oh, ol, out_t, _and_mask(validity, ok))
 
     if op == "Multiply":
@@ -659,6 +687,12 @@ def _scalar_subquery(expr) -> Column:
     b = blocks[0] if len(blocks) == 1 else concat_blocks(list(blocks))
     name = b.names[0]
     c = b.columns[name]
+    import jax.core
+    if not isinstance(b.row_mask, jax.core.Tracer):
+        n = int(np.asarray(jnp.sum(b.row_mask.astype(jnp.int32))))
+        if n > 1:  # Spark: runtime error, not an arbitrary row
+            raise ValueError(
+                f"scalar subquery returned {n} rows (expected at most 1)")
     idx = jnp.argmax(b.row_mask)
     v = c.values[idx]
     have = b.row_mask[idx]

@@ -463,6 +463,20 @@ def _length(block, c: Column) -> Column:
     return S.map_to_values(c, ("length",), lambda s: len(s), INT32)
 
 
+
+def _dedupe_dict(codes, d):
+    """Cross-product dictionaries can contain DUPLICATE strings under
+    different codes (('x','yz') and ('xy','z') both concat to 'xyz');
+    grouping/rank machinery treats codes as identity, so equal strings
+    must share one code."""
+    uniq, inv = np.unique(d.astype(str), return_inverse=True)
+    if len(uniq) == len(d):
+        return codes, d
+    remap = jnp.asarray(inv.astype(np.int32))
+    return jnp.take(remap, jnp.clip(codes, 0, len(d) - 1)), \
+        uniq.astype(object)
+
+
 @register("concat_lit")
 def _concat_lit(block, c: Column, prefix: str = "", suffix: str = "") -> Column:
     return S.map_to_new_dictionary(c, ("concat_lit", prefix, suffix),
@@ -496,6 +510,7 @@ def _concat(block, *cols, sep: str = "") -> Column:
             validity = a.validity
         else:
             validity = a.validity & b.validity
+        codes, d = _dedupe_dict(codes, d)
         return Column(codes, validity, STRING, d)
 
     out = cols[0]
@@ -530,6 +545,7 @@ def _concat_ws(block, *args) -> Column:
             else jnp.ones(cb.shape[0], jnp.bool_)
         codes = jnp.where(va & vb, ca * nB + cb,
                           jnp.where(va, nA * nB + ca, nA * nB + nA + cb))
+        codes, d = _dedupe_dict(codes, d)
         return Column(codes, va | vb, _S, d)
 
     out = cols[0]
@@ -542,6 +558,7 @@ def _concat_ws(block, *args) -> Column:
                         np.array([""], dtype=object)])
     codes = jnp.where(out.validity, out.values,
                       jnp.asarray(len(d) - 1, jnp.int32))
+    codes, d = _dedupe_dict(codes, d)
     return Column(codes.astype(jnp.int32), None, _S, d)
 
 

@@ -165,6 +165,24 @@ def mul_pow10(hi, lo, k: int):
     return mul(hi, lo, jnp.full_like(hi, c_hi), jnp.full_like(lo, c_lo))
 
 
+def mul_pow10_checked(hi, lo, k: int):
+    """x * 10^k with an OVERFLOW flag (x * 10^k outside i128) instead of
+    the silent mod-2^128 wrap — rescales for compares/additions must never
+    flip signs."""
+    if k == 0:
+        return hi, lo, jnp.zeros_like(hi, jnp.bool_)
+    m_hi, m_lo, negf = abs128(hi, lo)
+    limbs = list(_limbs4(m_hi, m_lo))
+    extra = (k * 4) // 32 + 1  # 10^k < 2^(4k) extra bits
+    limbs = limbs + [jnp.zeros_like(limbs[0])] * extra
+    limbs = mul_pow10_mag(limbs, k)
+    oh, ol, over = mag_to_i128(limbs)
+    nh, nl = neg(oh, ol)
+    oh = jnp.where(negf, nh, oh)
+    ol = jnp.where(negf, nl, ol)
+    return oh, ol, over
+
+
 # ---------------------------------------------------------------------------
 # divide by powers of ten (rescale) — digit-serial, branch-free
 # ---------------------------------------------------------------------------

@@ -551,6 +551,23 @@ def union_common_dtype(dts) -> "DataType":
             continue
         if "string" in names:
             raise TypeError(f"union of {out!r} and {d!r}")
+        if "decimal128" in names:
+            if d.is_float or out.is_float:
+                out = FLOAT64
+            else:
+                # Spark findWiderType for decimals: keep every integral
+                # and fractional digit of both sides (int64 counts as 19,0)
+                from auron_tpu.dtypes import (_adjust_precision_scale,
+                                              decimal_type)
+
+                def _ps(t):
+                    return t.params if t.is_decimal else (19, 0)
+                p1, s1 = _ps(d)
+                p2, s2 = _ps(out)
+                s = max(s1, s2)
+                p = max(p1 - s1, p2 - s2) + s
+                out = decimal_type(*_adjust_precision_scale(p, s))
+            continue
         if "decimal64" in names:
             if d.is_float or out.is_float:
                 out = FLOAT64

@@ -393,6 +393,14 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         pass costs ~2 gathers and removes the silent-truncation hazard of a
         guessed capacity. Under tracing the static config factor applies."""
         if node.out_capacity is not None:
+            # overflow regrow grows JOIN_OUT_FACTOR; an explicit capacity
+            # is a HINT, not a guarantee — scale it by the grown factor so
+            # the regrow loop converges instead of re-running unchanged
+            f = config.conf.get(config.JOIN_OUT_FACTOR) \
+                / config.JOIN_OUT_FACTOR.default
+            if f > 1.0:
+                from auron_tpu.block import round_capacity
+                return round_capacity(int(node.out_capacity * f) + 1)
             return node.out_capacity
         import jax.core
         if isinstance(probe_b.row_mask, jax.core.Tracer) or \

@@ -34,7 +34,7 @@ _TYPES = {"int": INT32, "integer": INT32, "bigint": INT64, "long": INT64,
           "boolean": BOOL, "decimal": DECIMAL64(18, 2)}
 
 # scalar functions whose trailing literal arguments are STATIC params
-_PARAM_FNS = {"substring": 1, "substr": 1, "concat_ws": None, "trunc": 1,
+_PARAM_FNS = {"substring": 1, "substr": 1, "trunc": 1,
               "next_day": 1, "round": 1, "bround": 1, "like": 1}
 
 
@@ -169,6 +169,14 @@ def _expr(e) -> E.Expr:
         return chain.end()
     if isinstance(e, A.Fn):
         name = {"substr": "substring"}.get(e.name, e.name)
+        if name == "concat_ws":
+            # SQL puts the SEPARATOR first; the kernel takes it as the
+            # trailing static param
+            sep = _fold_const(e.args[0])
+            if not isinstance(sep, A.Lit):
+                raise NotImplementedError("concat_ws separator expression")
+            return E.func("concat_ws", *[_expr(a) for a in e.args[1:]],
+                          params=(sep.value,))
         n_params = _PARAM_FNS.get(name)
         args = [_expr(a) for a in e.args]
         if n_params is not None:
