@@ -556,3 +556,38 @@ def test_lakehouse_predicate_authoritative_with_deletes(iceberg_table):
     got = _collect(LakehouseScan("iceberg", root,
                                  predicate=col("v") > lit(2)))
     assert sorted(got["v"].tolist()) == [3, 101]
+
+
+def test_iceberg_equality_delete_partition_scoped(iceberg_table):
+    """A delete file written under partition dt=b must not touch rows in
+    dt=a even when values match (spec partition scoping)."""
+    root = iceberg_table
+    mdir = f"{root}/metadata"
+    eq_path = f"{root}/data/eqdel_b.parquet"
+    # 'x' exists in dt=a (v=1) — the dt=b-scoped delete must not remove it
+    pq.write_table(pa.table({"name": ["x", "r"]}), eq_path)
+    avro.write_container(f"{mdir}/dm4.avro", MANIFEST_ENTRY_SCHEMA, [
+        {"status": 1, "snapshot_id": 6, "sequence_number": 7,
+         "data_file": {
+            "content": 2, "file_path": eq_path,
+            "file_format": "PARQUET", "partition": {"dt": "b"},
+            "record_count": 2, "file_size_in_bytes": 1,
+            "lower_bounds": None, "upper_bounds": None,
+            "equality_ids": [3]}}])
+    avro.write_container(f"{mdir}/sl6.avro", MANIFEST_FILE_SCHEMA, [
+        {"manifest_path": f"{mdir}/m2.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 0, "added_snapshot_id": 2},
+        {"manifest_path": f"{mdir}/dm4.avro", "manifest_length": 1,
+         "partition_spec_id": 0, "content": 1, "added_snapshot_id": 6}])
+    with open(f"{mdir}/v2.metadata.json") as f:
+        meta = json.load(f)
+    meta["snapshots"].append({"snapshot-id": 6, "timestamp-ms": 6000,
+                              "manifest-list": f"{mdir}/sl6.avro"})
+    meta["current-snapshot-id"] = 6
+    with open(f"{mdir}/v6.metadata.json", "w") as f:
+        json.dump(meta, f)
+    with open(f"{mdir}/version-hint.text", "w") as f:
+        f.write("6")
+    got = _collect(LakehouseScan("iceberg", root))
+    # dt=a keeps [1(x),2(y),3(z)]; dt=b loses r: [101(s)]
+    assert sorted(got["v"].tolist()) == [1, 2, 3, 101]
