@@ -50,9 +50,30 @@ def _dict_map(dict_values: np.ndarray, key: Tuple, fn: Callable[[str], object],
 
 def map_to_new_dictionary(col: Column, key: Tuple,
                           fn: Callable[[str], str]) -> Column:
-    """string->string function: rewrite the dictionary, keep codes."""
-    new_dict = _dict_map(col.dict_values, key, fn, object)
-    return Column(col.values, col.validity, STRING, new_dict)
+    """string->string function: rewrite the dictionary.
+
+    Non-injective functions (upper('a')/upper('A'), substring, trim...)
+    produce DUPLICATE entries under different codes; grouping and rank
+    machinery treat codes as identity, so equal outputs must share one
+    code — the derived dictionary is deduped and codes remap (cached per
+    (dict, fn) like the dictionary itself)."""
+    cache_key = (id(col.dict_values), "dedup") + key
+    hit = _CACHE.get(cache_key)
+    if hit is None:
+        new_dict = _dict_map(col.dict_values, key, fn, object)
+        uniq, inv = np.unique(new_dict.astype(str), return_inverse=True)
+        if len(uniq) == len(new_dict):
+            hit = ((col.dict_values,), new_dict, None)
+        else:
+            hit = ((col.dict_values,), uniq.astype(object),
+                   inv.astype(np.int32))
+        _CACHE[cache_key] = hit
+    _, d, inv = hit
+    if inv is None:
+        return Column(col.values, col.validity, STRING, d)
+    codes = jnp.take(jnp.asarray(inv),
+                     jnp.clip(col.values, 0, len(inv) - 1))
+    return Column(codes, col.validity, STRING, d)
 
 
 def map_to_values(col: Column, key: Tuple, fn: Callable[[str], object],

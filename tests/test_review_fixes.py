@@ -123,3 +123,19 @@ def test_scalar_subquery_multi_row_raises():
     s.register_pandas("u", pd.DataFrame({"w": np.arange(2, dtype=np.int64)}))
     with pytest.raises(ValueError, match="scalar subquery"):
         s.sql("SELECT v + (SELECT w FROM u) AS x FROM t")
+
+
+def test_derived_dictionary_dedup_grouping():
+    """upper()/substring() are non-injective: equal outputs must form ONE
+    group and count once in count_distinct."""
+    s = Session()
+    s.register_pandas("t", pd.DataFrame({
+        "a": ["abc", "ABC", "Abc", "xyz"],
+        "v": np.arange(4, dtype=np.int64)}))
+    got = s.sql("SELECT upper(a) AS u, COUNT(*) AS n FROM t "
+                "GROUP BY upper(a) ORDER BY u")
+    assert got["u"].tolist() == ["ABC", "XYZ"]
+    assert got["n"].tolist() == [3, 1]
+    got = s.sql("SELECT count_distinct(substr(a, 2, 2)) AS d FROM t")
+    # suffixes: bc, BC, bc, yz -> 3 distinct
+    assert got["d"].tolist() == [3]
