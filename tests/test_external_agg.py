@@ -83,3 +83,35 @@ def test_external_agg_nulls_and_tiny_chunks():
     assert got["c"].tolist() == want["c"].tolist()
     np.testing.assert_allclose(got["s"], want["s"], rtol=1e-7)
     np.testing.assert_allclose(got["a"], want["a"], rtol=1e-7)
+
+
+def test_external_agg_raw_string_keys_decimal_values():
+    """Composition: raw byte-plane group keys + decimal64 sums through the
+    out-of-core path."""
+    from auron_tpu.block import TableBlock
+    from auron_tpu.dtypes import DECIMAL64, STRING_RAW
+    from auron_tpu.expr import strings_raw as SR
+    rng = np.random.default_rng(5)
+    n = 6000
+    keys = np.array([f"acct-{rng.integers(0, 200):05d}" for _ in range(n)],
+                    dtype=object)
+    cents = rng.integers(-10 ** 6, 10 ** 6, n)
+    W = max((SR.max_bytes(keys) + 3) // 4, 1)
+    chunks = []
+    for i in range(0, n, 500):
+        chunks.append(TableBlock.from_numpy(
+            {"g": keys[i:i + 500], "d": cents[i:i + 500].astype(np.int64)},
+            {"g": STRING_RAW(W), "d": DECIMAL64(18, 2)}))
+    staged = StagedTable.from_blocks(chunks)
+    out = aggregate_staged(staged, ["g"],
+                           [("s", "sum", "d"), ("c", "count_star", None)])
+    got = pd.concat([out.block(i).to_pandas()
+                     for i in range(out.num_partitions)], ignore_index=True)
+    want = pd.DataFrame({"g": keys, "c100": cents}).groupby("g").agg(
+        s=("c100", "sum"), c=("c100", "size")).reset_index()
+    got = got.sort_values("g").reset_index(drop=True)
+    want = want.sort_values("g").reset_index(drop=True)
+    assert got["g"].tolist() == want["g"].tolist()
+    assert got["c"].tolist() == want["c"].tolist()
+    np.testing.assert_allclose(got["s"].to_numpy(),
+                               want["s"].to_numpy() / 100.0, rtol=1e-12)
