@@ -59,7 +59,10 @@ def scan_raw_decisions(tables) -> Dict[str, Optional[int]]:
     across all of the scan's arrow tables before the from_pandas rule
     (block._raw_promotion_words) is applied."""
     import pyarrow as pa
+    from auron_tpu import config
     from auron_tpu.block import _raw_promotion_words
+    if not config.conf.get(config.RAW_STRING_ENABLE):
+        return {}
     per_col: Dict[str, list] = {}
     totals: Dict[str, int] = {}
     stringish: Dict[str, bool] = {}
