@@ -89,13 +89,44 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
 
     info = resolve_table(node.fmt, node.path, **dict(node.options or ()))
     files = info["files"]
-    kept = [f for f in files
-            if _survives(node.predicate, f.get("consts", {}),
-                         f.get("bounds", {}))]
+    pks = info.get("primary_keys") or []
+    if pks:
+        # Paimon LSM merge-on-read: a "pruned" file may hold the NEWEST
+        # version (or a delete) of a key whose stale row survives in a kept
+        # file — predicate pruning before the merge resurrects old rows.
+        # Read every live file; the predicate re-applies post-merge on
+        # device (apply_residual_predicate).
+        kept = list(files)
+    else:
+        kept = [f for f in files
+                if _survives(node.predicate, f.get("consts", {}),
+                             f.get("bounds", {}))]
     LAST_SCAN_STATS.update({"files_total": len(files),
                             "files_read": len(kept)})
     columns = list(node.projection) if node.projection else None
     filt = _expr_to_arrow_filter(node.predicate)
+
+    if pks:
+        # group per (partition, bucket) — keys are unique within a bucket
+        groups_pk: Dict[tuple, list] = {}
+        for f in kept:
+            gkey = (tuple(sorted(f.get("consts", {}).items())),
+                    f.get("bucket", 0))
+            groups_pk.setdefault(gkey, []).append(f)
+        tables = []
+        for (ckey, _bucket), fs in sorted(groups_pk.items()):
+            parts = [ds.dataset(f["path"], format=f["format"]).to_table()
+                     for f in fs]
+            merged = paimon.merge_pk_tables(
+                pa.concat_tables(parts, promote_options="permissive")
+                if len(parts) > 1 else parts[0], pks)
+            if columns is not None:
+                merged = merged.select(
+                    [c for c in columns if c in merged.column_names])
+            consts = {k: v for k, v in ckey
+                      if columns is None or k in columns}
+            tables.append((merged, consts))
+        return _tables_to_blocks(tables, kept, columns, node)
 
     field_ids = info.get("field_ids") or {}
     # Iceberg merge-on-read deletes. POSITION deletes are (file_path, pos)
@@ -197,6 +228,19 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
                   if columns is None or k in columns}
         tables.append((t, consts))
 
+    return _tables_to_blocks(tables, files, columns, node)
+
+
+def _tables_to_blocks(tables, files, columns, node) -> List[TableBlock]:
+    """Shared tail: (arrow table, consts) pairs -> partitioned TableBlocks."""
+    import pyarrow as pa
+    import pyarrow.dataset as ds
+
+    from auron_tpu.io.parquet import (_arrow_to_block,
+                                      apply_residual_predicate,
+                                      scan_raw_decisions)
+    from auron_tpu.ops.join import concat_blocks
+
     if not tables:
         # fully pruned: empty block, schema from any file or resolution
         if files:
@@ -227,5 +271,4 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
                                       for t, c in grp]))
     while len(out) < n_parts:
         out.append(out[0].with_mask(np.zeros(out[0].capacity, np.bool_)))
-    from auron_tpu.io.parquet import apply_residual_predicate
     return apply_residual_predicate(out, node.predicate)

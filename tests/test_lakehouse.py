@@ -301,12 +301,87 @@ def test_paimon_snapshot_pin(paimon_table):
     assert sorted(got["v"].tolist()) == [1, 2, 3]
 
 
-def test_paimon_pk_table_rejected(paimon_table):
-    with open(f"{paimon_table}/schema/schema-1", "w") as f:
-        json.dump({"version": 3, "id": 1, "primaryKeys": ["v"],
-                   "fields": []}, f)
-    with pytest.raises(NotImplementedError):
-        _collect(LakehouseScan("paimon", paimon_table))
+def _paimon_pk_rows(ids, seqs, kinds, vals):
+    return pd.DataFrame({
+        "_KEY_id": np.asarray(ids, np.int64),
+        "_SEQUENCE_NUMBER": np.asarray(seqs, np.int64),
+        "_VALUE_KIND": np.asarray(kinds, np.int8),
+        "id": np.asarray(ids, np.int64),
+        "v": np.asarray(vals, np.int64)})
+
+
+@pytest.fixture
+def paimon_pk_table(tmp_path):
+    """Primary-key (LSM) table: base level-1 run + level-0 delta with an
+    update, an update_before/after pair, a delete, and a fresh insert,
+    spread over two buckets."""
+    root = str(tmp_path / "paimon_pk")
+    os.makedirs(f"{root}/schema", exist_ok=True)
+    os.makedirs(f"{root}/snapshot", exist_ok=True)
+    mdir = f"{root}/manifest"
+    with open(f"{root}/schema/schema-0", "w") as f:
+        json.dump({"version": 3, "id": 0, "primaryKeys": ["id"],
+                   "fields": [{"id": 0, "name": "id", "type": "BIGINT"},
+                              {"id": 1, "name": "v", "type": "BIGINT"}]}, f)
+    # bucket 0: base inserts id 1,2,3 (compacted level 1)
+    _write_parquet(f"{root}/bucket-0/data-a.parquet",
+                   _paimon_pk_rows([1, 2, 3], [1, 2, 3], [0, 0, 0],
+                                   [10, 20, 30]))
+    # bucket 0 delta (level 0): -U/+U pair rewrites id=2, -D deletes id=3,
+    # +I adds id=4
+    _write_parquet(f"{root}/bucket-0/data-b.parquet",
+                   _paimon_pk_rows([2, 2, 3, 4], [9, 10, 11, 12],
+                                   [1, 2, 3, 0], [20, 200, 30, 40]))
+    # bucket 1: independent key space
+    _write_parquet(f"{root}/bucket-1/data-c.parquet",
+                   _paimon_pk_rows([7], [5], [0], [70]))
+
+    def entry(name, bucket, level, rows):
+        return {"_KIND": 0, "_PARTITION": b"", "_BUCKET": bucket,
+                "_FILE": {"_FILE_NAME": name, "_FILE_SIZE": 1,
+                          "_ROW_COUNT": rows, "_LEVEL": level}}
+
+    avro.write_container(f"{mdir}/m1.avro", PAIMON_ENTRY_SCHEMA,
+                         [entry("data-a.parquet", 0, 1, 3),
+                          entry("data-b.parquet", 0, 0, 4),
+                          entry("data-c.parquet", 1, 0, 1)])
+    avro.write_container(f"{mdir}/ml1.avro", PAIMON_MLIST_SCHEMA,
+                         [{"_FILE_NAME": "m1.avro", "_FILE_SIZE": 1,
+                           "_NUM_ADDED_FILES": 3}])
+    with open(f"{root}/snapshot/snapshot-1", "w") as f:
+        json.dump({"version": 3, "id": 1, "schemaId": 0,
+                   "baseManifestList": "ml1.avro",
+                   "deltaManifestList": None, "commitKind": "APPEND"}, f)
+    with open(f"{root}/snapshot/LATEST", "w") as f:
+        f.write("1")
+    return root
+
+
+def test_paimon_pk_merge_on_read(paimon_pk_table):
+    """Deduplicate merge engine: max-sequence row wins per key, DELETE and
+    UPDATE_BEFORE winners drop the key, system columns are stripped.
+    (Beyond the reference: PaimonScanSupport.scala:162-171 rejects
+    non-raw-convertible splits and falls back to Spark.)"""
+    got = _collect(LakehouseScan("paimon", paimon_pk_table))
+    assert sorted(got.columns.tolist()) == ["id", "v"]
+    out = dict(zip(got["id"].tolist(), got["v"].tolist()))
+    assert out == {1: 10, 2: 200, 4: 40, 7: 70}
+
+
+def test_paimon_pk_merge_with_predicate(paimon_pk_table):
+    """Predicates never prune PK files pre-merge (a pruned delta could
+    resurrect stale rows); they re-apply after the merge."""
+    got = _collect(LakehouseScan("paimon", paimon_pk_table,
+                                 predicate=col("v") > lit(50)))
+    # v=200 (the post-update value of id=2) and v=70 survive; the stale
+    # v=20/v=30 rows must NOT reappear
+    assert sorted(got["v"].tolist()) == [70, 200]
+
+
+def test_paimon_pk_projection(paimon_pk_table):
+    got = _collect(LakehouseScan("paimon", paimon_pk_table,
+                                 projection=("v",)))
+    assert sorted(got["v"].tolist()) == [10, 40, 70, 200]
 
 
 # -- wire + plan integration --------------------------------------------------
