@@ -128,6 +128,25 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             tables.append((merged, consts))
         return _tables_to_blocks(tables, kept, columns, node)
 
+    if any(f.get("log_files") for f in kept):
+        # Hudi merge-on-read: each file slice (base + ordered log files) is
+        # self-contained (updates stay in their file group), so consts-based
+        # pruning above is safe; the base reads unfiltered and the predicate
+        # re-applies on device after the merge.
+        completed = set(info.get("completed_instants") or ())
+        tables = []
+        for f in kept:
+            base = (ds.dataset(f["path"], format=f["format"]).to_table()
+                    if f.get("path") else None)
+            t = (hudi.merge_file_slice(base, f["log_files"], completed)
+                 if f.get("log_files") else base)
+            if columns is not None:
+                t = t.select([c for c in columns if c in t.column_names])
+            consts = {k: v for k, v in f.get("consts", {}).items()
+                      if columns is None or k in columns}
+            tables.append((t, consts))
+        return _tables_to_blocks(tables, kept, columns, node)
+
     field_ids = info.get("field_ids") or {}
     # Iceberg merge-on-read deletes. POSITION deletes are (file_path, pos)
     # tables -> per-file row-ordinal masks. EQUALITY deletes are value rows

@@ -283,3 +283,19 @@ def write_container(path: str, schema: Dict[str, Any],
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "wb") as f:
         f.write(out.getvalue())
+
+
+def decode_record(schema: Dict[str, Any], data: bytes) -> Any:
+    """Decode ONE schema-shaped value from raw Avro binary (no container).
+
+    Used by the Hudi log-format reader, whose AVRO_DATA_BLOCK content is a
+    sequence of bare binary-encoded records with the writer schema carried
+    in the block header."""
+    return _decode(_resolve_named(schema, {}), io.BytesIO(data))
+
+
+def encode_record(schema: Dict[str, Any], value: Any) -> bytes:
+    """Encode ONE schema-shaped value to raw Avro binary (no container)."""
+    buf = io.BytesIO()
+    _encode(_resolve_named(schema, {}), value, buf)
+    return buf.getvalue()

@@ -208,11 +208,100 @@ def test_hudi_latest_file_slices(hudi_table):
     assert sorted(got["dt"].tolist()) == ["a", "a", "b"]
 
 
-def test_hudi_mor_rejected(hudi_table):
-    with open(f"{hudi_table}/dt=a/.f1-0_20240102000000.log.1", "w") as f:
-        f.write("log")
-    with pytest.raises(NotImplementedError):
-        _collect(LakehouseScan("hudi", hudi_table))
+HUDI_LOG_SCHEMA = {
+    "type": "record", "name": "rec", "fields": [
+        {"name": "_hoodie_record_key", "type": "string"},
+        {"name": "k", "type": ["null", "string"]},
+        {"name": "v", "type": ["null", "long"]},
+        {"name": "_hoodie_is_deleted", "type": "boolean"}]}
+
+
+def _hudi_log_rec(key, v, deleted=False):
+    return {"_hoodie_record_key": key, "k": key, "v": v,
+            "_hoodie_is_deleted": deleted}
+
+
+@pytest.fixture
+def hudi_mor_table(tmp_path):
+    """MOR table: base file at t1 + two log files (t2 update/delete/insert,
+    t3 re-update), an uncommitted log block, and a rolled-back instant."""
+    from auron_tpu.connectors import hudi as H
+    root = str(tmp_path / "hudi_mor")
+    os.makedirs(f"{root}/.hoodie", exist_ok=True)
+    t1, t2, t3 = "20240101000000", "20240102000000", "20240103000000"
+    t_uncommitted, t_rolled = "20240104000000", "20240105000000"
+    with open(f"{root}/.hoodie/{t1}.commit", "w") as f:
+        json.dump({}, f)
+    for ts in (t2, t3, t_rolled):
+        with open(f"{root}/.hoodie/{ts}.deltacommit", "w") as f:
+            json.dump({}, f)
+    _write_parquet(
+        f"{root}/f1-0_0-1-0_{t1}.parquet",
+        pd.DataFrame({"_hoodie_record_key": ["a", "b", "c"],
+                      "k": ["a", "b", "c"],
+                      "v": np.array([1, 2, 3], np.int64)}))
+    # log 1 (t2): update b, delete c, insert d
+    H.write_log_file(f"{root}/.f1-0_{t1}.log.1_0-1-0", [
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t2},
+         "records": [_hudi_log_rec("b", 20), _hudi_log_rec("c", 0, True),
+                     _hudi_log_rec("d", 40)]}])
+    # log 2 (t3): re-update b; plus an UNCOMMITTED block and a ROLLED-BACK
+    # block, both invisible
+    H.write_log_file(f"{root}/.f1-0_{t1}.log.2_0-1-0", [
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t3},
+         "records": [_hudi_log_rec("b", 200)]},
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t_uncommitted},
+         "records": [_hudi_log_rec("a", 999)]},
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t_rolled},
+         "records": [_hudi_log_rec("a", 888)]},
+        {"type": H.BLK_COMMAND,
+         "headers": {H.HDR_TARGET_INSTANT: t_rolled,
+                     H.HDR_COMMAND_TYPE: "0"}}])
+    return root
+
+
+def test_hudi_mor_merge(hudi_mor_table):
+    """Log records override base rows by record key, latest block wins,
+    deletes drop, inserts append; uncommitted + rolled-back blocks are
+    invisible. (Beyond the reference: HudiScanSupport.scala:132 bails on
+    mor table types.)"""
+    got = _collect(LakehouseScan("hudi", hudi_mor_table))
+    out = dict(zip(got["k"].tolist(), got["v"].tolist()))
+    assert out == {"a": 1, "b": 200, "d": 40}
+
+
+def test_hudi_mor_log_only_file_group(tmp_path):
+    """A file group whose first write went straight to a log file."""
+    from auron_tpu.connectors import hudi as H
+    root = str(tmp_path / "hudi_logonly")
+    os.makedirs(f"{root}/.hoodie", exist_ok=True)
+    t1 = "20240101000000"
+    with open(f"{root}/.hoodie/{t1}.deltacommit", "w") as f:
+        json.dump({}, f)
+    H.write_log_file(f"{root}/.f9-0_{t1}.log.1_0-1-0", [
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t1},
+         "records": [_hudi_log_rec("x", 7), _hudi_log_rec("y", 8)]}])
+    got = _collect(LakehouseScan("hudi", root))
+    assert sorted(got["v"].tolist()) == [7, 8]
+
+
+def test_hudi_log_format_roundtrip(tmp_path):
+    from auron_tpu.connectors import hudi as H
+    p = str(tmp_path / "t.log.1")
+    recs = [_hudi_log_rec("k1", 5), _hudi_log_rec("k2", None, True)]
+    H.write_log_file(p, [{"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+                          "headers": {H.HDR_INSTANT: "t"},
+                          "records": recs}])
+    # torn tail must not break the readable prefix
+    with open(p, "ab") as f:
+        f.write(H.LOG_MAGIC + b"\x00\x00\x00\x00\x00\x00\x01\x00trunc")
+    blocks = H.read_log_file(p)
+    assert len(blocks) == 1 and blocks[0]["records"] == recs
 
 
 # -- Paimon -------------------------------------------------------------------
