@@ -31,7 +31,8 @@ def register(name):
     return deco
 
 
-_RAW_NATIVE = {"length", "interval_add"}  # kernels that take planes as-is
+# kernels that take planes as-is (device-native or self-converting)
+_RAW_NATIVE = {"length", "interval_add", "upper", "lower", "substring"}
 
 
 def dispatch_function(expr: N.ScalarFunc, block: TableBlock) -> Column:
@@ -415,8 +416,24 @@ def _str_to_str(name, pyfn):
     return fn
 
 
-_str_to_str("upper", lambda s: s.upper())
-_str_to_str("lower", lambda s: s.lower())
+def _case_fn(name, upper):
+    @register(name)
+    def fn(block, c: Column) -> Column:
+        if c.dtype.is_raw_string:
+            from auron_tpu.expr import strings_raw as SR
+            if SR.planes_all_ascii(c.values):
+                # device-native byte-lane case map: exact on ASCII columns
+                # (UTF8String takes the same byte-wise branch), no host
+                # dictionary materialization
+                return c.with_values(SR.ascii_case_planes(c.values, upper))
+            c = SR.to_dictionary_column(c)  # non-ASCII: Unicode host path
+        return S.map_to_new_dictionary(c, (name,),
+                                       lambda s: getattr(s, name)())
+    return fn
+
+
+_case_fn("upper", True)
+_case_fn("lower", False)
 _str_to_str("trim", lambda s: s.strip())
 _str_to_str("ltrim", lambda s: s.lstrip())
 _str_to_str("rtrim", lambda s: s.rstrip())
@@ -443,6 +460,12 @@ def _space(block, c: Column) -> Column:
 @register("substring")
 def _substring(block, c: Column, pos: int, length: int = 1 << 30) -> Column:
     # Spark substring: 1-based, pos 0 treated as 1, negative counts from end
+    if c.dtype.is_raw_string:
+        from auron_tpu.expr import strings_raw as SR
+        if pos in (0, 1) and length >= 0 and SR.planes_all_ascii(c.values):
+            # prefix substring on ASCII planes: byte mask, stays on device
+            return c.with_values(SR.ascii_prefix_planes(c.values, length))
+        c = SR.to_dictionary_column(c)  # general case: host dictionary
     def sub(s):
         p = pos
         if p > 0:

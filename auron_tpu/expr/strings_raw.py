@@ -199,6 +199,58 @@ def raw_lengths(values):
     return le_words_and_lens(values)[1]
 
 
+def planes_all_ascii(values) -> bool:
+    """Host: True when ``values`` are CONCRETE and every byte is ASCII
+    (< 0x80). Tracers return False — callers keep the exact fallback, so
+    the ASCII device kernels can never silently diverge from Spark's
+    Unicode semantics on non-ASCII text."""
+    import jax.core
+    if isinstance(values, jax.core.Tracer):
+        return False
+    u = np.asarray(values).view(np.uint32) ^ np.uint32(0x80000000)
+    return not bool(np.any(u & np.uint32(0x80808080)))
+
+
+def ascii_case_planes(values, upper: bool):
+    """Device upper/lower over the byte lanes. Exact for ASCII columns
+    (Spark's UTF8String.toUpperCase takes the same byte-wise branch when
+    the string is fully ASCII); callers gate on planes_all_ascii."""
+    import jax
+    u = jax.lax.bitcast_convert_type(jnp.asarray(values), jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    lo, hi = (0x61, 0x7A) if upper else (0x41, 0x5A)
+    out = jnp.zeros_like(u)
+    for shift in (24, 16, 8, 0):
+        b = (u >> shift) & jnp.uint32(0xFF)
+        flip = (b >= lo) & (b <= hi)
+        b = jnp.where(flip, b - 0x20 if upper else b + 0x20, b)
+        out = out | (b << shift)
+    return jax.lax.bitcast_convert_type(out ^ jnp.uint32(0x80000000),
+                                        jnp.int32)
+
+
+def ascii_prefix_planes(values, nbytes: int):
+    """Device: keep the first ``nbytes`` bytes of every row (byte prefix ==
+    character prefix on ASCII columns; callers gate on planes_all_ascii).
+    The tail zeroes out, which IS the raw padding convention."""
+    import jax
+    W = values.shape[1]
+    nbytes = max(int(nbytes), 0)
+    if nbytes >= W * 4:
+        return values
+    u = jax.lax.bitcast_convert_type(jnp.asarray(values), jnp.uint32) \
+        ^ jnp.uint32(0x80000000)
+    m = np.zeros(W, np.uint32)
+    full, r = divmod(nbytes, 4)
+    m[:full] = 0xFFFFFFFF
+    if r:
+        shift = (4 - r) * 8
+        m[full] = np.uint32((0xFFFFFFFF >> shift) << shift)
+    out = u & jnp.asarray(m)[None, :]
+    return jax.lax.bitcast_convert_type(out ^ jnp.uint32(0x80000000),
+                                        jnp.int32)
+
+
 def raw_char_lengths(values):
     """Device CHARACTER count (Spark `length`): UTF-8 bytes that are not
     continuation bytes (10xxxxxx), computed per byte lane."""

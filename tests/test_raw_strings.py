@@ -201,6 +201,58 @@ def test_text_function_fallback():
     assert got.tolist() == ["HELLO", "WORLD", "MIXED"]
 
 
+def test_ascii_case_device_native_stays_raw():
+    """upper/lower on an ASCII raw column run on the byte planes and KEEP
+    the raw representation (no host dictionary materializes)."""
+    vals = np.array(["Hello!", "a-Z/09", "", "zzzz"], dtype=object)
+    for name, pyfn in (("upper", str.upper), ("lower", str.lower)):
+        b = raw_block(vals)
+        out = project_block(b, [func(name, col("s")).alias("o")])
+        c = out.columns["o"]
+        assert c.dtype.is_raw_string  # stayed on device
+        got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+        assert got.tolist() == [pyfn(s) for s in vals]
+
+
+def test_ascii_case_non_ascii_falls_back_exact():
+    vals = np.array(["héLLo", "STRAßE", "ok"], dtype=object)
+    b = raw_block(vals)
+    out = project_block(b, [func("upper", col("s")).alias("o")])
+    assert not out.columns["o"].dtype.is_raw_string  # Unicode host path
+    got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+    assert got.tolist() == [s.upper() for s in vals]
+
+
+def test_substring_prefix_device_native():
+    vals = np.array(["abcdefgh", "ab", "", "abcde"], dtype=object)
+    b = raw_block(vals)
+    out = project_block(b, [func("substring", col("s"),
+                                 params=(1, 3)).alias("o")])
+    assert out.columns["o"].dtype.is_raw_string
+    got = TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+    assert got.tolist() == [s[:3] for s in vals]
+    # general (non-prefix) substring still exact via the dictionary path
+    out2 = project_block(b, [func("substring", col("s"),
+                                  params=(-2, 2)).alias("o")])
+    got2 = TableBlock(out2.columns, b.row_mask).to_pandas()["o"]
+    assert got2.tolist() == [s[max(len(s) - 2, 0):] for s in vals]
+
+
+def test_groupby_on_device_upper_raw():
+    """upper(raw) output feeds group-by directly (equal outputs must share
+    identity on the planes themselves)."""
+    from auron_tpu.ops.aggregate import AggSpec, groupby_sorted
+    vals = np.array(["aa", "AA", "aA", "bb", "Bb"], dtype=object)
+    b = raw_block(vals)
+    p = project_block(b, [func("upper", col("s")).alias("u")])
+    p = TableBlock(p.columns, b.row_mask)
+    res = groupby_sorted(p, ["u"],
+                         [(AggSpec("n", "count"), p.columns["u"])])
+    got = res.to_pandas().sort_values("u").reset_index(drop=True)
+    assert got["u"].tolist() == ["AA", "BB"]
+    assert got["n"].tolist() == [3, 2]
+
+
 def test_length_device_native():
     vals = np.array(["", "a", "abcd", "héllo"], dtype=object)
     b = raw_block(vals)
