@@ -1,0 +1,414 @@
+"""Lakehouse WRITE paths: append commits for Iceberg / Paimon / Hudi.
+
+Beyond the reference's integration depth (its convert providers are
+scan-only; writes stay in the host engine). Each writer produces
+spec-shaped metadata that round-trips through this repo's own native
+resolvers AND follows the public table-format layouts:
+
+* Iceberg (spec v2): parquet data files with `PARQUET:field_id` metadata,
+  manifest Avro -> manifest-list Avro -> a new `v<N>.metadata.json` with an
+  appended snapshot (sequence numbers, identity partition values, per-column
+  min/max bounds so the scan-side pruning engages) + version-hint.text.
+* Paimon: new delta manifest; the new snapshot's BASE manifest list is the
+  previous snapshot's base+delta (compaction-free accumulation, exactly how
+  paimon snapshots chain); `snapshot/LATEST` hint.
+* Hudi (CoW): a new completed `.commit` instant with fresh file groups
+  (`<fileId>_<writeToken>_<instant>.parquet`) — an INSERT; upserts belong
+  to the MOR log-file path (connectors/hudi.py write_log_file).
+
+All writers append-only: existing snapshots/instants stay readable (time
+travel keeps working).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+from auron_tpu.io import avro
+
+# -- shared helpers ------------------------------------------------------------
+
+
+def _iceberg_type(series) -> str:
+    import pandas as pd
+    dt = series.dtype
+    if pd.api.types.is_bool_dtype(dt):
+        return "boolean"
+    if pd.api.types.is_integer_dtype(dt):
+        return "int" if str(dt) in ("int32", "uint16", "int16", "int8",
+                                    "uint8") else "long"
+    if pd.api.types.is_float_dtype(dt):
+        return "float" if str(dt) == "float32" else "double"
+    if pd.api.types.is_datetime64_any_dtype(dt):
+        return "timestamp"
+    return "string"
+
+
+def _partition_groups(df, partition_by: Sequence[str]):
+    """[(consts dict, sub-df without partition cols)] — one per value combo."""
+    if not partition_by:
+        return [({}, df)]
+    out = []
+    for key, g in df.groupby(list(partition_by), sort=True, dropna=False):
+        if not isinstance(key, tuple):
+            key = (key,)
+        consts = dict(zip(partition_by, key))
+        out.append((consts, g.drop(columns=list(partition_by))))
+    return out
+
+
+def _write_parquet(path: str, df, field_ids: Optional[Dict[str, int]] = None):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    t = pa.Table.from_pandas(df, preserve_index=False)
+    if field_ids:
+        fields = [f.with_metadata({b"PARQUET:field_id":
+                                   str(field_ids[f.name]).encode()})
+                  if f.name in field_ids else f for f in t.schema]
+        t = t.cast(pa.schema(fields))
+    pq.write_table(t, path)
+    return os.path.getsize(path), t.num_rows
+
+
+def _part_dirs(consts: Dict[str, Any]) -> str:
+    return "/".join(f"{k}={v}" for k, v in consts.items())
+
+
+# -- Iceberg -------------------------------------------------------------------
+
+_ICE_KV = {"type": "array", "items": {
+    "type": "record", "name": "kv", "fields": [
+        {"name": "key", "type": "int"},
+        {"name": "value", "type": "bytes"}]}}
+
+
+def _ice_avro_type(ice_type: str):
+    return {"string": "string", "int": "int", "long": "long",
+            "float": "float", "double": "double", "boolean": "boolean",
+            "date": "int", "timestamp": "long"}.get(ice_type, "string")
+
+
+def _encode_bound(ice_type: str, v) -> Optional[bytes]:
+    """Inverse of resolve()'s _decode_bound (spec Appendix D)."""
+    try:
+        if ice_type in ("int", "date"):
+            return struct.pack("<i", int(v))
+        if ice_type in ("long", "time", "timestamp", "timestamptz"):
+            return struct.pack("<q", int(v))
+        if ice_type == "float":
+            return struct.pack("<f", float(v))
+        if ice_type == "double":
+            return struct.pack("<d", float(v))
+        if ice_type == "string":
+            return str(v).encode("utf-8")
+    except (ValueError, TypeError, struct.error):
+        return None
+    return None
+
+
+def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
+                   ) -> int:
+    """Append ``df`` as a new Iceberg snapshot; creates the table when the
+    metadata directory is absent. Returns the new snapshot id."""
+    from auron_tpu.connectors import iceberg as I
+
+    mdir = os.path.join(table_path, "metadata")
+    existing = os.path.isdir(mdir) and any(
+        n.endswith(".metadata.json") for n in os.listdir(mdir))
+    if existing:
+        meta_path = I._latest_metadata(table_path)
+        with open(meta_path) as f:
+            meta = json.load(f)
+        import re
+        m = re.match(r"v(\d+)\.metadata\.json$", os.path.basename(meta_path))
+        version = int(m.group(1)) if m else len(meta.get("snapshots", [])) + 1
+        schemas = meta.get("schemas") or [meta["schema"]]
+        cur = meta.get("current-schema-id", 0)
+        schema = next(s for s in schemas if s.get("schema-id", 0) == cur)
+        fields = schema["fields"]
+        specs = meta.get("partition-specs") or \
+            [{"spec-id": 0, "fields": meta.get("partition-spec", [])}]
+        spec = next(s for s in specs
+                    if s["spec-id"] == meta.get("default-spec-id", 0))
+        spec_names = [p["name"] for p in spec["fields"]
+                      if p.get("transform") == "identity"]
+        if partition_by and list(partition_by) != spec_names:
+            raise ValueError(
+                f"partition_by {list(partition_by)} != table spec "
+                f"{spec_names}")
+        partition_by = spec_names
+    else:
+        version = 0
+        fields = [{"id": i + 1, "name": c, "required": False,
+                   "type": _iceberg_type(df[c])}
+                  for i, c in enumerate(df.columns)]
+        by_name = {f["name"]: f for f in fields}
+        spec = {"spec-id": 0, "fields": [
+            {"name": c, "transform": "identity",
+             "source-id": by_name[c]["id"], "field-id": 1000 + i}
+            for i, c in enumerate(partition_by)]}
+        meta = {"format-version": 2,
+                "table-uuid": uuid.uuid4().hex,
+                "location": table_path,
+                "current-schema-id": 0,
+                "schemas": [{"schema-id": 0, "type": "struct",
+                             "fields": fields}],
+                "partition-specs": [spec], "default-spec-id": 0,
+                "last-sequence-number": 0,
+                "snapshots": []}
+    by_name = {f["name"]: f for f in fields}
+    missing = [c for c in df.columns if c not in by_name]
+    if missing:
+        raise ValueError(f"columns {missing} not in the Iceberg schema")
+
+    snaps = meta.get("snapshots", [])
+    snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
+    seq = int(meta.get("last-sequence-number", 0)) + 1
+    field_ids = {f["name"]: f["id"] for f in fields}
+
+    part_fields = [(p["name"], by_name[p["name"]]["type"])
+                   for p in spec["fields"]
+                   if p.get("transform") == "identity"
+                   and p["name"] in by_name]
+    part_schema = {"type": "record", "name": "r102", "fields": [
+        {"name": n, "type": ["null", _ice_avro_type(t)]}
+        for n, t in part_fields]}
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record", "name": "r2", "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": part_schema},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": ["null", _ICE_KV]},
+                    {"name": "upper_bounds", "type": ["null", _ICE_KV]},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ]}}]}
+
+    entries = []
+    for consts, sub in _partition_groups(df, partition_by):
+        rel = os.path.join("data", _part_dirs(consts)) if consts else "data"
+        path = os.path.join(table_path, rel,
+                            f"{uuid.uuid4().hex}.parquet")
+        size, nrows = _write_parquet(path, sub, field_ids)
+        lo, hi = [], []
+        for c in sub.columns:
+            t = by_name[c]["type"]
+            col = sub[c].dropna()
+            if not isinstance(t, str) or len(col) == 0:
+                continue
+            lo_b = _encode_bound(t, col.min())
+            hi_b = _encode_bound(t, col.max())
+            if lo_b is not None and hi_b is not None:
+                lo.append({"key": field_ids[c], "value": lo_b})
+                hi.append({"key": field_ids[c], "value": hi_b})
+        entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "data_file": {
+                "content": 0, "file_path": path, "file_format": "PARQUET",
+                "partition": {k: _py(v) for k, v in consts.items()},
+                "record_count": nrows, "file_size_in_bytes": size,
+                "lower_bounds": lo or None, "upper_bounds": hi or None,
+                "equality_ids": None}})
+
+    os.makedirs(mdir, exist_ok=True)
+    mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
+    avro.write_container(mpath, entry_schema, entries)
+    mf_schema = {"type": "record", "name": "manifest_file", "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "sequence_number", "type": ["null", "long"]},
+        {"name": "min_sequence_number", "type": ["null", "long"]}]}
+    # the new snapshot's manifest list = prior snapshot's manifests + ours
+    rows: List[Dict[str, Any]] = []
+    cur_id = meta.get("current-snapshot-id")
+    prev = next((s for s in snaps if s["snapshot-id"] == cur_id), None)
+    if prev is not None:
+        for r in avro.read_container(
+                I._local(prev["manifest-list"], table_path)):
+            rows.append({
+                "manifest_path": r["manifest_path"],
+                "manifest_length": r.get("manifest_length", 0),
+                "partition_spec_id": r.get("partition_spec_id", 0),
+                "content": r.get("content", 0),
+                "added_snapshot_id": r.get("added_snapshot_id", 0),
+                "sequence_number": r.get("sequence_number"),
+                "min_sequence_number": r.get("min_sequence_number")})
+    rows.append({"manifest_path": mpath,
+                 "manifest_length": os.path.getsize(mpath),
+                 "partition_spec_id": spec["spec-id"], "content": 0,
+                 "added_snapshot_id": snap_id,
+                 "sequence_number": seq, "min_sequence_number": seq})
+    lpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
+    avro.write_container(lpath, mf_schema, rows)
+
+    meta["snapshots"] = snaps + [{
+        "snapshot-id": snap_id, "timestamp-ms": int(time.time() * 1000),
+        "sequence-number": seq, "manifest-list": lpath,
+        "schema-id": meta.get("current-schema-id", 0),
+        "summary": {"operation": "append"}}]
+    meta["current-snapshot-id"] = snap_id
+    meta["last-sequence-number"] = seq
+    new_version = version + 1
+    with open(os.path.join(mdir, f"v{new_version}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    with open(os.path.join(mdir, "version-hint.text"), "w") as f:
+        f.write(str(new_version))
+    return snap_id
+
+
+def _py(v):
+    """numpy scalar -> python (avro encoder takes plain types)."""
+    return v.item() if hasattr(v, "item") else v
+
+
+# -- Paimon --------------------------------------------------------------------
+
+_PAIMON_MLIST = {"type": "record", "name": "manifest_list", "fields": [
+    {"name": "_FILE_NAME", "type": "string"},
+    {"name": "_FILE_SIZE", "type": "long"},
+    {"name": "_NUM_ADDED_FILES", "type": "long"}]}
+
+_PAIMON_ENTRY = {"type": "record", "name": "manifest_entry", "fields": [
+    {"name": "_KIND", "type": "int"},
+    {"name": "_PARTITION", "type": "bytes"},
+    {"name": "_BUCKET", "type": "int"},
+    {"name": "_FILE", "type": {"type": "record", "name": "f", "fields": [
+        {"name": "_FILE_NAME", "type": "string"},
+        {"name": "_FILE_SIZE", "type": "long"},
+        {"name": "_ROW_COUNT", "type": "long"},
+        {"name": "_LEVEL", "type": "int"}]}}]}
+
+_PAIMON_TYPE = {"boolean": "BOOLEAN", "int": "INT", "long": "BIGINT",
+                "float": "FLOAT", "double": "DOUBLE", "string": "STRING",
+                "timestamp": "TIMESTAMP"}
+
+
+def paimon_append(table_path: str, df, partition_by: Sequence[str] = ()
+                  ) -> int:
+    """Append ``df`` as a new Paimon snapshot (append-only table; creates
+    schema-0 when absent). Returns the new snapshot id."""
+    sdir = os.path.join(table_path, "schema")
+    if not os.path.isdir(sdir) or not os.listdir(sdir):
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, "schema-0"), "w") as f:
+            json.dump({"version": 3, "id": 0,
+                       "fields": [{"id": i, "name": c,
+                                   "type": _PAIMON_TYPE[_iceberg_type(df[c])]}
+                                  for i, c in enumerate(df.columns)],
+                       "primaryKeys": [],
+                       "partitionKeys": list(partition_by),
+                       "options": {}}, f)
+
+    from auron_tpu.connectors import paimon as P
+    prev_n = P._latest_snapshot(table_path) \
+        if os.path.isdir(os.path.join(table_path, "snapshot")) else None
+    mdir = os.path.join(table_path, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    entries = []
+    for consts, sub in _partition_groups(df, partition_by):
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(_part_dirs(consts), "bucket-0") if consts \
+            else "bucket-0"
+        path = os.path.join(table_path, rel, name)
+        size, nrows = _write_parquet(path, sub)
+        entries.append({"_KIND": 0, "_PARTITION": b"", "_BUCKET": 0,
+                        "_FILE": {"_FILE_NAME": name, "_FILE_SIZE": size,
+                                  "_ROW_COUNT": nrows, "_LEVEL": 0}})
+    mname = f"manifest-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, mname), _PAIMON_ENTRY, entries)
+    delta_name = f"manifest-list-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, delta_name), _PAIMON_MLIST,
+                         [{"_FILE_NAME": mname, "_FILE_SIZE": 1,
+                           "_NUM_ADDED_FILES": len(entries)}])
+
+    # base list of the new snapshot = prior snapshot's base + delta rows
+    base_rows: List[Dict[str, Any]] = []
+    if prev_n is not None:
+        with open(os.path.join(table_path, "snapshot",
+                               f"snapshot-{prev_n}")) as f:
+            prev = json.load(f)
+        for key in ("baseManifestList", "deltaManifestList"):
+            if prev.get(key):
+                base_rows.extend(
+                    {"_FILE_NAME": r.get("_FILE_NAME") or r.get("fileName"),
+                     "_FILE_SIZE": r.get("_FILE_SIZE", 1),
+                     "_NUM_ADDED_FILES": r.get("_NUM_ADDED_FILES", 0)}
+                    for r in avro.read_container(
+                        os.path.join(mdir, os.path.basename(prev[key]))))
+    base_name = f"manifest-list-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, base_name), _PAIMON_MLIST,
+                         base_rows)
+
+    snap_n = (prev_n or 0) + 1
+    os.makedirs(os.path.join(table_path, "snapshot"), exist_ok=True)
+    with open(os.path.join(table_path, "snapshot",
+                           f"snapshot-{snap_n}"), "w") as f:
+        json.dump({"version": 3, "id": snap_n, "schemaId": 0,
+                   "baseManifestList": base_name,
+                   "deltaManifestList": delta_name,
+                   "commitKind": "APPEND",
+                   "timeMillis": int(time.time() * 1000)}, f)
+    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+        f.write(str(snap_n))
+    return snap_n
+
+
+# -- Hudi ----------------------------------------------------------------------
+
+
+def hudi_append(table_path: str, df, partition_by: Sequence[str] = ()
+                ) -> str:
+    """Insert ``df`` as new file groups under a new completed commit
+    instant (CoW semantics; creates `.hoodie/` when absent). Returns the
+    instant time. Upserts go through the MOR log path instead."""
+    hdir = os.path.join(table_path, ".hoodie")
+    os.makedirs(hdir, exist_ok=True)
+    props = os.path.join(hdir, "hoodie.properties")
+    if not os.path.exists(props):
+        with open(props, "w") as f:
+            f.write("hoodie.table.name=auron\n"
+                    "hoodie.table.type=COPY_ON_WRITE\n")
+    # strictly increasing commit timestamps even within one second
+    existing = [n.split(".")[0].split("_")[0] for n in os.listdir(hdir)
+                if n.endswith((".commit", ".deltacommit", ".replacecommit"))]
+    instant = time.strftime("%Y%m%d%H%M%S") + "000"
+    while instant in existing:
+        instant = str(int(instant) + 1)
+    for consts, sub in _partition_groups(df, partition_by):
+        fid = str(uuid.uuid4())
+        rel = _part_dirs(consts)
+        path = os.path.join(table_path, rel,
+                            f"{fid}_0-1-0_{instant}.parquet")
+        _write_parquet(path, sub)
+    with open(os.path.join(hdir, f"{instant}.commit"), "w") as f:
+        json.dump({"operationType": "INSERT"}, f)
+    return instant
+
+
+_WRITERS = {"iceberg": iceberg_append, "paimon": paimon_append,
+            "hudi": hudi_append}
+
+
+def write_table(fmt: str, table_path: str, df,
+                partition_by: Sequence[str] = ()):
+    if fmt not in _WRITERS:
+        raise NotImplementedError(f"lakehouse write format {fmt}")
+    return _WRITERS[fmt](table_path, df, partition_by)

@@ -115,6 +115,15 @@ class Session:
         self.tables[name] = _dispatch(node, self)
         return self
 
+    def write_lakehouse(self, df, path: str, format: str = "iceberg",
+                        partition_by=()):
+        """Append a pandas DataFrame as a new Iceberg snapshot / Paimon
+        snapshot / Hudi commit (connectors/write.py; creates the table on
+        first write). Returns the new snapshot id / instant. Beyond the
+        reference's scan-only convert providers."""
+        from auron_tpu.connectors.write import write_table
+        return write_table(format, path, df, partition_by=partition_by)
+
     def metrics_report(self) -> str:
         """Formatted per-operator metrics (the Spark SQL metrics tree analog,
         reference NativeHelper.scala:167-199 + metrics push-back). After a

@@ -755,3 +755,89 @@ def test_iceberg_equality_delete_partition_scoped(iceberg_table):
     got = _collect(LakehouseScan("iceberg", root))
     # dt=a keeps [1(x),2(y),3(z)]; dt=b loses r: [101(s)]
     assert sorted(got["v"].tolist()) == [1, 2, 3, 101]
+
+
+# -- write paths (connectors/write.py — beyond the reference's scan-only
+# providers) -------------------------------------------------------------------
+
+def _wdf(lo, hi, dts):
+    n = hi - lo
+    return pd.DataFrame({"dt": dts[:n],
+                         "v": np.arange(lo, hi, dtype=np.int64),
+                         "name": [f"n{i}" for i in range(lo, hi)]})
+
+
+@pytest.mark.parametrize("fmt", ["iceberg", "paimon", "hudi"])
+def test_lakehouse_write_read_roundtrip(fmt, tmp_path):
+    """Two appends -> scan sees both; Iceberg/Paimon time travel still
+    resolves the first snapshot alone."""
+    from auron_tpu.plan import Session
+    root = str(tmp_path / fmt)
+    s = Session()
+    df1 = _wdf(0, 3, ["a", "a", "b"])
+    df2 = _wdf(3, 5, ["b", "c"])
+    snap1 = s.write_lakehouse(df1, root, format=fmt, partition_by=("dt",))
+    s.write_lakehouse(df2, root, format=fmt, partition_by=("dt",))
+    got = _collect(LakehouseScan(fmt, root)).sort_values("v")
+    assert got["v"].tolist() == [0, 1, 2, 3, 4]
+    assert got["dt"].tolist() == ["a", "a", "b", "b", "c"]
+    assert got["name"].tolist() == [f"n{i}" for i in range(5)]
+    if fmt == "iceberg":
+        old = _collect(LakehouseScan(fmt, root,
+                                     options=(("snapshot_id", snap1),)))
+        assert sorted(old["v"].tolist()) == [0, 1, 2]
+    elif fmt == "paimon":
+        old = _collect(LakehouseScan(fmt, root,
+                                     options=(("snapshot", snap1),)))
+        assert sorted(old["v"].tolist()) == [0, 1, 2]
+
+
+def test_iceberg_write_bounds_prune(tmp_path):
+    """Written min/max bounds engage the scan-side file pruning."""
+    from auron_tpu import connectors
+    from auron_tpu.connectors.write import iceberg_append
+    root = str(tmp_path / "ice_w")
+    iceberg_append(root, _wdf(0, 3, ["a", "a", "a"]))
+    iceberg_append(root, _wdf(100, 103, ["a", "a", "a"]))
+    got = _collect(LakehouseScan("iceberg", root,
+                                 predicate=col("v") > lit(50)))
+    assert sorted(got["v"].tolist()) == [100, 101, 102]
+    assert connectors.LAST_SCAN_STATS["files_read"] == 1
+    assert connectors.LAST_SCAN_STATS["files_total"] == 2
+
+
+def test_iceberg_write_then_sql(tmp_path):
+    import auron_tpu.sql  # noqa: F401
+    from auron_tpu.plan import Session
+    root = str(tmp_path / "ice_sql")
+    s = Session()
+    s.write_lakehouse(_wdf(0, 5, ["a", "a", "b", "b", "c"]), root,
+                      format="iceberg", partition_by=("dt",))
+    s.register_lakehouse("t", root, format="iceberg")
+    got = s.sql("SELECT dt, SUM(v) AS sv FROM t GROUP BY dt ORDER BY dt")
+    assert got["dt"].tolist() == ["a", "b", "c"]
+    assert got["sv"].tolist() == [1, 5, 4]
+
+
+def test_hudi_write_then_log_upsert(tmp_path):
+    """A hudi_append base plus a manual MOR log file upsert merge."""
+    from auron_tpu.connectors import hudi as H
+    from auron_tpu.connectors.write import hudi_append
+    root = str(tmp_path / "hudi_w")
+    base = pd.DataFrame({"_hoodie_record_key": ["a", "b"],
+                         "k": ["a", "b"], "v": np.array([1, 2], np.int64)})
+    instant = hudi_append(root, base)
+    # attach a log file to the written file group
+    info = H.resolve(root)
+    bp = info["files"][0]["path"]
+    fid = os.path.basename(bp).split("_")[0]
+    t2 = str(int(instant) + 1)
+    with open(f"{root}/.hoodie/{t2}.deltacommit", "w") as f:
+        json.dump({}, f)
+    H.write_log_file(f"{root}/.{fid}_{instant}.log.1_0-1-0", [
+        {"type": H.BLK_AVRO, "schema": HUDI_LOG_SCHEMA,
+         "headers": {H.HDR_INSTANT: t2},
+         "records": [_hudi_log_rec("b", 20)]}])
+    got = _collect(LakehouseScan("hudi", root))
+    out = dict(zip(got["k"].tolist(), got["v"].tolist()))
+    assert out == {"a": 1, "b": 20}
