@@ -244,6 +244,11 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+CATALOG_REST_TOKEN = ConfigOption(
+    "auron.catalog.rest.token", "", str,
+    "Bearer token for Iceberg REST catalog requests "
+    "(connectors/catalog.py); empty sends no Authorization header.")
+
 RAW_STRING_ENABLE = ConfigOption(
     "auron.string.raw.enable", True, bool,
     "Promote high-cardinality string columns to the raw byte-plane "

@@ -90,8 +90,19 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
     Returns {"files": [{"path", "format", "consts", "record_count",
     "bounds": {col: (lo, hi)}}], "schema": {name: iceberg type},
     "snapshot_id": int}.
+
+    ``table_path`` may be a ``rest://host[:port]/[prefix/]ns/table`` URI —
+    the REST catalog resolves it to the current metadata file
+    (connectors/catalog.py) and everything else proceeds unchanged.
     """
-    with open(_latest_metadata(table_path)) as f:
+    if table_path.startswith("rest://"):
+        from auron_tpu.connectors import catalog
+        meta_loc, _ = catalog.load_table(table_path)
+        # table root = parent of metadata/ (for path re-rooting)
+        table_path = os.path.dirname(os.path.dirname(meta_loc))
+    else:
+        meta_loc = _latest_metadata(table_path)
+    with open(meta_loc) as f:
         meta = json.load(f)
 
     # current schema (v2 keeps a list keyed by current-schema-id)

@@ -841,3 +841,46 @@ def test_hudi_write_then_log_upsert(tmp_path):
     got = _collect(LakehouseScan("hudi", root))
     out = dict(zip(got["k"].tolist(), got["v"].tolist()))
     assert out == {"a": 1, "b": 20}
+
+
+def test_iceberg_rest_catalog(tmp_path):
+    """A rest:// table URI resolves through a live REST catalog server to
+    the current metadata file; scans, snapshots, pruning all unchanged."""
+    import http.server
+    import threading
+
+    from auron_tpu.connectors.write import iceberg_append
+
+    root = str(tmp_path / "ice_rest")
+    iceberg_append(root, pd.DataFrame(
+        {"v": np.arange(4, dtype=np.int64)}))
+    meta_file = sorted(
+        n for n in os.listdir(f"{root}/metadata")
+        if n.endswith(".metadata.json"))[-1]
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            assert self.path == "/v1/namespaces/db/tables/sales", self.path
+            auth = self.headers.get("Authorization")
+            assert auth == "Bearer sekrit", auth
+            body = json.dumps({"metadata-location":
+                               f"file://{root}/metadata/{meta_file}"})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.end_headers()
+            self.wfile.write(body.encode())
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.HTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        from auron_tpu import config
+        uri = f"rest://127.0.0.1:{srv.server_address[1]}/db/sales"
+        with config.conf.scoped_overrides(
+                {"auron.catalog.rest.token": "sekrit"}):
+            got = _collect(LakehouseScan("iceberg", uri))
+        assert sorted(got["v"].tolist()) == [0, 1, 2, 3]
+    finally:
+        srv.shutdown()
