@@ -881,3 +881,241 @@ def _to_timestamp_from_date(block, c: Column) -> Column:
 def _unix_timestamp(block, c: Column) -> Column:
     from auron_tpu.dtypes import INT64 as _I64
     return Column.of(jnp.floor_divide(c.values, 1_000_000), _I64, c.validity)
+
+
+# -- remaining ScalarFunction enum built-ins (auron.proto:218-297) ------------
+# Aliases first: the proto routes several DataFusion names onto kernels that
+# already exist here under their Spark spelling.
+
+_REGISTRY["signum"] = _REGISTRY["sign"]
+_REGISTRY["substr"] = _REGISTRY["substring"]
+_REGISTRY["strpos"] = _REGISTRY["locate"]
+_REGISTRY["power"] = _REGISTRY["pow"]
+_REGISTRY["character_length"] = _REGISTRY["length"]
+_REGISTRY["char_length"] = _REGISTRY["length"]
+
+_math1("acosh", jnp.arccosh)
+_math1("asinh", jnp.arcsinh)
+_math1("atanh", jnp.arctanh)
+
+
+@register("log")
+def _log(block, *cols) -> Column:
+    """log(x) = ln(x); log(base, x) = ln(x)/ln(base) (DataFusion Log)."""
+    from auron_tpu.expr.eval import _and_mask, _combine_validity
+    if len(cols) == 1:
+        return _REGISTRY["ln"](block, cols[0])
+    base, x = cols
+    b = base.values.astype(jnp.float64)
+    v = x.values.astype(jnp.float64)
+    ok = (v > 0) & (b > 0) & (b != 1.0)
+    out = jnp.log(jnp.where(v > 0, v, 1.0)) / \
+        jnp.log(jnp.where((b > 0) & (b != 1.0), b, 2.0))
+    return Column.of(out, FLOAT64, _and_mask(_combine_validity(base, x), ok))
+
+
+@register("factorial")
+def _factorial(block, c: Column) -> Column:
+    """factorial(n) for 0<=n<=20 (fits int64), NULL outside — Spark."""
+    import math
+    from auron_tpu.expr.eval import _and_mask
+    table = jnp.asarray([math.factorial(i) for i in range(21)], jnp.int64)
+    n = c.values.astype(jnp.int32)
+    ok = (n >= 0) & (n <= 20)
+    return Column.of(table[jnp.clip(n, 0, 20)], INT64,
+                     _and_mask(c.validity, ok))
+
+
+@register("chr")
+def _chr(block, c: Column) -> Column:
+    """chr(n): the character of n % 256; empty for n <= 0 or n % 256 == 0
+    (Spark Chr; NUL-free by the engine's string contract)."""
+    d = np.array([""] + [chr(i) for i in range(1, 256)], dtype=object)
+    n = c.values.astype(jnp.int64)
+    code = jnp.where(n <= 0, 0, n % 256).astype(jnp.int32)
+    return Column(code, c.validity, STRING, d)
+
+
+_str_to_str("left", lambda s, n: s[:n] if n > 0 else "")
+_str_to_str("right", lambda s, n: s[-n:] if n > 0 else "")
+_str_to_str("btrim",
+            lambda s, chars=None: s.strip(chars) if chars else s.strip())
+
+
+def _len_bytes_fn(name, mult):
+    @register(name)
+    def fn(block, c: Column) -> Column:
+        if c.dtype.is_raw_string:
+            from auron_tpu.expr import strings_raw as SR
+            return Column.of(SR.raw_lengths(c.values) * mult, INT32,
+                             c.validity)
+        return S.map_to_values(c, (name,),
+                               lambda s: len(s.encode("utf-8")) * mult,
+                               INT32)
+    return fn
+
+
+_len_bytes_fn("octet_length", 1)
+_len_bytes_fn("bit_length", 8)
+_RAW_NATIVE.update(("octet_length", "bit_length"))
+
+
+@register("regexp_replace")
+def _regexp_replace(block, c: Column, pattern: str, repl: str,
+                    pos: int = 1) -> Column:
+    """Java-style $N group references translate to python backrefs."""
+    import re as _re
+    rx = _re.compile(pattern)
+    py_repl = _re.sub(r"\$(\d+)", r"\\\1", repl)
+
+    def f(s):
+        if pos <= 1:
+            return rx.sub(py_repl, s)
+        head = s[:pos - 1]
+        return head + rx.sub(py_repl, s[pos - 1:])
+    return S.map_to_new_dictionary(
+        c, ("regexp_replace", pattern, repl, pos), f)
+
+
+@register("regexp_extract")
+def _regexp_extract(block, c: Column, pattern: str, idx: int = 1) -> Column:
+    """First match's group `idx`, empty string when unmatched (Spark)."""
+    import re as _re
+    rx = _re.compile(pattern)
+    return S.map_to_new_dictionary(
+        c, ("regexp_extract", pattern, idx),
+        lambda s: (lambda m: (m.group(idx) or "") if m else "")(rx.search(s)))
+
+
+@register("find_in_set")
+def _find_in_set(block, c: Column, strlist: str) -> Column:
+    """1-based index of the string inside a comma-joined list; 0 when
+    absent or when the probe itself contains a comma (Spark)."""
+    items = strlist.split(",")
+
+    def f(s):
+        if "," in s:
+            return 0
+        try:
+            return items.index(s) + 1
+        except ValueError:
+            return 0
+    return S.map_to_values(c, ("find_in_set", strlist), f, INT32)
+
+
+@register("levenshtein")
+def _levenshtein(block, a: Column, b: Column) -> Column:
+    """Edit distance via the cross-product dictionary (same budget rule as
+    concat: |a| x |b| <= 2^16 precomputed host-side, one device gather)."""
+    from auron_tpu.expr.eval import _combine_validity
+    da, db = a.dict_values, b.dict_values
+    if da is None or db is None:
+        raise NotImplementedError("levenshtein needs two string columns")
+    if len(da) * len(db) > (1 << 16):
+        raise NotImplementedError(
+            f"levenshtein dictionary product {len(da)}x{len(db)} too large")
+
+    def lev(x: str, y: str) -> int:
+        if len(x) < len(y):
+            x, y = y, x
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    table = np.array([lev(str(x), str(y)) for x in da for y in db],
+                     np.int32)
+    codes = (jnp.clip(a.values, 0, len(da) - 1).astype(jnp.int32)
+             * np.int32(len(db))
+             + jnp.clip(b.values, 0, len(db) - 1).astype(jnp.int32))
+    return Column.of(jnp.asarray(table)[codes], INT32,
+                     _combine_validity(a, b))
+
+
+@register("nvl2")
+def _nvl2(block, a: Column, b: Column, c2: Column) -> Column:
+    """nvl2(a, b, c) = if(a is not null, b, c)."""
+    cond = Column.of(a.valid_at() if a.validity is not None
+                     else jnp.ones(block.capacity, jnp.bool_), BOOL)
+    return _REGISTRY["if"](block, cond, b, c2)
+
+
+@register("make_date")
+def _make_date(block, y: Column, m: Column, d: Column) -> Column:
+    """make_date(y, m, d) -> date; NULL on invalid civil dates (round-trip
+    check instead of a month-length table)."""
+    from auron_tpu.expr.eval import _and_mask, _combine_validity
+    yy = y.values.astype(jnp.int64)
+    mm = m.values.astype(jnp.int64)
+    dd = d.values.astype(jnp.int64)
+    rng_ok = (mm >= 1) & (mm <= 12) & (dd >= 1) & (dd <= 31)
+    days = _days_from_civil(yy, jnp.clip(mm, 1, 12), jnp.clip(dd, 1, 31))
+    cy, cm, cd = _civil_from_days(days)
+    ok = rng_ok & (cy == yy) & (cm == mm) & (cd == dd)
+    validity = _and_mask(_combine_validity(y, m), ok)
+    validity = _and_mask(validity, d.valid_at()) \
+        if d.validity is not None else validity
+    return Column.of(days.astype(jnp.int32), DATE32, validity)
+
+
+@register("date_trunc")
+def _date_trunc(block, c: Column, fmt: str) -> Column:
+    """date_trunc(fmt, timestamp) -> timestamp floored at the unit
+    (spark DateTrunc; microsecond storage)."""
+    from auron_tpu.dtypes import TIMESTAMP64
+    us = c.values.astype(jnp.int64)
+    unit = fmt.lower()
+    sizes = {"microsecond": 1, "millisecond": 1_000, "second": 1_000_000,
+             "minute": 60_000_000, "hour": 3_600_000_000,
+             "day": _US_PER_DAY, "dd": _US_PER_DAY}
+    if unit in sizes:
+        out = jnp.floor_divide(us, sizes[unit]) * sizes[unit]
+    elif unit == "week":
+        days = jnp.floor_divide(us, _US_PER_DAY)
+        monday = days - (days + 3) % 7  # 1970-01-01 was a Thursday
+        out = monday * _US_PER_DAY
+    elif unit in ("month", "mon", "mm", "quarter", "year", "yy", "yyyy"):
+        days = jnp.floor_divide(us, _US_PER_DAY)
+        yy_, mm_, _dd = _civil_from_days(days)
+        one = jnp.ones_like(mm_)
+        if unit in ("year", "yy", "yyyy"):
+            d2 = _days_from_civil(yy_, one, one)
+        elif unit == "quarter":
+            d2 = _days_from_civil(yy_, ((mm_ - 1) // 3) * 3 + 1, one)
+        else:
+            d2 = _days_from_civil(yy_, mm_, one)
+        out = d2.astype(jnp.int64) * _US_PER_DAY
+    else:
+        raise NotImplementedError(f"date_trunc unit {fmt!r}")
+    return Column.of(out, TIMESTAMP64, c.validity)
+
+
+@register("hex")
+def _hex(block, c: Column) -> Column:
+    """hex(string) -> utf-8 bytes hex; hex(integer) -> uppercase hex of the
+    64-bit two's-complement value (Spark)."""
+    if c.dtype.is_string or c.dtype.is_raw_string:
+        cc = c
+        if c.dtype.is_raw_string:
+            from auron_tpu.expr import strings_raw as SR
+            cc = SR.to_dictionary_column(c)
+        return S.map_to_new_dictionary(
+            cc, ("hex",), lambda s: s.encode("utf-8").hex().upper())
+    import jax.core
+    if isinstance(c.values, jax.core.Tracer):
+        raise NotImplementedError(
+            "hex(integer) builds a value dictionary — apply it outside the "
+            "jitted region")
+    vals = np.asarray(c.values).astype(np.int64)
+    texts = np.array([format(v & 0xFFFFFFFFFFFFFFFF, "X") for v in vals],
+                     dtype=object)
+    uniq, inv = np.unique(texts.astype(str), return_inverse=True)
+    return Column(jnp.asarray(inv.astype(np.int32)), c.validity, STRING,
+                  uniq.astype(object))
+
+
+_RAW_NATIVE.add("hex")

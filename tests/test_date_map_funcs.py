@@ -255,3 +255,99 @@ def test_sql_interval_mixed_units_where():
     lim = pd.Timestamp("2020-01-01") + pd.DateOffset(months=2, days=10)
     want = dates[dates["d"] < lim]["v"]
     assert sorted(got["v"].tolist()) == sorted(want.tolist())
+
+
+# -- remaining ScalarFunction enum built-ins (auron.proto:218-297) ------------
+
+def _proj1(df, expr, dtypes=None):
+    from auron_tpu import TableBlock
+    from auron_tpu.expr.eval import project_block
+    b = TableBlock.from_pandas(df) if dtypes is None else \
+        TableBlock.from_pandas(df, dtypes)
+    out = project_block(b, [expr.alias("o")])
+    return TableBlock(out.columns, b.row_mask).to_pandas()["o"]
+
+
+def test_enum_builtin_string_kernels():
+    import pandas as pd
+    df = pd.DataFrame({"s": ["Hello World", "  pad  ", "a,b", "", "x$1y"]})
+    got = _proj1(df, func("left", col("s"), params=(3,)))
+    assert got.tolist() == [s[:3] for s in df["s"]]
+    got = _proj1(df, func("right", col("s"), params=(3,)))
+    assert got.tolist() == [s[-3:] if s else "" for s in df["s"]]
+    got = _proj1(df, func("btrim", col("s")))
+    assert got.tolist() == [s.strip() for s in df["s"]]
+    got = _proj1(df, func("octet_length", col("s")))
+    assert got.tolist() == [len(s.encode()) for s in df["s"]]
+    got = _proj1(df, func("bit_length", col("s")))
+    assert got.tolist() == [8 * len(s.encode()) for s in df["s"]]
+    got = _proj1(df, func("regexp_replace", col("s"),
+                          params=("o", "0")))
+    assert got.tolist() == [s.replace("o", "0") for s in df["s"]]
+    got = _proj1(df, func("regexp_extract", col("s"),
+                          params=(r"(\w+) (\w+)", 2)))
+    assert got.tolist() == ["World", "", "", "", ""]
+    got = _proj1(df, func("find_in_set", col("s"),
+                          params=("a,b,Hello World",)))
+    # probe with a comma ("a,b") -> 0 even though it appears in the list
+    assert got.tolist() == [3, 0, 0, 0, 0]
+    got = _proj1(pd.DataFrame({"s": ["b", "ab,cd", "zz"]}),
+                 func("find_in_set", col("s"), params=("ab,b,zz",)))
+    assert got.tolist() == [2, 0, 3]
+    got = _proj1(df, func("hex", col("s")))
+    assert got.tolist() == [s.encode().hex().upper() for s in df["s"]]
+
+
+def test_enum_builtin_levenshtein_chr_factorial():
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"a": ["kitten", "flaw", "", "same"],
+                       "b": ["sitting", "lawn", "abc", "same"]})
+    got = _proj1(df, func("levenshtein", col("a"), col("b")))
+    assert got.tolist() == [3, 2, 3, 0]
+    df2 = pd.DataFrame({"n": np.array([65, 97, 0, -5, 321], np.int64)})
+    got = _proj1(df2, func("chr", col("n")))
+    assert got.tolist() == ["A", "a", "", "", "A"]  # 321 % 256 == 65
+    got = _proj1(df2, func("factorial", col("n")))
+    assert got.tolist()[2] == 1  # 0! = 1
+    assert pd.isna(got.iloc[3]) and pd.isna(got.iloc[4])  # <0 / >20 -> NULL
+    assert pd.isna(_proj1(df2, func("factorial", col("n"))).iloc[4])
+
+
+def test_enum_builtin_log_nvl2_make_date():
+    import numpy as np
+    import pandas as pd
+    df = pd.DataFrame({"x": np.array([8.0, 1.0, -1.0], np.float64),
+                       "b": np.array([2.0, 10.0, 2.0], np.float64)})
+    got = _proj1(df, func("log", col("b"), col("x")))
+    assert abs(got.iloc[0] - 3.0) < 1e-12
+    assert pd.isna(got.iloc[2])  # log of negative -> NULL
+    df2 = pd.DataFrame({"a": pd.array([1, None, 3], dtype="Int64"),
+                        "y": np.array([10, 20, 30], np.int64),
+                        "z": np.array([-1, -2, -3], np.int64)})
+    got = _proj1(df2, func("nvl2", col("a"), col("y"), col("z")))
+    assert got.tolist() == [10, -2, 30]
+    df3 = pd.DataFrame({"y": np.array([2024, 2023, 2023], np.int64),
+                        "m": np.array([2, 2, 13], np.int64),
+                        "d": np.array([29, 29, 1], np.int64)})
+    got = _proj1(df3, func("make_date", col("y"), col("m"), col("d")))
+    assert str(got.iloc[0])[:10] == "2024-02-29"
+    assert pd.isna(got.iloc[1]) and pd.isna(got.iloc[2])  # invalid dates
+
+
+def test_enum_builtin_date_trunc():
+    import numpy as np
+    import pandas as pd
+    ts = pd.to_datetime(["2024-05-17 13:45:33.123456",
+                         "1969-12-31 23:59:59.000000"])
+    df = pd.DataFrame({"t": ts})
+    for unit, pandas_freq in (("hour", "h"), ("day", "D"),
+                              ("minute", "min")):
+        got = _proj1(df, func("date_trunc", col("t"), params=(unit,)))
+        want = ts.floor(pandas_freq)
+        assert pd.to_datetime(got).tolist() == want.tolist(), unit
+    got = _proj1(df, func("date_trunc", col("t"), params=("month",)))
+    assert str(pd.to_datetime(got.iloc[0]))[:10] == "2024-05-01"
+    assert str(pd.to_datetime(got.iloc[1]))[:10] == "1969-12-01"
+    got = _proj1(df, func("date_trunc", col("t"), params=("week",)))
+    assert str(pd.to_datetime(got.iloc[0]))[:10] == "2024-05-13"  # Monday
