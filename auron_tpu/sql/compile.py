@@ -35,7 +35,11 @@ _TYPES = {"int": INT32, "integer": INT32, "bigint": INT64, "long": INT64,
 
 # scalar functions whose trailing literal arguments are STATIC params
 _PARAM_FNS = {"substring": 1, "substr": 1, "trunc": 1,
-              "next_day": 1, "round": 1, "bround": 1, "like": 1}
+              "next_day": 1, "round": 1, "bround": 1, "like": 1,
+              "left": 1, "right": 1, "btrim": 1, "locate": 1, "strpos": 1,
+              "instr": 1, "regexp_replace": 1, "regexp_extract": 1,
+              "find_in_set": 1, "lpad": 1, "rpad": 1, "repeat": 1,
+              "split_part": 1}
 
 
 def _fold_const(v):
@@ -177,6 +181,13 @@ def _expr(e) -> E.Expr:
                 raise NotImplementedError("concat_ws separator expression")
             return E.func("concat_ws", *[_expr(a) for a in e.args[1:]],
                           params=(sep.value,))
+        if name == "date_trunc" and len(e.args) == 2:
+            # Spark: date_trunc(fmt, ts) — the format LEADS
+            fmt = _fold_const(e.args[0])
+            if not isinstance(fmt, A.Lit):
+                raise NotImplementedError("date_trunc format expression")
+            return E.func("date_trunc", _expr(e.args[1]),
+                          params=(fmt.value,))
         n_params = _PARAM_FNS.get(name)
         args = [_expr(a) for a in e.args]
         if n_params is not None:
