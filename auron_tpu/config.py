@@ -249,6 +249,20 @@ CATALOG_REST_TOKEN = ConfigOption(
     "Bearer token for Iceberg REST catalog requests "
     "(connectors/catalog.py); empty sends no Authorization header.")
 
+CATALOG_REST_SCHEME = ConfigOption(
+    "auron.catalog.rest.scheme", "http", str,
+    "URL scheme for rest:// catalog requests: http or https. Use https "
+    "whenever a bearer token is configured so credentials never travel "
+    "cleartext (a rest+https:// table URI also forces https).")
+
+CATALOG_REST_PREFIX = ConfigOption(
+    "auron.catalog.rest.prefix", "", str,
+    "Explicit REST catalog prefix. When set, NO path segment of a rest:// "
+    "URI is treated as a prefix — all segments before the table name are "
+    "the (possibly nested) namespace. When unset, a URI with >=3 path "
+    "segments treats its first segment as the prefix (ambiguous for "
+    "nested namespaces without a prefix; set this option instead).")
+
 RAW_STRING_ENABLE = ConfigOption(
     "auron.string.raw.enable", True, bool,
     "Promote high-cardinality string columns to the raw byte-plane "

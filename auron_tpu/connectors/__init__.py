@@ -115,6 +115,11 @@ def read_lakehouse_blocks(node) -> List[TableBlock]:
             groups_pk.setdefault(gkey, []).append(f)
         tables = []
         for (ckey, _bucket), fs in sorted(groups_pk.items()):
+            # merge_pk_tables tiebreaks equal _SEQUENCE_NUMBERs by concat
+            # position (later wins), so order files oldest-first: level
+            # descending (LSM level 0 = newest writes) then path for
+            # determinism — not resolve()'s UUID-random path order.
+            fs = sorted(fs, key=lambda f: (-f.get("level", 0), f["path"]))
             parts = [ds.dataset(f["path"], format=f["format"]).to_table()
                      for f in fs]
             merged = paimon.merge_pk_tables(

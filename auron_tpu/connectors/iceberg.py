@@ -95,7 +95,7 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
     the REST catalog resolves it to the current metadata file
     (connectors/catalog.py) and everything else proceeds unchanged.
     """
-    if table_path.startswith("rest://"):
+    if table_path.startswith(("rest://", "rest+http://", "rest+https://")):
         from auron_tpu.connectors import catalog
         meta_loc, _ = catalog.load_table(table_path)
         # table root = parent of metadata/ (for path re-rooting)

@@ -133,9 +133,11 @@ def resolve(table_path: str,
 def merge_pk_tables(table, pks: List[str]):
     """Deduplicate-merge one (partition, bucket)'s concatenated rows.
 
-    ``table`` is a pyarrow Table holding every live file of the bucket in
-    resolve() order (stable tiebreak for equal sequence numbers: the later
-    row wins). Keys come from the `_KEY_<pk>` system columns when present
+    ``table`` is a pyarrow Table holding every live file of the bucket
+    concatenated oldest-first (callers sort level-descending: LSM level 0
+    holds the newest writes) so the positional tiebreak for equal sequence
+    numbers — the later row wins — reflects write recency.
+    Keys come from the `_KEY_<pk>` system columns when present
     (PK tables always write them), else from the value columns of the same
     name. Returns the merged table with system columns stripped.
     """

@@ -5,10 +5,16 @@ scan-only; writes stay in the host engine). Each writer produces
 spec-shaped metadata that round-trips through this repo's own native
 resolvers AND follows the public table-format layouts:
 
-* Iceberg (spec v2): parquet data files with `PARQUET:field_id` metadata,
-  manifest Avro -> manifest-list Avro -> a new `v<N>.metadata.json` with an
+* Iceberg (spec v2): parquet data files with `PARQUET:field_id` metadata
+  (timestamps coerced to microseconds per spec), manifest Avro ->
+  manifest-list Avro (with added/existing/deleted file+row counts) -> a new
+  `v<N>.metadata.json` carrying the spec-required bookkeeping
+  (last-column-id, last-updated-ms, snapshot-log, sort-orders) with an
   appended snapshot (sequence numbers, identity partition values, per-column
   min/max bounds so the scan-side pruning engages) + version-hint.text.
+  Interop status: self-consistent and spec-shaped; round-tripped through
+  this repo's reader, NOT certified against Spark/pyiceberg/Trino (no such
+  readers in this image).
 * Paimon: new delta manifest; the new snapshot's BASE manifest list is the
   previous snapshot's base+delta (compaction-free accumulation, exactly how
   paimon snapshots chain); `snapshot/LATEST` hint.
@@ -62,11 +68,17 @@ def _partition_groups(df, partition_by: Sequence[str]):
     return out
 
 
-def _write_parquet(path: str, df, field_ids: Optional[Dict[str, int]] = None):
+def _write_parquet(path: str, df, field_ids: Optional[Dict[str, int]] = None,
+                   timestamps_us: bool = False):
     import pyarrow as pa
     import pyarrow.parquet as pq
     os.makedirs(os.path.dirname(path), exist_ok=True)
     t = pa.Table.from_pandas(df, preserve_index=False)
+    if timestamps_us:
+        # Iceberg `timestamp` is microseconds; pandas defaults to ns.
+        fields = [f.with_type(pa.timestamp("us"))
+                  if pa.types.is_timestamp(f.type) else f for f in t.schema]
+        t = t.cast(pa.schema(fields))
     if field_ids:
         fields = [f.with_metadata({b"PARQUET:field_id":
                                    str(field_ids[f.name]).encode()})
@@ -99,7 +111,11 @@ def _encode_bound(ice_type: str, v) -> Optional[bytes]:
     try:
         if ice_type in ("int", "date"):
             return struct.pack("<i", int(v))
-        if ice_type in ("long", "time", "timestamp", "timestamptz"):
+        if ice_type in ("time", "timestamp", "timestamptz"):
+            import pandas as pd
+            # micros since epoch (int(pd.Timestamp) raises TypeError)
+            return struct.pack("<q", pd.Timestamp(v).value // 1000)
+        if ice_type == "long":
             return struct.pack("<q", int(v))
         if ice_type == "float":
             return struct.pack("<f", float(v))
@@ -154,14 +170,20 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
              "source-id": by_name[c]["id"], "field-id": 1000 + i}
             for i, c in enumerate(partition_by)]}
         meta = {"format-version": 2,
-                "table-uuid": uuid.uuid4().hex,
+                "table-uuid": str(uuid.uuid4()),
                 "location": table_path,
                 "current-schema-id": 0,
                 "schemas": [{"schema-id": 0, "type": "struct",
                              "fields": fields}],
                 "partition-specs": [spec], "default-spec-id": 0,
+                "last-partition-id": max(
+                    (p["field-id"] for p in spec["fields"]), default=999),
+                "last-column-id": max(f["id"] for f in fields),
+                "sort-orders": [{"order-id": 0, "fields": []}],
+                "default-sort-order-id": 0,
+                "properties": {},
                 "last-sequence-number": 0,
-                "snapshots": []}
+                "snapshots": [], "snapshot-log": [], "metadata-log": []}
     by_name = {f["name"]: f for f in fields}
     missing = [c for c in df.columns if c not in by_name]
     if missing:
@@ -203,7 +225,7 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
         rel = os.path.join("data", _part_dirs(consts)) if consts else "data"
         path = os.path.join(table_path, rel,
                             f"{uuid.uuid4().hex}.parquet")
-        size, nrows = _write_parquet(path, sub, field_ids)
+        size, nrows = _write_parquet(path, sub, field_ids, timestamps_us=True)
         lo, hi = [], []
         for c in sub.columns:
             t = by_name[c]["type"]
@@ -226,7 +248,14 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
 
     os.makedirs(mdir, exist_ok=True)
     mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
-    avro.write_container(mpath, entry_schema, entries)
+    # external readers expect the Iceberg schema/spec in the OCF header
+    avro.write_container(mpath, entry_schema, entries, extra_meta={
+        "schema": json.dumps({"schema-id": meta.get("current-schema-id", 0),
+                              "type": "struct",
+                              "fields": fields}).encode(),
+        "partition-spec": json.dumps(spec["fields"]).encode(),
+        "partition-spec-id": str(spec["spec-id"]).encode(),
+        "format-version": b"2", "content": b"data"})
     mf_schema = {"type": "record", "name": "manifest_file", "fields": [
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
@@ -234,7 +263,20 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
         {"name": "content", "type": "int"},
         {"name": "added_snapshot_id", "type": "long"},
         {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "min_sequence_number", "type": ["null", "long"]}]}
+        {"name": "min_sequence_number", "type": ["null", "long"]},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+        {"name": "partitions", "type": ["null", {
+            "type": "array", "items": {
+                "type": "record", "name": "field_summary", "fields": [
+                    {"name": "contains_null", "type": "boolean"},
+                    {"name": "contains_nan", "type": ["null", "boolean"]},
+                    {"name": "lower_bound", "type": ["null", "bytes"]},
+                    {"name": "upper_bound", "type": ["null", "bytes"]}]}}]}]}
     # the new snapshot's manifest list = prior snapshot's manifests + ours
     rows: List[Dict[str, Any]] = []
     cur_id = meta.get("current-snapshot-id")
@@ -249,22 +291,49 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                 "content": r.get("content", 0),
                 "added_snapshot_id": r.get("added_snapshot_id", 0),
                 "sequence_number": r.get("sequence_number"),
-                "min_sequence_number": r.get("min_sequence_number")})
+                "min_sequence_number": r.get("min_sequence_number"),
+                "added_files_count": r.get("added_files_count", 0),
+                "existing_files_count": r.get("existing_files_count", 0),
+                "deleted_files_count": r.get("deleted_files_count", 0),
+                "added_rows_count": r.get("added_rows_count", 0),
+                "existing_rows_count": r.get("existing_rows_count", 0),
+                "deleted_rows_count": r.get("deleted_rows_count", 0),
+                "partitions": r.get("partitions")})
     rows.append({"manifest_path": mpath,
                  "manifest_length": os.path.getsize(mpath),
                  "partition_spec_id": spec["spec-id"], "content": 0,
                  "added_snapshot_id": snap_id,
-                 "sequence_number": seq, "min_sequence_number": seq})
+                 "sequence_number": seq, "min_sequence_number": seq,
+                 "added_files_count": len(entries),
+                 "existing_files_count": 0, "deleted_files_count": 0,
+                 "added_rows_count": sum(
+                     e["data_file"]["record_count"] for e in entries),
+                 "existing_rows_count": 0, "deleted_rows_count": 0,
+                 "partitions": None})
     lpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
-    avro.write_container(lpath, mf_schema, rows)
+    avro.write_container(lpath, mf_schema, rows,
+                         extra_meta={"format-version": b"2"})
 
+    now_ms = int(time.time() * 1000)
     meta["snapshots"] = snaps + [{
-        "snapshot-id": snap_id, "timestamp-ms": int(time.time() * 1000),
+        "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq, "manifest-list": lpath,
         "schema-id": meta.get("current-schema-id", 0),
         "summary": {"operation": "append"}}]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
+    meta["last-updated-ms"] = now_ms
+    meta.setdefault("last-column-id", max(f["id"] for f in fields))
+    meta.setdefault("last-partition-id", max(
+        (p["field-id"] for p in spec["fields"]), default=999))
+    meta.setdefault("sort-orders", [{"order-id": 0, "fields": []}])
+    meta.setdefault("default-sort-order-id", 0)
+    meta.setdefault("properties", {})
+    meta["snapshot-log"] = meta.get("snapshot-log", []) + [
+        {"snapshot-id": snap_id, "timestamp-ms": now_ms}]
+    if existing:
+        meta["metadata-log"] = meta.get("metadata-log", []) + [
+            {"metadata-file": meta_path, "timestamp-ms": now_ms}]
     new_version = version + 1
     with open(os.path.join(mdir, f"v{new_version}.metadata.json"), "w") as f:
         json.dump(meta, f)

@@ -23,7 +23,7 @@ import json
 import os
 import struct
 import zlib
-from typing import Any, Dict, Iterable, List
+from typing import Any, Dict, Iterable, List, Optional
 
 MAGIC = b"Obj\x01"
 
@@ -253,8 +253,13 @@ def _encode(schema: Any, v: Any, buf: io.BytesIO) -> None:
 
 def write_container(path: str, schema: Dict[str, Any],
                     records: Iterable[Dict[str, Any]],
-                    codec: str = "deflate") -> None:
-    """Write records as one Avro OCF block (fixture-scale)."""
+                    codec: str = "deflate",
+                    extra_meta: Optional[Dict[str, bytes]] = None) -> None:
+    """Write records as one Avro OCF block (fixture-scale).
+
+    ``extra_meta`` adds file-header metadata keys — Iceberg manifests
+    require "schema"/"partition-spec"/"format-version" keys in the OCF
+    header for external readers."""
     body = io.BytesIO()
     records = list(records)
     for r in records:
@@ -270,6 +275,8 @@ def write_container(path: str, schema: Dict[str, Any],
     out.write(MAGIC)
     meta = {"avro.schema": json.dumps(schema).encode("utf-8"),
             "avro.codec": codec.encode("utf-8")}
+    if extra_meta:
+        meta.update(extra_meta)
     _write_varint(out, len(meta))
     for k, v in meta.items():
         _write_bytes(out, k.encode("utf-8"))

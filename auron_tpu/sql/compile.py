@@ -181,6 +181,19 @@ def _expr(e) -> E.Expr:
                 raise NotImplementedError("concat_ws separator expression")
             return E.func("concat_ws", *[_expr(a) for a in e.args[1:]],
                           params=(sep.value,))
+        if name == "locate" and len(e.args) in (2, 3):
+            # Spark: locate(substr, str[, pos]) — the substring LEADS; the
+            # kernel takes (column, substr, pos) with substr/pos static
+            sub = _fold_const(e.args[0])
+            if not isinstance(sub, A.Lit):
+                raise NotImplementedError("locate substring expression")
+            params = [sub.value]
+            if len(e.args) == 3:
+                pos = _fold_const(e.args[2])
+                if not isinstance(pos, A.Lit):
+                    raise NotImplementedError("locate position expression")
+                params.append(pos.value)
+            return E.func("locate", _expr(e.args[1]), params=tuple(params))
         if name == "date_trunc" and len(e.args) == 2:
             # Spark: date_trunc(fmt, ts) — the format LEADS
             fmt = _fold_const(e.args[0])

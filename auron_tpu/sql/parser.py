@@ -671,6 +671,12 @@ class Parser:
             e = self.expr()
             self.expect("op", ")")
             return e
+        if t.kind == "kw" and t.text in ("left", "right") and \
+                self.peek(1).kind == "op" and self.peek(1).text == "(":
+            # LEFT/RIGHT are join keywords AND Spark string functions;
+            # a following "(" disambiguates to the function form
+            t = Tok("ident", t.text)
+            self.toks[self.i] = t
         if t.kind == "ident":
             self.next()
             if self.accept("op", "("):  # function call

@@ -139,3 +139,158 @@ def test_derived_dictionary_dedup_grouping():
     got = s.sql("SELECT count_distinct(substr(a, 2, 2)) AS d FROM t")
     # suffixes: bc, BC, bc, yz -> 3 distinct
     assert got["d"].tolist() == [3]
+
+
+# ---- round-3 advisor fixes --------------------------------------------------
+
+
+def test_sql_locate_left_right():
+    """Spark locate(substr, str[, pos]) has a LEADING literal; left/right
+    must parse despite being join keywords (ADVICE r2)."""
+    s = Session()
+    s.register_pandas("t", pd.DataFrame({"s": ["north", "oregon", "x"]}))
+    assert s.sql("SELECT locate('or', s) AS r FROM t")["r"].tolist() == \
+        [2, 1, 0]
+    assert s.sql("SELECT locate('or', s, 3) AS r FROM t")["r"].tolist() == \
+        [0, 0, 0]
+    assert s.sql("SELECT left(s, 3) AS r FROM t")["r"].tolist() == \
+        ["nor", "ore", "x"]
+    assert s.sql("SELECT right(s, 2) AS r FROM t")["r"].tolist() == \
+        ["th", "on", "x"]
+    # LEFT JOIN still parses as a join
+    s.register_pandas("u", pd.DataFrame({"s": ["north"], "v": [1]}))
+    assert len(s.sql("SELECT t.s FROM t LEFT JOIN u ON t.s = u.s")) == 3
+
+
+def test_rest_catalog_scheme_and_prefix():
+    from auron_tpu import config
+    from auron_tpu.connectors import catalog
+
+    # default: http, first of >=3 segments is the prefix
+    sch, hp, pre, ns, tbl = catalog._split("rest://h:1/p/ns/t")
+    assert (sch, hp, pre, ns, tbl) == ("http", "h:1", "p", "ns", "t")
+    # rest+https:// forces TLS
+    sch, *_ = catalog._split("rest+https://h:1/ns/t")
+    assert sch == "https"
+    # config scheme applies to plain rest://
+    with config.conf.scoped_overrides({"auron.catalog.rest.scheme":
+                                       "https"}):
+        sch, *_ = catalog._split("rest://h:1/ns/t")
+        assert sch == "https"
+    # explicit empty prefix => nested namespace, no prefix consumed
+    with config.conf.scoped_overrides({"auron.catalog.rest.prefix": ""}):
+        sch, hp, pre, ns, tbl = catalog._split("rest://h/ns1/ns2/t")
+        assert (pre, ns, tbl) == ("", "ns1\x1fns2", "t")
+
+
+def test_iceberg_append_spec_metadata(tmp_path):
+    """metadata.json carries spec-required bookkeeping; manifest list has
+    file/row counts; timestamp bounds encode as microseconds (ADVICE r2)."""
+    import json as _json
+    import os
+    import struct
+
+    from auron_tpu.connectors import iceberg as I
+    from auron_tpu.connectors.write import iceberg_append
+    from auron_tpu.io import avro
+
+    root = str(tmp_path / "ice")
+    ts = pd.to_datetime(["2001-01-01 00:00:01", "2002-06-01"],
+                        format="mixed")
+    iceberg_append(root, pd.DataFrame({"a": [1, 2], "ts": ts}))
+    meta_path = I._latest_metadata(root)
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    for key in ("last-column-id", "last-updated-ms", "snapshot-log",
+                "last-partition-id", "sort-orders", "default-sort-order-id"):
+        assert key in meta, key
+    assert meta["last-column-id"] == 2
+    snap = meta["snapshots"][-1]
+    rows = list(avro.read_container(I._local(snap["manifest-list"], root)))
+    assert rows[-1]["added_files_count"] == 1
+    assert rows[-1]["added_rows_count"] == 2
+    # timestamp lower bound = microseconds since epoch
+    mrows = list(avro.read_container(rows[-1]["manifest_path"]))
+    lo = {kv["key"]: kv["value"]
+          for kv in mrows[0]["data_file"]["lower_bounds"]}
+    micros = struct.unpack("<q", lo[2])[0]
+    assert micros == int(ts[0].value) // 1000
+    # parquet file stores timestamp[us] (Iceberg spec), not ns
+    import pyarrow.parquet as pq
+    pfile = mrows[0]["data_file"]["file_path"]
+    assert str(pq.read_schema(pfile).field("ts").type) == "timestamp[us]"
+    # second append round-trips (reads back the richer metadata)
+    iceberg_append(root, pd.DataFrame(
+        {"a": [3], "ts": pd.to_datetime(["2003-01-01"])}))
+    info = I.resolve(root)
+    assert sum(f["record_count"] for f in info["files"]) == 3
+
+
+def test_paimon_pk_level_order_tiebreak(tmp_path):
+    """On a _SEQUENCE_NUMBER tie the lower-LEVEL (newer) file's row must
+    win regardless of path sort order (ADVICE r2)."""
+    import json as _json
+    import os
+
+    from auron_tpu.connectors.write import _write_parquet
+    from auron_tpu.io import avro
+    from auron_tpu.plan.nodes import LakehouseScan
+
+    root = str(tmp_path / "pai")
+    os.makedirs(f"{root}/schema")
+    os.makedirs(f"{root}/snapshot")
+    with open(f"{root}/schema/schema-0", "w") as f:
+        _json.dump({"version": 3, "id": 0, "primaryKeys": ["id"],
+                    "fields": [{"id": 0, "name": "id", "type": "BIGINT"},
+                               {"id": 1, "name": "v", "type": "BIGINT"}]}, f)
+
+    def rows(v):
+        return pd.DataFrame({
+            "_KEY_id": np.array([1], np.int64),
+            "_SEQUENCE_NUMBER": np.array([7], np.int64),
+            "_VALUE_KIND": np.array([0], np.int8),
+            "id": np.array([1], np.int64),
+            "v": np.array([v], np.int64)})
+
+    # the NEWER row lives at level 0 but its path sorts FIRST — the old
+    # positional tiebreak (path order) would resurrect the level-5 row
+    _write_parquet(f"{root}/bucket-0/data-aaa.parquet", rows(200))  # level 0
+    _write_parquet(f"{root}/bucket-0/data-zzz.parquet", rows(100))  # level 5
+    entry_schema = {
+        "type": "record", "name": "manifest_entry", "fields": [
+            {"name": "_KIND", "type": "int"},
+            {"name": "_PARTITION", "type": "bytes"},
+            {"name": "_BUCKET", "type": "int"},
+            {"name": "_FILE", "type": {
+                "type": "record", "name": "f", "fields": [
+                    {"name": "_FILE_NAME", "type": "string"},
+                    {"name": "_FILE_SIZE", "type": "long"},
+                    {"name": "_ROW_COUNT", "type": "long"},
+                    {"name": "_LEVEL", "type": "int"}]}}]}
+    mlist_schema = {"type": "record", "name": "manifest_list", "fields": [
+        {"name": "_FILE_NAME", "type": "string"},
+        {"name": "_FILE_SIZE", "type": "long"},
+        {"name": "_NUM_ADDED_FILES", "type": "long"}]}
+
+    def entry(name, level):
+        return {"_KIND": 0, "_PARTITION": b"", "_BUCKET": 0,
+                "_FILE": {"_FILE_NAME": name, "_FILE_SIZE": 1,
+                          "_ROW_COUNT": 1, "_LEVEL": level}}
+
+    avro.write_container(f"{root}/manifest/m1.avro", entry_schema,
+                         [entry("data-aaa.parquet", 0),
+                          entry("data-zzz.parquet", 5)])
+    avro.write_container(f"{root}/manifest/ml1.avro", mlist_schema,
+                         [{"_FILE_NAME": "m1.avro", "_FILE_SIZE": 1,
+                           "_NUM_ADDED_FILES": 2}])
+    with open(f"{root}/snapshot/snapshot-1", "w") as f:
+        _json.dump({"version": 3, "id": 1, "schemaId": 0,
+                    "baseManifestList": "ml1.avro",
+                    "deltaManifestList": None, "commitKind": "APPEND"}, f)
+    with open(f"{root}/snapshot/LATEST", "w") as f:
+        f.write("1")
+
+    from auron_tpu.connectors import read_lakehouse_blocks
+    blocks = read_lakehouse_blocks(LakehouseScan("paimon", root))
+    got = pd.concat(b.to_pandas() for b in blocks)
+    assert got["v"].tolist() == [200]  # the level-0 (newer) row wins
