@@ -244,6 +244,16 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+EXTERNAL_EXEC_ENABLE = ConfigOption(
+    "auron.exec.external.enable", True, bool,
+    "Planner-integrated out-of-core execution: when a session has a "
+    "MemoryBudget and a plan's estimated working set exceeds it (or an "
+    "input table is host-staged), the output boundary streams the plan "
+    "through the staged executor (plan/staged.py: external sort/agg, "
+    "radix join over host-RAM chunks) instead of materializing in HBM. "
+    "The reference's MemManager grow->spill analog "
+    "(auron-memmgr/src/lib.rs:308-428).")
+
 JIT_CACHE_MAX_ENTRIES = ConfigOption(
     "auron.jit.cache.max.entries", 64, int,
     "LRU capacity of the whole-plan jit cache (plan/builder.py). Each "

@@ -160,6 +160,15 @@ class Session:
         import pandas as pd
         from auron_tpu import config as C
         from auron_tpu.runtime import overflow as OV
+        from auron_tpu.plan import staged as ST
+        if ST.should_stage(plan, self):
+            # out-of-core decision (auron-memmgr lib.rs:381-427 analog):
+            # estimated working set exceeds the budget -> stream the plan
+            # through host-staged chunks with bounded HBM
+            self.metrics.setdefault("planner", {})["staged_executor"] = \
+                self.metrics.get("planner", {}).get("staged_executor",
+                                                    0) + 1
+            return ST.collect_staged(plan, self)
         overrides: dict = {}
         for _attempt in range(OV.MAX_ATTEMPTS):
             with C.conf.scoped_overrides(overrides):
