@@ -161,6 +161,8 @@ class TableBlock:
                     arr = arr.astype("datetime64[us]").astype(np.int64)
                 else:  # date32: days
                     arr = arr.astype("datetime64[D]").astype(np.int32)
+            elif arr.dtype.kind == "m":
+                arr = arr.astype("timedelta64[us]").astype(np.int64)
             if dt.name == "decimal128":
                 # unscaled python ints (object array) or [n, 2] limb planes
                 from auron_tpu.ops import decimal128 as d128
@@ -229,6 +231,10 @@ class TableBlock:
             elif isna.any():
                 if np.issubdtype(npa.dtype, np.floating):
                     data[name] = np.nan_to_num(npa, nan=0.0)
+                elif npa.dtype.kind in ("M", "m"):
+                    filled = npa.copy()
+                    filled[isna] = np.zeros((), npa.dtype)
+                    data[name] = filled
                 else:
                     data[name] = np.where(isna, 0, npa)
             else:
@@ -304,6 +310,11 @@ class TableBlock:
                 s = pd.Series(vals.astype("datetime64[us]"))
             elif col.dtype.name == "date32":
                 s = pd.Series(vals.astype("datetime64[D]"))
+            elif col.dtype.name == "interval_dt":
+                s = pd.Series(vals.astype("timedelta64[us]"))
+            elif col.dtype.name == "interval_ym":
+                # pandas has no year-month interval: surface raw months
+                s = pd.Series(vals)
             elif col.dtype.name == "decimal64":
                 _, scale = col.dtype.params
                 s = pd.Series(vals.astype(np.float64) / (10 ** scale))
@@ -377,4 +388,6 @@ def _infer_dtype(arr: np.ndarray) -> DataType:
         if unit == "D":
             return type_from_name("date32")
         return type_from_name("timestamp64")  # stored as micros
+    if kind == "m":
+        return type_from_name("interval_dt")  # micros (DayTimeInterval)
     raise TypeError(f"cannot infer engine dtype for numpy dtype {arr.dtype}")

@@ -85,6 +85,12 @@ DATE32 = DataType("date32", np.dtype(np.int32))
 TIMESTAMP64 = DataType("timestamp64", np.dtype(np.int64))
 # Dictionary-encoded string: values are int32 codes into a host-side dictionary.
 STRING = DataType("string", np.dtype(np.int32))
+# ANSI interval COLUMN types (Spark YearMonthIntervalType months /
+# DayTimeIntervalType microseconds) — orderable and summable, unlike
+# CalendarInterval (which Spark itself cannot MIN/MAX/SUM). Reference
+# surface: auron.proto IntervalYearMonth/IntervalDayTime scalar arms.
+INTERVAL_YM = DataType("interval_ym", np.dtype(np.int32))
+INTERVAL_DT = DataType("interval_dt", np.dtype(np.int64))
 
 
 def DECIMAL64(precision: int = 18, scale: int = 2) -> DataType:
@@ -154,6 +160,7 @@ _BY_NAME = {
     "bool": BOOL, "int8": INT8, "int16": INT16, "int32": INT32,
     "int64": INT64, "float32": FLOAT32, "float64": FLOAT64,
     "date32": DATE32, "timestamp64": TIMESTAMP64, "string": STRING,
+    "interval_ym": INTERVAL_YM, "interval_dt": INTERVAL_DT,
 }
 
 

@@ -1119,3 +1119,111 @@ def _hex(block, c: Column) -> Column:
 
 
 _RAW_NATIVE.add("hex")
+
+
+# -- ScalarFunction-enum stragglers (reference auron.proto:227-279:
+# Digest=7, DatePart=28, ToTimestampMillis/Micros/Seconds=56-58, Now=59) ----
+
+@register("now")
+def _now(block) -> Column:
+    """Query-start timestamp, constant across rows (Spark folds now() per
+    query; here it is captured at trace/eval time — a jit cache hit reuses
+    the traced instant, matching Spark's per-query constant)."""
+    import time as _time
+    from auron_tpu.dtypes import TIMESTAMP64
+    micros = int(_time.time() * 1_000_000)
+    return Column.of(jnp.full(block.capacity, micros, jnp.int64),
+                     TIMESTAMP64)
+
+
+_REGISTRY["current_timestamp"] = _REGISTRY["now"]
+
+_DATE_PART_ALIAS = {
+    "year": "year", "yr": "year", "quarter": "quarter", "qtr": "quarter",
+    "month": "month", "mon": "month", "week": "weekofyear",
+    "day": "day", "dom": "day", "dow": "dayofweek", "doy": "dayofyear",
+    "hour": "hour", "minute": "minute", "min": "minute",
+    "second": "second", "sec": "second",
+}
+
+_US_PER_DAY = 86_400_000_000
+
+
+@register("date_part")
+def _date_part_fn(block, c: Column, field: str) -> Column:
+    """DataFusion date_part(field, source); the SQL front-end swaps the
+    leading literal field into a static param (like date_trunc)."""
+    f = str(field).strip().lower()
+    if f.endswith("s") and f not in ("", "s"):
+        f = f[:-1] if f[:-1] in _DATE_PART_ALIAS else f
+    if f == "epoch":
+        from auron_tpu.dtypes import FLOAT64
+        if c.dtype.name == "date32":
+            secs = c.values.astype(jnp.float64) * 86_400.0
+        else:
+            secs = c.values.astype(jnp.float64) / 1e6
+        return Column.of(secs, FLOAT64, c.validity)
+    kernel_name = _DATE_PART_ALIAS.get(f)
+    if kernel_name is None:
+        raise NotImplementedError(f"date_part field {field!r}")
+    if kernel_name in ("hour", "minute", "second"):
+        if c.dtype.name == "date32":  # midnight: all zero
+            return Column.of(jnp.zeros(block.capacity, jnp.int32), INT32,
+                             c.validity)
+        return _REGISTRY[kernel_name](block, c)
+    # date-family parts want days; convert timestamps first
+    if c.dtype.name == "timestamp64":
+        from auron_tpu.dtypes import DATE32
+        c = Column(jnp.floor_divide(c.values, _US_PER_DAY).astype(
+            jnp.int32), c.validity, DATE32, None)
+    return _REGISTRY[kernel_name](block, c)
+
+
+@register("digest")
+def _digest(block, c: Column, algo: str) -> Column:
+    """DataFusion digest(expr, algorithm) -> hex string (the reference
+    routes this through the ScalarFunction enum, Digest=7)."""
+    import hashlib
+    a = str(algo).lower().replace("-", "")
+    fns = {"md5": _md5, "sha1": _sha1,
+           "sha224": lambda s: _sha2(s, 224),
+           "sha256": lambda s: _sha2(s, 256),
+           "sha384": lambda s: _sha2(s, 384),
+           "sha512": lambda s: _sha2(s, 512),
+           "blake2b": lambda s: hashlib.blake2b(
+               s.encode("utf-8")).hexdigest(),
+           "blake2s": lambda s: hashlib.blake2s(
+               s.encode("utf-8")).hexdigest()}
+    fn = fns.get(a)
+    if fn is None:
+        raise NotImplementedError(f"digest algorithm {algo!r}")
+    return S.map_to_new_dictionary(c, ("digest", a), fn)
+
+
+def _to_timestamp_unit(mult: int):
+    def fn(block, c: Column) -> Column:
+        """Integer epoch values at the unit -> timestamp64 (micros);
+        timestamps/dates pass through rescaled; strings parse via the
+        cast machinery."""
+        from auron_tpu.dtypes import TIMESTAMP64
+        if c.dtype.is_string or c.dtype.is_raw_string:
+            from auron_tpu.expr.cast import cast_column
+            parsed = cast_column(c, TIMESTAMP64, block.capacity)
+            vals, validity = parsed.values, parsed.validity
+        elif c.dtype.name == "timestamp64":
+            vals, validity = c.values, c.validity
+        elif c.dtype.name == "date32":
+            vals = c.values.astype(jnp.int64) * _US_PER_DAY
+            validity = c.validity
+        else:
+            vals = c.values.astype(jnp.int64) * mult
+            validity = c.validity
+        if c.dtype.name == "timestamp64" and mult > 1:
+            vals = (vals // mult) * mult  # truncate to the unit
+        return Column.of(vals, TIMESTAMP64, validity)
+    return fn
+
+
+register("to_timestamp_seconds")(_to_timestamp_unit(1_000_000))
+register("to_timestamp_millis")(_to_timestamp_unit(1_000))
+register("to_timestamp_micros")(_to_timestamp_unit(1))

@@ -194,6 +194,18 @@ def _expr(e) -> E.Expr:
                     raise NotImplementedError("locate position expression")
                 params.append(pos.value)
             return E.func("locate", _expr(e.args[1]), params=tuple(params))
+        if name == "date_part" and len(e.args) == 2:
+            # DataFusion: date_part(field, source) — the field LEADS
+            fld = _fold_const(e.args[0])
+            if not isinstance(fld, A.Lit):
+                raise NotImplementedError("date_part field expression")
+            return E.func("date_part", _expr(e.args[1]),
+                          params=(fld.value,))
+        if name == "digest" and len(e.args) == 2:
+            alg = _fold_const(e.args[1])
+            if not isinstance(alg, A.Lit):
+                raise NotImplementedError("digest algorithm expression")
+            return E.func("digest", _expr(e.args[0]), params=(alg.value,))
         if name == "date_trunc" and len(e.args) == 2:
             # Spark: date_trunc(fmt, ts) — the format LEADS
             fmt = _fold_const(e.args[0])
