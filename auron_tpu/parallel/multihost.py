@@ -42,18 +42,19 @@ def init_multihost(coordinator: str = None, num_processes: int = None,
     the TPU pod metadata jax discovers on its own). Returns True when a
     multi-process runtime is (already) up, False for single-process."""
     coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if jax.process_count() > 1:
-        return True
     if coordinator is None and num_processes is None:
-        return False  # single-process dev/test run
-    try:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes, process_id=process_id)
-        return True
-    except RuntimeError:
-        # already initialized (idempotence) — trust the live runtime
-        return jax.process_count() > 1
+        return jax.process_count() > 1  # single-process dev/test run
+    # NOTE: jax.process_count() must NOT run before initialize — it
+    # initializes the local backend and distributed.initialize then
+    # refuses ("must be called before backends"). Check the distributed
+    # client state instead (caught by the real 2-process test).
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1  # already initialized (idempotent)
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes, process_id=process_id)
+    return jax.process_count() > 1
 
 
 def global_mesh(axis: str = "part") -> Mesh:

@@ -264,31 +264,41 @@ class SpmdExecutor:
 
 def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
                   tables: Dict[str, Sequence[TableBlock]],
-                  axis: str = "p"):
+                  axis: str = "p",
+                  stacked_tables: Optional[Dict[str, TableBlock]] = None):
     """Compile + run the whole plan as one SPMD program on the mesh.
 
     ``tables`` maps name -> per-partition block lists (will be padded to the
     mesh size). Returns the per-device output blocks (stacked layout).
+
+    ``stacked_tables`` (multi-host mode): pre-assembled GLOBAL stacked
+    blocks (parallel/multihost.py make_global_table) — no host holds the
+    whole table, so the host-side stats/skew passes are skipped (dense
+    hints may be supplied on the plan by the caller) and ``tables`` is
+    ignored.
     """
     n = mesh.shape[axis]
-    # plan-time stats from the concrete host blocks (inside shard_map all
-    # values are tracers, so this is the only chance to fill dense hints)
-    from auron_tpu.plan.execute import Session as _S
-    from auron_tpu.plan.stats import annotate_plan
-    stats_session = _S()
-    for name, blocks in tables.items():
-        stats_session.register(name, list(blocks))
-    from auron_tpu.plan.prune import prune_plan
-    plan = annotate_plan(prune_plan(plan, stats_session), stats_session)
-    # skew auto-detection: heavy-hitter probe keys flip partitioned joins
-    # to the skew-handled form before the program compiles
-    from auron_tpu.parallel.skew import auto_skew_rewrite
-    plan = auto_skew_rewrite(plan, tables)
+    if stacked_tables is None:
+        # plan-time stats from the concrete host blocks (inside shard_map
+        # all values are tracers — the only chance to fill dense hints)
+        from auron_tpu.plan.execute import Session as _S
+        from auron_tpu.plan.stats import annotate_plan
+        stats_session = _S()
+        for name, blocks in tables.items():
+            stats_session.register(name, list(blocks))
+        from auron_tpu.plan.prune import prune_plan
+        plan = annotate_plan(prune_plan(plan, stats_session), stats_session)
+        # skew auto-detection: heavy-hitter probe keys flip partitioned
+        # joins to the skew-handled form before the program compiles
+        from auron_tpu.parallel.skew import auto_skew_rewrite
+        plan = auto_skew_rewrite(plan, tables)
 
-    stacked = {}
-    for name, blocks in tables.items():
-        blocks = pad_partitions(list(blocks), n)
-        stacked[name] = stack_partitions(blocks)
+        stacked = {}
+        for name, blocks in tables.items():
+            blocks = pad_partitions(list(blocks), n)
+            stacked[name] = stack_partitions(blocks)
+    else:
+        stacked = dict(stacked_tables)
 
     # Overflow-checked execution with capacity regrow (runtime/overflow.py):
     # the per-device program returns its traced overflow counters alongside
@@ -317,7 +327,17 @@ def run_plan_spmd(plan: PN.PlanNode, mesh: Mesh,
             fn = jax.shard_map(per_device, mesh=mesh, in_specs=(specs,),
                                out_specs=(P(axis), P(axis)))
             out, ov = jax.jit(fn)(stacked)
-            values = list(np.asarray(ov).max(axis=0)) if meta_cell else []
+            if meta_cell:
+                if jax.process_count() > 1:
+                    # ov is sharded across processes; every host needs the
+                    # global max to take the same regrow decision
+                    from jax.experimental import multihost_utils as MH
+                    ov_np = np.asarray(MH.process_allgather(ov, tiled=True))
+                else:
+                    ov_np = np.asarray(ov)
+                values = list(ov_np.max(axis=0))
+            else:
+                values = []
             grown = OV.check(meta_cell, values, overrides)
         if grown is None:
             return out
