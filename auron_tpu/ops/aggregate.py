@@ -95,7 +95,9 @@ def segment_aggregate(
     def _seg_count(flags):
         if use_mxu:
             return PK.onehot_segment_count(flags, gid32, num_segments)
-        return jax.ops.segment_sum(flags.astype(jnp.int64), gid,
+        # int32 flags: a count fits i32 (capacity-bounded); i64[N] inputs
+        # would be tile-padded s32[N,2] by the TPU x64 rewriter (64x HBM)
+        return jax.ops.segment_sum(flags.astype(jnp.int32), gid,
                                    num_segments,
                                    indices_are_sorted=sorted_order)
 
@@ -209,9 +211,9 @@ def segment_aggregate(
                 prev_v = jnp.concatenate([v_s[:1] - 1, v_s[:-1]])
                 diff = diff | (v_s != prev_v)
             start = ok_s & diff
-            cnt = jax.ops.segment_sum(start.astype(jnp.int64),
+            cnt = jax.ops.segment_sum(start.astype(jnp.int32),
                                       jnp.where(ok_s, g_s, 0), num_segments)
-            out[spec.out_name] = Column.of(cnt, INT64)
+            out[spec.out_name] = Column.of(cnt.astype(jnp.int64), INT64)
             continue
         if kind in ("collect_list", "collect_set"):
             # reference agg/collect.rs: list/set accumulation. Output is the
@@ -309,14 +311,14 @@ def _collect_into(gid, num_segments: int, ok, col: Column, distinct: bool,
         b_sum, b_start = b
         return jnp.where(b_start, b_sum, a_sum + b_sum), a_start | b_start
     run, _ = jax.lax.associative_scan(
-        combine, (ok.astype(jnp.int64), seg_start))
+        combine, (ok.astype(jnp.int32), seg_start))
     pos = run - 1  # 0-based among eligible rows
     write = ok & (pos < max_len)
     out = jnp.zeros((num_segments, max_len), values.dtype)
     sg = jnp.where(write, gid, num_segments)  # out-of-range -> dropped
     out = out.at[sg, jnp.clip(pos, 0, max_len - 1).astype(jnp.int32)].set(
         values, mode="drop")
-    raw_lens = jax.ops.segment_sum(ok.astype(jnp.int64), gid, num_segments)
+    raw_lens = jax.ops.segment_sum(ok.astype(jnp.int32), gid, num_segments)
     from auron_tpu.runtime import overflow
     overflow.record("collect", jnp.max(raw_lens), max_len)
     lens = jnp.minimum(raw_lens, max_len)
@@ -387,8 +389,8 @@ _RANK_I32 = _RankI32()
 def _sum_dtype(dt: DataType) -> DataType:
     """Spark widens sums: integral -> long, float -> double, decimal keeps
     scale (precision widens — we stay in int64)."""
-    if dt.name == "decimal64":
-        return dt
+    if dt.name in ("decimal64", "interval_ym", "interval_dt"):
+        return dt  # interval sums keep their unit (Spark ANSI intervals)
     if dt.is_integer or dt.name == "bool":
         return INT64
     return FLOAT64
@@ -514,13 +516,19 @@ def groupby_direct(block: TableBlock, key_names: Sequence[str],
     for r in radices:
         num_segments *= r
     offsets = list(offsets) if offsets is not None else [0] * len(key_names)
-    gid = jnp.zeros(block.capacity, jnp.int64)
+    # pack in int32 when the radix product fits: on TPU the x64 rewriter
+    # materializes every i64[N] as a PADDED s32[N,2] (T(8,128) tiles 2 ->
+    # 128 lanes: 64x HBM, OOM at 50M rows). Clip in the SOURCE dtype
+    # first so oversized i64 key values don't wrap before clamping.
+    gdt = jnp.int32 if num_segments < 2 ** 31 else jnp.int64
+    gid = jnp.zeros(block.capacity, gdt)
     for name, d, lo in zip(key_names, domain_sizes, offsets):
         c = block.columns[name]
-        v = jnp.clip(c.values.astype(jnp.int64) - lo, 0, d - 1)
+        v = jnp.clip(c.values - jnp.asarray(lo, c.values.dtype),
+                     0, d - 1).astype(gdt)
         if c.validity is not None:
-            v = jnp.where(c.validity, v, d)
-        gid = gid * (d + 1) + v
+            v = jnp.where(c.validity, v, jnp.asarray(d, gdt))
+        gid = gid * jnp.asarray(d + 1, gdt) + v
     acc = segment_aggregate(gid.astype(jnp.int32), num_segments,
                             block.row_mask, aggs)
     from auron_tpu.ops import pallas_kernels as PK

@@ -134,6 +134,7 @@ def compact(block: TableBlock) -> Tuple[TableBlock, jnp.ndarray]:
 def head_limit(block: TableBlock, limit: int, offset: int = 0) -> TableBlock:
     """LimitExec analog (limit_exec.rs:305, auron.proto:752-756): keep the
     first `limit` live rows (after `offset`) in current physical order."""
-    live_rank = jnp.cumsum(block.row_mask.astype(jnp.int64)) - 1
+    # int32: capacity-bounded rank; i64[N] becomes padded s32[N,2] on TPU
+    live_rank = jnp.cumsum(block.row_mask.astype(jnp.int32)) - 1
     keep = block.row_mask & (live_rank >= offset) & (live_rank < offset + limit)
     return block.with_mask(keep)

@@ -385,19 +385,38 @@ def generate(sf: float = 1.0, seed: int = 0,
     sales_price = money(nss)
     list_price = (sales_price * (1.0 + rng.random(nss))).round(2)
     wholesale = (sales_price * rng.random(nss)).round(2)
+    # tickets are COHERENT baskets, like dsdgen: one (customer, date,
+    # store, demographics) per ticket, several line items; a small share
+    # of baskets is big (15-25 items) — q34/q73-class count-per-ticket
+    # windows are structurally empty when ticket attributes are drawn
+    # per ROW (no 15-row group ever shares a customer+date+store)
+    sizes = rng.choice(np.array([1, 2, 3, 4, 5, 6, 16, 18, 21]),
+                       size=max(nss // 3, 4),
+                       p=[.22, .26, .2, .14, .09, .05, .015, .015, .01])
+    tkt = np.repeat(np.arange(sizes.size), sizes)[:nss]
+    if tkt.size < nss:  # top up with singleton tickets
+        tkt = np.concatenate([tkt, np.arange(
+            sizes.size, sizes.size + nss - tkt.size)])
+    ntk = int(tkt.max()) + 1
+    tk_date = rng.integers(0, N_DAYS, ntk).astype(np.int32)
+    tk_time = rng.integers(0, 1440, ntk).astype(np.int32)
+    tk_cust = rng.integers(0, nc, ntk).astype(np.int32)
+    tk_cdemo = rng.integers(0, ncd, ntk).astype(np.int32)
+    tk_hdemo = rng.integers(0, nhd, ntk).astype(np.int32)
+    tk_addr = nullable_fk(ntk, na, 0.03)
+    tk_store = nullable_fk(ntk, ns_, 0.02)
+    tk_promo = rng.integers(0, n["promotion"], ntk).astype(np.int32)
     ss = pd.DataFrame({
-        "ss_sold_date_sk": rng.integers(0, N_DAYS, nss).astype(np.int32),
-        "ss_sold_time_sk": rng.integers(0, 1440, nss).astype(np.int32),
+        "ss_sold_date_sk": tk_date[tkt],
+        "ss_sold_time_sk": tk_time[tkt],
         "ss_item_sk": item_fk(nss),
-        "ss_customer_sk": rng.integers(0, nc, nss).astype(np.int32),
-        "ss_cdemo_sk": rng.integers(0, ncd, nss).astype(np.int32),
-        "ss_hdemo_sk": rng.integers(0, nhd, nss).astype(np.int32),
-        "ss_addr_sk": nullable_fk(nss, na, 0.03),
-        "ss_store_sk": nullable_fk(nss, ns_, 0.02),
-        "ss_promo_sk": rng.integers(0, n["promotion"], nss).astype(np.int32),
-        # several line items share one ticket (dsdgen sells baskets)
-        "ss_ticket_number": rng.integers(0, max(nss // 4, 1),
-                                         nss).astype(np.int32),
+        "ss_customer_sk": tk_cust[tkt],
+        "ss_cdemo_sk": tk_cdemo[tkt],
+        "ss_hdemo_sk": tk_hdemo[tkt],
+        "ss_addr_sk": tk_addr[tkt],
+        "ss_store_sk": tk_store[tkt],
+        "ss_promo_sk": tk_promo[tkt],
+        "ss_ticket_number": tkt.astype(np.int32),
         "ss_quantity": quantity,
         "ss_sales_price": sales_price,
         "ss_list_price": list_price,
@@ -473,6 +492,26 @@ def generate(sf: float = 1.0, seed: int = 0,
         "cs_net_paid_inc_tax": (csales * cquantity * 1.08).round(2),
         "cs_net_profit": (rng.normal(25, 120, ncs)).round(2),
     })
+    # repurchase slice: a share of store RETURNS is followed by a catalog
+    # purchase of the SAME item by the SAME customer shortly after — the
+    # q17/q25/q29 sale->return->repurchase triangle has probability ~0
+    # under independent FKs (those queries were structurally empty at
+    # every sf; caught by the sqlite independent-oracle zero-row audit)
+    sr_df = t["store_returns"]
+    nrep = max(len(sr_df) // 2, 1)
+    rep = rng.choice(len(sr_df), nrep, replace=False)
+    clone = cs.iloc[rng.choice(ncs, nrep)].reset_index(drop=True)
+    clone["cs_item_sk"] = sr_df["sr_item_sk"].to_numpy()[rep]
+    clone["cs_bill_customer_sk"] = \
+        sr_df["sr_customer_sk"].to_numpy()[rep]
+    rep_sold = np.minimum(
+        sr_df["sr_returned_date_sk"].to_numpy()[rep] +
+        rng.integers(1, 80, nrep), N_DAYS - 131).astype(np.int32)
+    clone["cs_sold_date_sk"] = rep_sold
+    clone["cs_ship_date_sk"] = (rep_sold +
+                                rng.integers(1, 130, nrep)).astype(np.int32)
+    cs = pd.concat([cs, clone], ignore_index=True)
+    ncs = len(cs)
     t["catalog_sales"] = cs
 
     ncr = min(n["catalog_returns"], ncs)
@@ -540,6 +579,19 @@ def generate(sf: float = 1.0, seed: int = 0,
         "ws_net_profit": (rng.normal(25, 120, nws)).round(2),
         "ws_net_paid": (wsales * wquantity * 0.97).round(2),
     })
+    # cross-channel echo: a slice of web sales shares (item, customer)
+    # with store sales — q78/q23b/q54-class channel-overlap queries need
+    # the same buyer on both channels to exist at small sf
+    necho = max(nss // 25, 1)
+    epk = rng.choice(nss, necho, replace=False)
+    wclone = ws.iloc[rng.choice(nws, necho)].reset_index(drop=True)
+    wclone["ws_item_sk"] = ss["ss_item_sk"].to_numpy()[epk]
+    wclone["ws_bill_customer_sk"] = ss["ss_customer_sk"].to_numpy()[epk]
+    wclone["ws_sold_date_sk"] = np.minimum(
+        ss["ss_sold_date_sk"].to_numpy()[epk] +
+        rng.integers(0, 60, necho), N_DAYS - 131).astype(np.int32)
+    ws = pd.concat([ws, wclone], ignore_index=True)
+    nws = len(ws)
     t["web_sales"] = ws
 
     nwr = min(n["web_returns"], nws)
@@ -567,6 +619,28 @@ def generate(sf: float = 1.0, seed: int = 0,
         "wr_web_page_sk": ws["ws_web_page_sk"].to_numpy()[picks],
     })
 
+    # cross-channel returned items: the SAME items come back through all
+    # three channels during q83's three literal weeks — zero-probability
+    # under independent picks (q83 matched on 0 rows at every sf)
+    hot = rng.choice(ni, max(ni // 250, 8), replace=False).astype(np.int32)
+    weeks = [date_sk("2000-06-30"), date_sk("2000-09-27"),
+             date_sk("2000-11-17")]
+    nx = hot.size * len(weeks)
+    hot_items = np.tile(hot, len(weeks))
+    hot_dates = np.repeat(np.asarray(weeks, np.int32), hot.size) + \
+        rng.integers(-2, 3, nx).astype(np.int32)
+    for tbl, item_c, date_c in (("store_returns", "sr_item_sk",
+                                 "sr_returned_date_sk"),
+                                ("catalog_returns", "cr_item_sk",
+                                 "cr_returned_date_sk"),
+                                ("web_returns", "wr_item_sk",
+                                 "wr_returned_date_sk")):
+        base = t[tbl]
+        xc = base.iloc[rng.choice(len(base), nx)].reset_index(drop=True)
+        xc[item_c] = hot_items
+        xc[date_c] = hot_dates
+        t[tbl] = pd.concat([base, xc], ignore_index=True)
+
     # ---- inventory ---------------------------------------------------------
     ninv = n["inventory"]
     t["inventory"] = pd.DataFrame({
@@ -578,5 +652,197 @@ def generate(sf: float = 1.0, seed: int = 0,
         "inv_quantity_on_hand": rng.integers(0, 1000,
                                              ninv).astype(np.int32),
     })
+    # dense high-variance grid over (warehouse x hot items x weekly dates
+    # in 2000-02..2000-04 and 2001-01..2001-02): q21's before/after ratio
+    # and q39's cov = std/mean > 1 windows need REPEATED (w, i, month)
+    # observations with spread — 40k random rows over a 20k-item space
+    # give at most one row per pair (cov undefined, q39 empty at any sf)
+    gi = rng.choice(ni, max(ni // 200, 12), replace=False).astype(np.int32)
+    gdates = np.concatenate([
+        np.arange(date_sk("2000-02-14"), date_sk("2000-04-10"), 7),
+        np.arange(date_sk("2001-01-01"), date_sk("2001-03-01"), 7),
+    ]).astype(np.int32)
+    gw = np.arange(nw, dtype=np.int32)
+    grid_i, grid_d, grid_w = [a.ravel() for a in
+                              np.meshgrid(gi, gdates, gw, indexing="ij")]
+    ng = grid_i.size
+    # lognormal-ish mixture: mean ~ hundreds, std > mean -> cov > 1
+    gq = np.where(rng.random(ng) < 0.55,
+                  rng.integers(0, 60, ng),
+                  rng.integers(600, 2200, ng)).astype(np.int32)
+    t["inventory"] = pd.concat([t["inventory"], pd.DataFrame({
+        "inv_date_sk": grid_d, "inv_item_sk": grid_i,
+        "inv_warehouse_sk": grid_w, "inv_quantity_on_hand": gq,
+    })], ignore_index=True)
 
+    _correlation_seeds(t, rng, gi)
     return t
+
+
+def _correlation_seeds(t, rng, grid_items):
+    """Small fixed-size slices that give structurally-empty TPC-DS
+    predicates a non-zero support (the zero-row audit: a query that
+    matches its oracle on 0 rows proves nothing — round-2 verdict weak
+    #3). dsdgen's real distributions have these correlations; the
+    independent draws above do not. Every oracle recomputes from the
+    same tables, so the differentials stay exact."""
+    import pandas as pd
+
+    ss, cs, ws = t["store_sales"], t["catalog_sales"], t["web_sales"]
+    item, cust, addr = t["item"], t["customer"], t["customer_address"]
+
+    # q21: the inventory-grid items must hit the 0.99..1.49 price band
+    t["item"].loc[t["item"]["i_item_sk"].isin(grid_items[::2]),
+                  "i_current_price"] = 1.19
+
+    # q58: ~the same revenue for the same items across all 3 channels in
+    # the week of 2000-01-03
+    wk = date_sk("2000-01-03")
+    hot58 = rng.choice(len(item), 20, replace=False).astype(np.int32)
+    for frame_name, ic, dc, xc in (
+            ("store_sales", "ss_item_sk", "ss_sold_date_sk",
+             "ss_ext_sales_price"),
+            ("catalog_sales", "cs_item_sk", "cs_sold_date_sk",
+             "cs_ext_sales_price"),
+            ("web_sales", "ws_item_sk", "ws_sold_date_sk",
+             "ws_ext_sales_price")):
+        base = t[frame_name]
+        sl = base.iloc[rng.choice(len(base), hot58.size)].reset_index(
+            drop=True)
+        sl[ic] = hot58
+        sl[dc] = (wk + rng.integers(-1, 2, hot58.size)).astype(np.int32)
+        sl[xc] = 40_000.0 + hot58 * 3.0  # identical per item per channel
+        if frame_name == "store_sales":
+            sl["ss_ticket_number"] = (base["ss_ticket_number"].max() + 1 +
+                                      np.arange(hot58.size)).astype(np.int32)
+        t[frame_name] = pd.concat([base, sl], ignore_index=True)
+    ss, cs, ws = t["store_sales"], t["catalog_sales"], t["web_sales"]
+
+    # q78 / q23b: heavy shoppers buying HOT items repeatedly on the same
+    # day in store, echoed on catalog+web (frequent-item x best-customer
+    # cross-channel overlap)
+    heavy_c = rng.choice(len(cust), 24, replace=False).astype(np.int32)
+    hot_i = rng.choice(len(item), 16, replace=False).astype(np.int32)
+    days = np.concatenate([
+        np.arange(date_sk("2000-03-01"), date_sk("2000-03-31"), 2),
+        [date_sk("2000-02-10"), date_sk("2000-02-17")]]).astype(np.int32)
+    reps = 6
+    si = np.tile(np.repeat(hot_i, reps), days.size)
+    sd = np.repeat(days, hot_i.size * reps)
+    nsl = si.size
+    sl = ss.iloc[rng.choice(len(ss), nsl)].reset_index(drop=True)
+    sl["ss_item_sk"] = si
+    sl["ss_sold_date_sk"] = sd
+    sl["ss_customer_sk"] = rng.choice(heavy_c, nsl)
+    sl["ss_ticket_number"] = (ss["ss_ticket_number"].max() + 1 +
+                              np.arange(nsl)).astype(np.int32)
+    t["store_sales"] = pd.concat([ss, sl], ignore_index=True)
+    for frame_name, ic, dc, cc in (
+            ("catalog_sales", "cs_item_sk", "cs_sold_date_sk",
+             "cs_bill_customer_sk"),
+            ("web_sales", "ws_item_sk", "ws_sold_date_sk",
+             "ws_bill_customer_sk")):
+        base = t[frame_name]
+        k = nsl // 4
+        pick = rng.choice(nsl, k, replace=False)
+        e = base.iloc[rng.choice(len(base), k)].reset_index(drop=True)
+        e[ic] = si[pick]
+        e[cc] = sl["ss_customer_sk"].to_numpy()[pick]
+        e[dc] = rng.choice([date_sk("2000-02-05"), date_sk("2000-02-20"),
+                            date_sk("2000-03-15")], k).astype(np.int32)
+        t[frame_name] = pd.concat([base, e], ignore_index=True)
+
+    # q85: the refunding and returning party are usually the SAME person
+    wr = t["web_returns"]
+    half = rng.random(len(wr)) < 0.6
+    wr.loc[half, "wr_returning_cdemo_sk"] = \
+        wr.loc[half, "wr_refunded_cdemo_sk"]
+
+    # q85: appended ws<->wr pairs that clear the triple-compound filter
+    # (matching refunded==returning cdemo at M/Advanced Degree, refund
+    # address in the state list, price+profit in band, sold in 2000)
+    cdm = t["customer_demographics"]
+    cd85 = cdm[(cdm.cd_marital_status == "M") &
+               (cdm.cd_education_status == "Advanced Degree")][
+        "cd_demo_sk"].to_numpy()
+    ad85 = addr[(addr.ca_state == "OH") &
+                (addr.ca_country == "United States")][
+        "ca_address_sk"].to_numpy()
+    if cd85.size and ad85.size:
+        k85 = 40
+        wsb, wrb = t["web_sales"], t["web_returns"]
+        order0 = int(wsb["ws_order_number"].max()) + 1
+        e = wsb.iloc[rng.choice(len(wsb), k85)].reset_index(drop=True)
+        e["ws_order_number"] = (order0 + np.arange(k85)).astype(np.int32)
+        e["ws_sold_date_sk"] = rng.integers(
+            date_sk("2000-01-05"), date_sk("2000-12-20"), k85).astype(
+                np.int32)
+        e["ws_sales_price"] = 120.0
+        e["ws_net_profit"] = 150.0
+        r = wrb.iloc[rng.choice(len(wrb), k85)].reset_index(drop=True)
+        r["wr_item_sk"] = e["ws_item_sk"].to_numpy()
+        r["wr_order_number"] = e["ws_order_number"].to_numpy()
+        r["wr_refunded_cdemo_sk"] = rng.choice(cd85, k85)
+        r["wr_returning_cdemo_sk"] = r["wr_refunded_cdemo_sk"]
+        r["wr_refunded_addr_sk"] = rng.choice(ad85, k85)
+        t["web_sales"] = pd.concat([wsb, e], ignore_index=True)
+        t["web_returns"] = pd.concat([wrb, r], ignore_index=True)
+
+    # q91: catalog returns in 1998-11 by customers whose demographics
+    # pass the (M/Unknown | W/Advanced Degree) x 'Unknown%' buy potential
+    # x gmt -7 funnel — compounding 1/35 x 1/7 x 1/3 never survives the
+    # thin monthly slice otherwise
+    cd, hd = t["customer_demographics"], t["household_demographics"]
+    cd_ok = cd[((cd.cd_marital_status == "M") &
+                (cd.cd_education_status == "Unknown")) |
+               ((cd.cd_marital_status == "W") &
+                (cd.cd_education_status == "Advanced Degree"))][
+        "cd_demo_sk"].to_numpy()
+    hd_ok = hd[hd.hd_buy_potential.str.startswith("Unknown")][
+        "hd_demo_sk"].to_numpy()
+    ad_ok = addr[addr.ca_gmt_offset == -7.0]["ca_address_sk"].to_numpy()
+    c91 = rng.choice(len(cust), 30, replace=False)
+    t["customer"].loc[c91, "c_current_cdemo_sk"] = rng.choice(cd_ok, 30)
+    t["customer"].loc[c91, "c_current_hdemo_sk"] = rng.choice(hd_ok, 30)
+    t["customer"].loc[c91, "c_current_addr_sk"] = rng.choice(ad_ok, 30)
+    cr = t["catalog_returns"]
+    csl = cr.iloc[rng.choice(len(cr), 60)].reset_index(drop=True)
+    csl["cr_returned_date_sk"] = rng.integers(
+        date_sk("1998-11-01"), date_sk("1998-11-30"), 60).astype(np.int32)
+    csl["cr_returning_customer_sk"] = rng.choice(
+        cust["c_customer_sk"].to_numpy()[c91], 60)
+    t["catalog_returns"] = pd.concat([cr, csl], ignore_index=True)
+
+    # q54: Women/maternity catalog buyers in 1998-12 whose address county
+    # matches a store's, with store revenue in the following quarter
+    mat = item[(item.i_category == "Women") &
+               (item.i_class == "maternity")]["i_item_sk"].to_numpy()
+    if mat.size:
+        store = t["store"]
+        c54 = rng.choice(len(cust), 25, replace=False)
+        a54 = np.asarray(cust["c_current_addr_sk"].to_numpy()[c54],
+                         dtype=np.int64) % len(addr)
+        t["customer_address"].loc[a54, "ca_county"] = \
+            store["s_county"].iloc[0]
+        t["customer_address"].loc[a54, "ca_state"] = \
+            store["s_state"].iloc[0]
+        cs2 = t["catalog_sales"]
+        e = cs2.iloc[rng.choice(len(cs2), 25)].reset_index(drop=True)
+        e["cs_item_sk"] = rng.choice(mat, 25)
+        e["cs_bill_customer_sk"] = cust["c_customer_sk"].to_numpy()[c54]
+        e["cs_sold_date_sk"] = rng.integers(
+            date_sk("1998-12-01"), date_sk("1998-12-31"), 25).astype(
+                np.int32)
+        t["catalog_sales"] = pd.concat([cs2, e], ignore_index=True)
+        ss2 = t["store_sales"]
+        k = 80
+        e2 = ss2.iloc[rng.choice(len(ss2), k)].reset_index(drop=True)
+        e2["ss_customer_sk"] = rng.choice(
+            cust["c_customer_sk"].to_numpy()[c54], k)
+        e2["ss_store_sk"] = float(store["s_store_sk"].iloc[0])
+        e2["ss_sold_date_sk"] = rng.integers(
+            date_sk("1999-01-01"), date_sk("1999-03-28"), k).astype(
+                np.int32)
+        e2["ss_ticket_number"] = (ss2["ss_ticket_number"].max() + 1 +
+                                  np.arange(k)).astype(np.int32)
+        t["store_sales"] = pd.concat([ss2, e2], ignore_index=True)

@@ -88,7 +88,8 @@ def _load_for_query(qname: str, sf: float):
     return tables, cols
 
 
-def cmd_query(qname: str, sf: float, partitions: int = 1) -> dict:
+def cmd_query(qname: str, sf: float, partitions: int = 1,
+              eager: bool = False) -> dict:
     import jax
 
     from auron_tpu.tpcds.runner import (QUERIES, make_session_pruned,
@@ -102,17 +103,32 @@ def cmd_query(qname: str, sf: float, partitions: int = 1) -> dict:
     # warm the oracle so oracle_s measures steady-state pandas
     _, oracle = QUERIES[qname]
     oracle(tables)
-    out = run_query(qname, session, tables, jit=True)
+    if eager:
+        # fan-out-heavy plans (q25/q67-class): whole-plan jit must
+        # PREALLOCATE join outputs from stats, and a multi-join chain's
+        # estimates compound past HBM; eager mode sizes every join from
+        # the ACTUAL match count (the reference's AQE analog). Warm run
+        # first (op-level jit caches, overflow settled), then measure.
+        run_query(qname, session, tables, jit=False)
+        out = run_query(qname, session, tables, jit=False)
+        out["mode"] = "eager"
+    else:
+        out = run_query(qname, session, tables, jit=True)
     fact_rows = max((len(tables[t]) for t in tables if t in FACTS),
                     default=max(len(t) for t in tables.values()))
+    denom = out.get("compute_s") or out.get("engine_s")
     out.update({
         "sf": sf, "backend": backend, "fact_rows": fact_rows,
         "load_s": round(load_s, 1),
-        "rows_per_s": round(fact_rows / out["compute_s"], 1)
-        if out.get("compute_s") else None,
+        "rows_per_s": round(fact_rows / denom, 1) if denom else None,
     })
     print(json.dumps(out), flush=True)
     return out
+
+
+# queries whose multi-join fan-out needs measured (eager/AQE) sizing —
+# stats-estimated jit capacities compound past HBM at sf>=500
+EAGER_QUERIES = {"q25", "q67", "q93"}
 
 
 def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
@@ -125,6 +141,8 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
         cmd = [sys.executable, "-m", "auron_tpu.tpcds.scale_bench",
                "query", q, "--sf", str(sf), "--partitions",
                str(partitions)]
+        if q in EAGER_QUERIES:
+            cmd.append("--eager")
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout_s)
@@ -157,6 +175,7 @@ def main() -> None:
     q.add_argument("name")
     q.add_argument("--sf", type=float, default=500)
     q.add_argument("--partitions", type=int, default=1)
+    q.add_argument("--eager", action="store_true")
     a = sub.add_parser("all")
     a.add_argument("--sf", type=float, default=500)
     a.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
@@ -167,7 +186,7 @@ def main() -> None:
     if args.cmd == "gen":
         cmd_gen(args.sf, args.seed)
     elif args.cmd == "query":
-        cmd_query(args.name, args.sf, args.partitions)
+        cmd_query(args.name, args.sf, args.partitions, args.eager)
     else:
         cmd_all(args.sf, args.queries, args.out, args.timeout,
                 args.partitions)

@@ -156,10 +156,13 @@ def test_q64_dense_cross_years():
         if hasattr(ss["ss_store_sk"].dtype, "type") else np.int32)
     sr = tables["store_returns"]
     m = min(2000, len(sr))
+    # align returns with sales from BOTH halves (1999 AND 2000 dates) —
+    # the year-over-year self-join needs returned sales in each year
+    pick = np.linspace(0, n - 1, m).astype(int)
     sr.loc[sr.index[:m], "sr_item_sk"] = \
-        ss["ss_item_sk"].to_numpy()[:m]
+        ss["ss_item_sk"].to_numpy()[pick]
     sr.loc[sr.index[:m], "sr_ticket_number"] = \
-        ss["ss_ticket_number"].to_numpy()[:m]
+        ss["ss_ticket_number"].to_numpy()[pick]
     cs, cr = tables["catalog_sales"], tables["catalog_returns"]
     k = min(300, len(cr), len(cs))
     cs.loc[cs.index[:k], "cs_item_sk"] = rng.integers(0, 6, k).astype(
