@@ -254,6 +254,15 @@ EXTERNAL_EXEC_ENABLE = ConfigOption(
     "The reference's MemManager grow->spill analog "
     "(auron-memmgr/src/lib.rs:308-428).")
 
+JIT_CALIBRATE = ConfigOption(
+    "auron.jit.calibrate.capacities", True, bool,
+    "Before compiling a whole-plan jit program, run the plan once eagerly "
+    "and record each join-expansion/explode output size, then compile "
+    "with those MEASURED capacities (runtime/calibrate.py) — the AQE "
+    "analog for static-shape tracing. Without it a join chain's default "
+    "probe*factor sizing compounds per join (HBM-fatal at scale). The "
+    "overflow-regrow loop remains the correctness net either way.")
+
 JIT_CACHE_MAX_ENTRIES = ConfigOption(
     "auron.jit.cache.max.entries", 64, int,
     "LRU capacity of the whole-plan jit cache (plan/builder.py). Each "

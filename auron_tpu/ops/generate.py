@@ -18,6 +18,21 @@ from auron_tpu.block import Column, TableBlock, round_capacity
 from auron_tpu.dtypes import INT32
 
 
+def _generate_out_cap(node, default_rows: int) -> int:
+    """Output capacity for an expanding generate. An explicit/measured
+    ``node.out_capacity`` is a HINT, not a guarantee: scale it by the
+    grown GENERATE_OUT_FACTOR ratio so the overflow-regrow loop converges
+    instead of re-running with an unchanged capacity (mirrors the join
+    hint handling in plan/execute.py out_cap_for)."""
+    factor = config.conf.get(config.GENERATE_OUT_FACTOR)
+    if node.out_capacity is not None:
+        f = factor / config.GENERATE_OUT_FACTOR.default
+        if f > 1.0:
+            return round_capacity(int(node.out_capacity * f) + 1)
+        return node.out_capacity
+    return round_capacity(int(default_rows * factor) + 1)
+
+
 def generate_block(block: TableBlock, node) -> TableBlock:
     if node.kind == "json_tuple":
         return json_tuple_block(block, node)
@@ -34,9 +49,12 @@ def generate_block(block: TableBlock, node) -> TableBlock:
                     jnp.maximum(lengths, 1) if node.outer else lengths, 0)
     offsets = jnp.cumsum(eff) - eff
     total = jnp.sum(eff)
-    factor = config.conf.get(config.GENERATE_OUT_FACTOR)
-    out_cap = node.out_capacity or round_capacity(
-        int(cap * max(1, max_len // 2) * factor))
+    from auron_tpu.runtime import calibrate
+    if calibrate.active():
+        import jax.core
+        if not isinstance(total, jax.core.Tracer):
+            calibrate.record(node, int(total))  # jit-AQE measured size
+    out_cap = _generate_out_cap(node, cap * max(1, max_len // 2))
     from auron_tpu.runtime import overflow
     overflow.record("generate", total, out_cap)
 
@@ -132,8 +150,7 @@ def py_udtf_block(block: TableBlock, node) -> TableBlock:
     cap = block.capacity
     arg_cols = [block.columns[a] for a in node.args]
     out_fields = list(node.out_fields)
-    factor = config.conf.get(config.GENERATE_OUT_FACTOR)
-    out_cap = node.out_capacity or round_capacity(int(cap * factor) + 1)
+    out_cap = _generate_out_cap(node, cap)
 
     decoders = []
     for c in arg_cols:

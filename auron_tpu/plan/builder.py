@@ -310,6 +310,34 @@ class Frame:
             f"overflow regrow did not converge after {OV.MAX_ATTEMPTS} "
             f"attempts (overrides={overrides})")
 
+    def _calibrate(self, plan):
+        """Measured-capacity prepass (runtime/calibrate.py): execute the
+        pruned+annotated plan ONCE eagerly — exact join/explode output
+        sizing — and bake the measured sizes into the tree as out_capacity
+        hints before tracing. Compiles allocate what the data needs
+        instead of compounding probe*factor estimates per join (the
+        whole-plan-jit AQE analog; HBM-fatal without it at sf>=500).
+        Best-effort: any prepass failure falls back to factor sizing —
+        the overflow-regrow loop stays the correctness net."""
+        from auron_tpu import config as C
+        if not C.conf.get(C.JIT_CALIBRATE):
+            return plan
+        # a regrow attempt re-enters with new overrides: reuse the one
+        # measured tree (hinted capacities scale by the grown factor)
+        hit = getattr(self, "_calibrated", None)
+        if hit is not None:
+            return hit
+        from auron_tpu.runtime import calibrate as CAL
+        from auron_tpu.runtime import overflow as OV
+        try:
+            with OV.collect(), CAL.collect() as caps:
+                execute_plan(plan, self.session, annotate=False)
+        except Exception:
+            return plan
+        plan = CAL.apply(plan, caps) if caps else plan
+        self._calibrated = plan
+        return plan
+
     def _run_jit(self, overrides: dict):
         # whole-query jit: annotate/prune against the concrete tables, then
         # compile ONE program taking every registered table as an argument
@@ -325,6 +353,7 @@ class Frame:
             from auron_tpu.plan.stats import annotate_plan
             plan = annotate_plan(prune_plan(self.plan, self.session),
                                  self.session)
+            plan = self._calibrate(plan)
             meta_cell: list = []
             opkeys_cell: list = []
 

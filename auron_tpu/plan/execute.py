@@ -456,6 +456,8 @@ def _join(node: PN.Join, s: Session) -> List[TableBlock]:
         if sp.join_type in (J.LEFT, J.FULL):
             live = int(np.asarray(probe_b.row_mask).sum())
             total += live  # padded no-match slots
+        from auron_tpu.runtime import calibrate
+        calibrate.record(node, total)  # jit-AQE: measured size -> hint
         from auron_tpu.block import round_capacity
         return round_capacity(max(total, 1))
 

@@ -53,7 +53,10 @@ def test_join_overflow_raise_mode():
     s.register_pandas("p", probe)
     s.register_pandas("b", build)
     f = table(s, "p").join(table(s, "b"), ("k",), ("j",))
-    with config.conf.scoped(auron__overflow__check="raise"):
+    # calibration would pre-size the join exactly (no overflow to raise):
+    # disable it so the traced factor path is what executes
+    with config.conf.scoped(auron__overflow__check="raise",
+                            auron__jit__calibrate__capacities=False):
         with pytest.raises(RuntimeError, match="overflow"):
             f.collect(jit=True)
 
@@ -225,3 +228,47 @@ def test_regrow_power_of_two_buckets():
     # a huge overflow jumps several buckets at once, still a power of two
     new3 = check([("join", 100)], [900], {})
     assert new3["auron.join.output.capacity.factor"] == base * 16
+
+
+def test_jit_calibration_measured_capacities():
+    """Measured-capacity calibration (runtime/calibrate.py): a join CHAIN
+    under whole-plan jit gets each expansion sized from the eager prepass
+    measurement, not probe*factor compounding — and results stay exact."""
+    rng = np.random.default_rng(11)
+    probe, build = _fanout_tables(rng)
+    s = Session()
+    s.register_pandas("p", probe)
+    s.register_pandas("b", build)
+    s.register_pandas("b2", build.rename(columns={"j": "j2", "w": "w2"}))
+    f = (table(s, "p")
+         .join(table(s, "b"), ("k",), ("j",))
+         .join(table(s, "b2"), ("k",), ("j2",)))
+    got = f.collect(jit=True)
+    want = (probe.merge(build, left_on="k", right_on="j")
+            .merge(build.rename(columns={"j": "j2", "w": "w2"}),
+                   left_on="k", right_on="j2"))
+    assert sorted_rows(got) == sorted_rows(want)
+    # the calibrated tree carries measured out_capacity hints on each join
+    from auron_tpu.plan import nodes as PN
+    cal = f._calibrated
+    assert cal is not None
+
+    def joins(n, acc):
+        import dataclasses
+        if isinstance(n, PN.Join):
+            acc.append(n)
+        for fld in dataclasses.fields(n):
+            v = getattr(n, fld.name)
+            if isinstance(v, PN.PlanNode):
+                joins(v, acc)
+            elif isinstance(v, tuple):
+                for x in v:
+                    if isinstance(x, PN.PlanNode):
+                        joins(x, acc)
+        return acc
+
+    js = joins(cal, [])
+    assert js and all(j.out_capacity is not None for j in js)
+    # measured capacity is tight: within one rounding step of true size
+    from auron_tpu.block import round_capacity
+    assert max(j.out_capacity for j in js) <= round_capacity(len(want))
