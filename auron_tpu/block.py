@@ -298,7 +298,41 @@ class TableBlock:
         import pandas as pd
         mask = np.asarray(self.row_mask)
         out = {}
+        # list columns ride as plane pairs (X#vals [cap, max_len] + X#len);
+        # the output boundary renders them as python lists (the C2R seam
+        # materializes ArrayType the same way)
+        plane_pairs = {n[:-5] for n in self.columns
+                       if n.endswith("#vals") and f"{n[:-5]}#len"
+                       in self.columns
+                       and getattr(self.columns[n].values, "ndim", 1) == 2}
+        for base in sorted(plane_pairs):
+            vc, lc = self.columns[f"{base}#vals"], self.columns[f"{base}#len"]
+            vals = np.asarray(vc.values)[mask]
+            lens = np.clip(np.asarray(lc.values)[mask].astype(np.int64),
+                           0, vals.shape[1] if vals.ndim == 2 else 0)
+            if vc.dtype.name == "decimal64":
+                _, scale = vc.dtype.params
+                vals = vals.astype(np.float64) / (10 ** scale)
+            elif vc.dtype.is_string and vc.dict_values is not None:
+                vals = vc.dict_values[
+                    np.clip(vals, 0, len(vc.dict_values) - 1)]
+            ev = None if vc.validity is None or vc.validity.ndim != 2 \
+                else np.asarray(vc.validity)[mask]
+            rows = []
+            for i in range(len(vals)):
+                xs = vals[i, :lens[i]]
+                if ev is not None:
+                    rows.append([None if not ok else x.item()
+                                 if hasattr(x, "item") else x
+                                 for x, ok in zip(xs, ev[i, :lens[i]])])
+                else:
+                    rows.append([x.item() if hasattr(x, "item") else x
+                                 for x in xs])
+            out[base] = pd.Series(rows, dtype=object)
         for name, col in self.columns.items():
+            if (name.endswith("#vals") and name[:-5] in plane_pairs) or \
+                    (name.endswith("#len") and name[:-4] in plane_pairs):
+                continue
             vals = np.asarray(col.values)[mask]
             if col.dtype.is_string and col.dict_values is not None:
                 decoded = col.dict_values[np.clip(vals, 0, len(col.dict_values) - 1)]

@@ -80,6 +80,10 @@ def _coerce(v: Any, dt: DataType):
             return np.datetime64(str(v), "us").astype(np.int64), True
         if dt.name == "decimal64":
             scale = dt.params[1]
+            from decimal import ROUND_HALF_UP, Decimal
+            if isinstance(v, Decimal):  # exact (pbwire decimal fields)
+                return int(v.scaleb(scale).to_integral_value(
+                    rounding=ROUND_HALF_UP)), True
             return int(round(float(v) * 10 ** scale)), True
         return int(v), True
     except (TypeError, ValueError):

@@ -1,0 +1,291 @@
+"""Wire-level streaming (round-2 verdict missing #5 / directive #8):
+raw protobuf wire decoding (nested/repeated/packed/decimal) golden-checked
+against the OFFICIAL protobuf library's encoder, a real Kafka-protocol
+client against an in-process TCP broker (RecordBatch v2, crc32c), and the
+restart-replay differential: a stream killed mid-flight and resumed from
+its checkpoint produces exactly the unbroken run's answer.
+
+Reference surfaces matched:
+  flink/serde/pb_deserializer.rs:96-1702 (raw wire decode, repeated,
+  nested, decimal), flink/kafka_scan_exec.rs:259-478 (restored offsets,
+  checkpoint-commit).
+"""
+
+import json
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from auron_tpu.dtypes import DECIMAL64, FLOAT64, INT64, STRING
+from auron_tpu.plan import AggCall
+from auron_tpu.streaming import FieldSpec, JsonDeserializer, StreamingQuery
+from auron_tpu.streaming.kafka import (FakeBroker, KafkaWireSource, crc32c,
+                                       decode_record_batches,
+                                       encode_record_batch)
+from auron_tpu.streaming.pbwire import (PbField, PbWireDeserializer, decode,
+                                        encode, schema)
+
+
+# ---- pbwire ---------------------------------------------------------------
+
+INNER = schema(
+    PbField(1, "city", "string"),
+    PbField(2, "zip", "int32"),
+)
+
+OUTER = schema(
+    PbField(1, "id", "int64"),
+    PbField(2, "name", "string"),
+    PbField(3, "score", "double"),
+    PbField(4, "tags", "string", repeated=True),
+    PbField(5, "nums", "sint64", repeated=True),      # packed zigzag
+    PbField(6, "addr", "message", message=INNER),
+    PbField(7, "points", "message", repeated=True, message=INNER),
+    PbField(8, "price", "decimal", scale=2, carrier="string"),
+    PbField(9, "flag", "bool"),
+    PbField(10, "ratio", "float"),
+    PbField(11, "fixed", "fixed64"),
+)
+
+
+def test_pbwire_roundtrip():
+    obj = {"id": -7, "name": "héllo", "score": 2.5,
+           "tags": ["a", "b", ""], "nums": [-1, 0, 300],
+           "addr": {"city": "spb", "zip": 190000},
+           "points": [{"city": "x", "zip": 1}, {"city": "y", "zip": -2}],
+           "price": 1999,  # unscaled at scale=2 -> 19.99
+           "flag": True, "fixed": 2 ** 63 - 1}
+    got = decode(OUTER, encode(OUTER, obj))
+    assert got["id"] == -7 and got["name"] == "héllo"
+    assert got["tags"] == ["a", "b", ""]
+    assert got["nums"] == [-1, 0, 300]
+    assert got["addr"] == {"city": "spb", "zip": 190000}
+    assert got["points"][1] == {"city": "y", "zip": -2}
+    assert got["price"] == 1999
+    assert got["flag"] is True and got["fixed"] == 2 ** 63 - 1
+    assert abs(got["score"] - 2.5) < 1e-12
+
+
+def _official_message_classes():
+    """Build Outer/Inner with the OFFICIAL protobuf library (dynamic
+    descriptors) — the independent golden encoder."""
+    from google.protobuf import (descriptor_pb2, descriptor_pool,
+                                 message_factory)
+    fdp = descriptor_pb2.FileDescriptorProto()
+    fdp.name = "auron_golden.proto"
+    fdp.package = "g"
+    fdp.syntax = "proto3"
+    inner = fdp.message_type.add()
+    inner.name = "Inner"
+    f = inner.field.add(); f.name = "city"; f.number = 1; f.label = 1; f.type = 9
+    f = inner.field.add(); f.name = "zip"; f.number = 2; f.label = 1; f.type = 5
+    outer = fdp.message_type.add()
+    outer.name = "Outer"
+    specs = [("id", 1, 3, 1), ("name", 2, 9, 1), ("score", 3, 1, 1),
+             ("tags", 4, 9, 3), ("nums", 5, 18, 3), ("flag", 9, 8, 1),
+             ("ratio", 10, 2, 1), ("fixed", 11, 6, 1),
+             ("price", 8, 9, 1)]
+    for name, num, typ, label in specs:
+        f = outer.field.add()
+        f.name, f.number, f.type, f.label = name, num, typ, label
+    f = outer.field.add()
+    f.name, f.number, f.type, f.label = "addr", 6, 11, 1
+    f.type_name = ".g.Inner"
+    f = outer.field.add()
+    f.name, f.number, f.type, f.label = "points", 7, 11, 3
+    f.type_name = ".g.Inner"
+    pool = descriptor_pool.DescriptorPool()
+    pool.Add(fdp)
+    mk = message_factory.GetMessageClass
+    return (mk(pool.FindMessageTypeByName("g.Outer")),
+            mk(pool.FindMessageTypeByName("g.Inner")))
+
+
+def test_pbwire_golden_vs_official_protobuf():
+    """Decode bytes produced by google.protobuf (independent encoder)."""
+    Outer, _ = _official_message_classes()
+    m = Outer()
+    m.id = 123456789012345
+    m.name = "golden"
+    m.score = -3.25
+    m.tags.extend(["x", "y"])
+    m.nums.extend([-5, 5, 1 << 40])
+    m.flag = True
+    m.ratio = 0.5
+    m.fixed = 42
+    m.price = "19.99"
+    m.addr.city = "msk"
+    m.addr.zip = 101000
+    p = m.points.add(); p.city = "a"; p.zip = 1
+    p = m.points.add(); p.city = "b"; p.zip = 2
+    got = decode(OUTER, m.SerializeToString())
+    assert got["id"] == 123456789012345
+    assert got["name"] == "golden"
+    assert got["score"] == -3.25
+    assert got["tags"] == ["x", "y"]
+    assert got["nums"] == [-5, 5, 1 << 40]
+    assert got["flag"] is True and got["ratio"] == 0.5 and got["fixed"] == 42
+    assert got["price"] == 1999           # "19.99" @ scale 2
+    assert got["addr"] == {"city": "msk", "zip": 101000}
+    assert got["points"] == [{"city": "a", "zip": 1},
+                             {"city": "b", "zip": 2}]
+
+
+def test_pbwire_unknown_fields_and_defaults():
+    """Unknown fields skip by wire type; absent scalars are NULL at the
+    block layer (proto3 default semantics live in the dict layer)."""
+    Outer, _ = _official_message_classes()
+    m = Outer()
+    m.id = 5
+    m.nums.extend([1, 2])
+    raw = m.SerializeToString()
+    narrow = schema(PbField(1, "id", "int64"),
+                    PbField(99, "nothere", "string"))
+    got = decode(narrow, raw)   # nums(5) is UNKNOWN to this schema
+    assert got == {"id": 5}
+
+
+def test_pbwire_deserializer_block():
+    """Micro-batch of wire payloads -> TableBlock: scalars, nested path,
+    decimal64 column, repeated -> plane pair ready for explode."""
+    from auron_tpu.streaming.source import Record
+    payloads = [
+        encode(OUTER, {"id": 1, "name": "a", "score": 1.5, "price": 100,
+                       "addr": {"city": "spb", "zip": 1},
+                       "nums": [1, 2, 3]}),
+        encode(OUTER, {"id": 2, "name": "b", "score": -1.0, "price": 2550,
+                       "nums": []}),
+        b"\xff\xff\xff",  # corrupt -> all-null row (lenient)
+    ]
+    recs = [Record(value=p, topic="t", partition=0, offset=i)
+            for i, p in enumerate(payloads)]
+    de = PbWireDeserializer(OUTER, [
+        FieldSpec("id", INT64),
+        FieldSpec("name", STRING),
+        FieldSpec("city", STRING, path="addr.city"),
+        FieldSpec("price", DECIMAL64(18, 2)),
+        FieldSpec("nums", INT64),
+    ], metadata=["__offset"])
+    block = de(recs)
+    df = block.to_pandas()
+    assert df["id"].tolist()[:2] == [1, 2] and pd.isna(df["id"][2])
+    assert df["city"][0] == "spb" and pd.isna(df["city"][1])
+    assert df["price"][0] == 100 / 100 and df["price"][1] == 25.50
+    vals = np.asarray(block["nums#vals"].values)
+    lens = np.asarray(block["nums#len"].values)
+    assert lens[:3].tolist() == [3, 0, 0]
+    assert vals[0, :3].tolist() == [1, 2, 3]
+    # plane pairs render as list columns at the output boundary
+    assert df["nums"].tolist() == [[1, 2, 3], [], []]
+    assert df["__offset"].tolist() == [0, 1, 2]
+
+
+# ---- kafka wire -------------------------------------------------------------
+
+def test_crc32c_known_vectors():
+    # RFC 3720 test vector: 32 bytes of zeros -> 0x8A9136AA
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"123456789") == 0xE3069283
+
+
+def test_record_batch_roundtrip():
+    recs = [(b"k1", b"v1", 1000), (None, b"v2", 1001), (b"k3", None, 1002)]
+    raw = encode_record_batch(7, recs)
+    out = decode_record_batches(raw, "t", 3)
+    assert [r.offset for r in out] == [7, 8, 9]
+    assert out[0].key == b"k1" and out[0].value == b"v1"
+    assert out[1].key is None
+    assert out[2].value == b""      # tombstone surfaces as empty payload
+    assert out[0].timestamp_us == 1000 * 1000
+
+
+@pytest.fixture
+def broker():
+    b = FakeBroker(num_partitions=2)
+    yield b
+    b.close()
+
+
+def test_kafka_wire_fetch(broker):
+    msgs0 = [json.dumps({"k": i, "v": i * 1.0}).encode() for i in range(5)]
+    msgs1 = [json.dumps({"k": 9, "v": 9.0}).encode()]
+    broker.produce("events", msgs0[:3], partition=0, timestamp_ms=1)
+    broker.produce("events", msgs0[3:], partition=0, timestamp_ms=2)
+    broker.produce("events", msgs1, partition=1, timestamp_ms=3)
+    src = KafkaWireSource("127.0.0.1", broker.port, ["events"])
+    assert src.partitions() == {"events": [0, 1]}
+    assert src.end_offsets() == {("events", 0): 5, ("events", 1): 1}
+    assert src.earliest_offsets() == {("events", 0): 0, ("events", 1): 0}
+    recs = src.poll({}, 100)
+    assert len(recs) == 6
+    # mid-batch offset: fetch serves the containing batch, client trims
+    recs = src.poll({("events", 0): 4, ("events", 1): 1}, 100)
+    assert [(r.partition, r.offset) for r in recs] == [(0, 4)]
+    assert json.loads(recs[0].value)["k"] == 4
+    # committed-offset round trip (checkpoint-commit parity path)
+    src.commit({("events", 0): 5, ("events", 1): 1})
+    assert src.committed() == {("events", 0): 5, ("events", 1): 1}
+    src.close()
+
+
+def test_restart_replay_differential(broker, tmp_path):
+    """THE streaming exactly-once check: a run killed mid-stream and
+    restored from its checkpoint equals an unbroken run, over the real
+    wire (kafka_scan_exec.rs restored_offsets semantics)."""
+    rng = np.random.default_rng(3)
+    rows = [{"g": int(g), "v": float(v)}
+            for g, v in zip(rng.integers(0, 4, 60),
+                            rng.normal(size=60).round(3))]
+    for i in range(0, 60, 10):      # 6 batches across 2 partitions
+        broker.produce("m", [json.dumps(r).encode() for r in rows[i:i + 5]],
+                       partition=0, timestamp_ms=i)
+        broker.produce("m", [json.dumps(r).encode()
+                             for r in rows[i + 5:i + 10]],
+                       partition=1, timestamp_ms=i)
+
+    fields = [FieldSpec("g", INT64), FieldSpec("v", FLOAT64)]
+    calls = (AggCall("s", "sum", None), AggCall("c", "count_star", None))
+
+    def make_query(src):
+        from auron_tpu.expr.nodes import col
+        import dataclasses
+        return StreamingQuery(
+            src, JsonDeserializer(fields),
+            group_keys=("g",),
+            calls=tuple(dataclasses.replace(c, expr=col("v"))
+                        if c.kind == "sum" else c for c in calls),
+            batch_rows=8)
+
+    # unbroken run
+    q1 = make_query(KafkaWireSource("127.0.0.1", broker.port, ["m"],
+                                    group_id="unbroken"))
+    q1.process_available()
+    want = q1.result().sort_values("g").reset_index(drop=True)
+
+    # broken run: absorb a few batches, checkpoint, "crash"
+    ck = str(tmp_path / "q.ckpt")
+    src2 = KafkaWireSource("127.0.0.1", broker.port, ["m"], group_id="g2")
+    q2 = make_query(src2)
+    for _ in range(3):
+        q2.process_batch()
+    q2.checkpoint(ck)
+    src2.commit(q2.offsets)          # reference parity: commit on checkpoint
+    absorbed = q2.records_processed
+    del q2                           # crash
+
+    # restore into a FRESH query + FRESH connection; resume
+    src3 = KafkaWireSource("127.0.0.1", broker.port, ["m"], group_id="g2")
+    q3 = make_query(src3).restore(ck)
+    assert q3.records_processed == absorbed
+    assert q3.offsets == src3.committed()  # broker-side commit agrees
+    q3.process_available()
+    got = q3.result().sort_values("g").reset_index(drop=True)
+
+    df = pd.DataFrame(rows)
+    oracle = df.groupby("g").agg(s=("v", "sum"), c=("v", "size")) \
+        .reset_index()
+    for frame in (got, want):
+        assert np.allclose(frame["s"], oracle["s"])
+        assert frame["c"].tolist() == oracle["c"].tolist()
+    src3.close()
