@@ -254,6 +254,12 @@ EXTERNAL_EXEC_ENABLE = ConfigOption(
     "The reference's MemManager grow->spill analog "
     "(auron-memmgr/src/lib.rs:308-428).")
 
+ROOFLINE_MEASURE_PEAK = ConfigOption(
+    "auron.roofline.measure.peak", True, bool,
+    "Calibrate the roofline denominator with a STREAM triad measured on "
+    "the live device at first use (runtime/roofline.py) instead of the "
+    "spec-sheet constant. Off -> PEAK_HBM_BPS table.")
+
 JIT_CALIBRATE = ConfigOption(
     "auron.jit.calibrate.capacities", True, bool,
     "Before compiling a whole-plan jit program, run the plan once eagerly "

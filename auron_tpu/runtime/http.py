@@ -69,7 +69,7 @@ def _config_json() -> dict:
     return out
 
 
-def _profile(seconds: float) -> str:
+def _profile(seconds: float, summary: bool = False):
     import tempfile
     import time
 
@@ -79,7 +79,18 @@ def _profile(seconds: float) -> str:
     jax.profiler.start_trace(d)
     time.sleep(min(max(seconds, 0.1), 60.0))
     jax.profiler.stop_trace()
-    return d
+    if not summary:
+        return {"trace_dir": d}
+    # measured feedback loop (runtime/roofline.py): fold the captured
+    # device events onto plan operators and report against the STREAM-
+    # measured peak, so the endpoint answers "which op, how far from
+    # light" instead of handing back a directory
+    from auron_tpu.runtime import roofline
+    parsed = roofline.parse_trace_dir(d)
+    return {"trace_dir": d,
+            "measured_peak_gbps": round(
+                roofline.measured_peak_bps() / 1e9, 2),
+            "ops": roofline.op_summary(parsed)}
 
 
 def start_observability(session=None, port: int = 0
@@ -111,7 +122,8 @@ def start_observability(session=None, port: int = 0
                 elif u.path == "/profile":
                     q = parse_qs(u.query)
                     secs = float(q.get("seconds", ["3"])[0])
-                    self._send(200, {"trace_dir": _profile(secs)})
+                    summ = q.get("summary", ["0"])[0] not in ("0", "")
+                    self._send(200, _profile(secs, summary=summ))
                 elif u.path == "/memory":
                     mb = getattr(session, "memory_budget", None)
                     self._send(200, {

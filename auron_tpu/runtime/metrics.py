@@ -23,9 +23,10 @@ import jax
 import numpy as np
 
 
-# Peak HBM bandwidth (bytes/s) per backend generation; the roofline
-# denominator. TPU numbers follow public chip specs; CPU is a nominal
-# DDR figure so the accounting works in tests.
+# Spec-sheet peak HBM bandwidth (bytes/s) per backend generation — the
+# FALLBACK roofline denominator when measurement is disabled. The live
+# denominator is the STREAM triad measured on the actual device at first
+# use (runtime/roofline.py; auron.roofline.measure.peak).
 PEAK_HBM_BPS = {
     "tpu": 1.2e12,     # ~TPU v4/v5e class
     "cpu": 5.0e10,
@@ -34,6 +35,13 @@ PEAK_HBM_BPS = {
 
 
 def peak_bps() -> float:
+    from auron_tpu import config
+    if config.conf.get(config.ROOFLINE_MEASURE_PEAK):
+        from auron_tpu.runtime import roofline
+        try:
+            return roofline.measured_peak_bps()
+        except Exception:
+            pass  # measurement unavailable (no device) -> spec fallback
     return PEAK_HBM_BPS.get(jax.default_backend(), 1e11)
 
 
