@@ -146,3 +146,13 @@ def test_chunked_exchange_equivalent(data):
     b = pd.concat([x.to_pandas() for x in unstack_result(chunked)],
                   ignore_index=True)
     assert _rows(a) == _rows(b)
+
+
+def test_overlap_bench_variants_exact():
+    """All exchange/overlap formulations produce identical exact results
+    (parallel/overlap_bench.py: row all_to_all, chunked, dense+ring)."""
+    from auron_tpu.parallel.overlap_bench import run
+    out = run(rows=16_000, groups=64, iters=1)
+    assert set(out["variants"]) == {"mono", "chunked4", "chunked8", "ring"}
+    for v in out["variants"].values():
+        assert v["wall_ms"] > 0
