@@ -81,6 +81,9 @@ def murmur3_long(value_i64, seed_u32):
     return _fmix(h1, np.uint32(8))
 
 
+_F64_WARNED = False
+
+
 def _f64_words(values):
     """f64 -> (low_u32, high_u32) bit words, with a TPU fallback.
 
@@ -90,6 +93,16 @@ def _f64_words(values):
     but keeps placement deterministic, which is all the exchange needs.
     """
     if jax.default_backend() == "tpu":
+        global _F64_WARNED
+        if not _F64_WARNED:
+            _F64_WARNED = True
+            import warnings
+            warnings.warn(
+                "float64 partition keys on TPU hash their float32 bits "
+                "(XLA demotes f64; placement stays deterministic and "
+                "results exact, but Spark shuffle-placement bit-parity "
+                "does not hold for double keys on this backend)",
+                RuntimeWarning, stacklevel=3)
         w = jax.lax.bitcast_convert_type(values.astype(jnp.float32), jnp.uint32)
         return w, jnp.zeros_like(w)
     pair = jax.lax.bitcast_convert_type(values, jnp.uint32)
