@@ -131,6 +131,31 @@ def cmd_query(qname: str, sf: float, partitions: int = 1,
 EAGER_QUERIES = {"q25", "q67", "q93"}
 
 
+def cmd_profile(qname: str, sf: float) -> dict:
+    """Measured per-op roofline for one query on the live device
+    (runtime/roofline.py): compile the whole-plan jit, trace one warm
+    execution, fold device fusion times onto plan operators, and compare
+    total device time against the STREAM-measured peak."""
+    import json as _json
+
+    from auron_tpu.tpcds.runner import QUERIES, make_session_pruned
+    from auron_tpu.runtime import metrics as M
+    from auron_tpu.runtime import roofline
+    tables, cols = _load_for_query(qname, sf)
+    session = make_session_pruned(tables, [qname], num_partitions=1)
+    build, _oracle = QUERIES[qname]
+    frame = build(session)
+    frame.collect(jit=True)  # compile + warm (+ calibration prepass)
+    total_bytes = sum(M.block_bytes(b) for t in session.tables.values()
+                     for b in t)
+    rep = roofline.profile_report(lambda: frame.blocks(jit=True),
+                                  bytes_touched=total_bytes)
+    rep["query"] = qname
+    rep["sf"] = sf
+    print(_json.dumps(rep), flush=True)
+    return rep
+
+
 def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
             partitions: int = 1) -> None:
     if not os.path.isdir(cache_dir(sf)):
@@ -176,6 +201,9 @@ def main() -> None:
     q.add_argument("--sf", type=float, default=500)
     q.add_argument("--partitions", type=int, default=1)
     q.add_argument("--eager", action="store_true")
+    pr = sub.add_parser("profile")
+    pr.add_argument("name")
+    pr.add_argument("--sf", type=float, default=500)
     a = sub.add_parser("all")
     a.add_argument("--sf", type=float, default=500)
     a.add_argument("--queries", nargs="*", default=DEFAULT_QUERIES)
@@ -187,6 +215,8 @@ def main() -> None:
         cmd_gen(args.sf, args.seed)
     elif args.cmd == "query":
         cmd_query(args.name, args.sf, args.partitions, args.eager)
+    elif args.cmd == "profile":
+        cmd_profile(args.name, args.sf)
     else:
         cmd_all(args.sf, args.queries, args.out, args.timeout,
                 args.partitions)
