@@ -691,6 +691,14 @@ def _correlation_seeds(t, rng, grid_items):
     ss, cs, ws = t["store_sales"], t["catalog_sales"], t["web_sales"]
     item, cust, addr = t["item"], t["customer"], t["customer_address"]
 
+    # q54 prerequisite: the Women x maternity joint (1/~250 per item) can
+    # come up EMPTY at small sf — pin a handful of items so the funnel
+    # below has a base population (joint attribute pinning is what dsdgen
+    # distributions give for free)
+    pin54 = rng.choice(len(item), 8, replace=False)
+    t["item"].loc[pin54, "i_category"] = "Women"
+    t["item"].loc[pin54, "i_class"] = "maternity"
+
     # q21: the inventory-grid items must hit the 0.99..1.49 price band
     t["item"].loc[t["item"]["i_item_sk"].isin(grid_items[::2]),
                   "i_current_price"] = 1.19
@@ -846,3 +854,131 @@ def _correlation_seeds(t, rng, grid_items):
         e2["ss_ticket_number"] = (ss2["ss_ticket_number"].max() + 1 +
                                   np.arange(k)).astype(np.int32)
         t["store_sales"] = pd.concat([ss2, e2], ignore_index=True)
+
+    _zero_row_seeds2(t, rng)
+
+
+def _zero_row_seeds2(t, rng):
+    """Second zero-row batch (q34/q73 tickets, q41 attribute combos, q71
+    meal-time sales, q37/q82 priced inventory) — the remaining queries the
+    sf=0.2 oracle audit found matching on zero rows."""
+    import pandas as pd
+
+    item, store, dd = t["item"], t["store"], t["date_dim"]
+    hd = t["household_demographics"]
+
+    # ---- q34/q73: coherent tickets clearing the whole compound filter ----
+    ok = (hd.hd_buy_potential.isin([">10000", "unknown"]) &
+          (hd.hd_vehicle_count > 0) &
+          (hd.hd_dep_count / hd.hd_vehicle_count > 1.2))
+    if not ok.any():
+        fix = rng.choice(len(hd), 4, replace=False)
+        t["household_demographics"].loc[fix, "hd_buy_potential"] = ">10000"
+        t["household_demographics"].loc[fix, "hd_vehicle_count"] = 2
+        t["household_demographics"].loc[fix, "hd_dep_count"] = 5
+        hd = t["household_demographics"]
+        ok = (hd.hd_buy_potential.isin([">10000", "unknown"]) &
+              (hd.hd_vehicle_count > 0) &
+              (hd.hd_dep_count / hd.hd_vehicle_count > 1.2))
+    hd_ok = hd[ok]["hd_demo_sk"].to_numpy()
+    will = store[store.s_county == "Williamson County"][
+        "s_store_sk"].to_numpy()
+    if will.size == 0:
+        # store 0 anchors the q54 county/state match — pin a LATER store
+        t["store"].loc[len(store) - 1, "s_county"] = "Williamson County"
+        will = np.array([len(store) - 1], np.int32)
+    days12 = dd[(dd.d_dom >= 1) & (dd.d_dom <= 2) &
+                dd.d_year.isin([1999, 2000, 2001])]["d_date_sk"].to_numpy()
+    # cnt windows: q34 wants 15..20 per ticket, q73 wants 1..5
+    sizes = [16, 17, 18, 19] + [2, 3, 4, 2, 3, 5]
+    ss = t["store_sales"]
+    tkt0 = int(ss["ss_ticket_number"].max()) + 1
+    total = sum(sizes)
+    base = ss.iloc[rng.choice(len(ss), total)].reset_index(drop=True)
+    tkt = np.repeat(np.arange(len(sizes)), sizes)
+    base["ss_ticket_number"] = (tkt0 + tkt).astype(np.int32)
+    nt = len(sizes)
+    base["ss_sold_date_sk"] = rng.choice(days12, nt)[tkt].astype(np.int32)
+    base["ss_store_sk"] = rng.choice(will, nt)[tkt].astype(
+        base["ss_store_sk"].dtype)
+    base["ss_hdemo_sk"] = rng.choice(hd_ok, nt)[tkt].astype(np.int32)
+    base["ss_customer_sk"] = rng.integers(
+        0, len(t["customer"]), nt)[tkt].astype(np.int32)
+    t["store_sales"] = pd.concat([ss, base], ignore_index=True)
+
+    # ---- q41: manufacturer groups containing the literal attribute combos
+    combos = [("Women", "powder", "Ounce", "medium"),
+              ("Women", "brown", "Bunch", "N/A"),
+              ("Men", "floral", "N/A", "petite"),
+              ("Men", "light", "Box", "medium"),
+              ("Women", "midnight", "Pallet", "medium"),
+              ("Men", "forest", "Lb", "extra large")]
+    lo = max(len(item) // 200, 3)  # rows < lo carry q3's pinned manufact 128
+    pick41 = lo + rng.choice(len(item) - lo, len(combos), replace=False)
+    for r, (cat, color, units, size) in zip(pick41, combos):
+        mid = int(rng.integers(738, 779))
+        t["item"].loc[r, ["i_manufact_id", "i_manufact", "i_category",
+                          "i_color", "i_units", "i_size"]] = \
+            [mid, f"manufact#{mid % 100}", cat, color, units, size]
+
+    # ---- q37/q82: priced items with in-window inventory + channel sales
+    pick = lo + rng.choice(len(item) - lo, 8, replace=False)
+    it37, it82 = pick[:4], pick[4:]
+    t["item"].loc[it37, "i_manufact_id"] = np.array(
+        [677, 940, 694, 808], np.int32)
+    t["item"].loc[it37, "i_current_price"] = 80.0   # q37 band 68..98
+    t["item"].loc[it82, "i_manufact_id"] = np.array(
+        [129, 270, 821, 423], np.int32)
+    t["item"].loc[it82, "i_current_price"] = 70.0   # q82 band 62..92
+    inv_rows = []
+    for items, d0, d1 in ((it37, "2000-02-03", "2000-03-28"),
+                          (it82, "2000-05-27", "2000-07-20")):
+        ds = np.arange(date_sk(d0), date_sk(d1), 9, dtype=np.int32)
+        ii, dd2 = [a.ravel() for a in np.meshgrid(items, ds, indexing="ij")]
+        inv_rows.append(pd.DataFrame({
+            "inv_date_sk": dd2, "inv_item_sk": ii.astype(np.int32),
+            "inv_warehouse_sk": rng.integers(
+                0, len(t["warehouse"]),
+                ii.size).astype(np.int32),
+            "inv_quantity_on_hand": rng.integers(
+                100, 501, ii.size).astype(np.int32)}))
+    t["inventory"] = pd.concat([t["inventory"]] + inv_rows,
+                               ignore_index=True)
+    cs = t["catalog_sales"]
+    e = cs.iloc[rng.choice(len(cs), 12)].reset_index(drop=True)
+    e["cs_item_sk"] = np.tile(it37, 3).astype(np.int32)
+    t["catalog_sales"] = pd.concat([cs, e], ignore_index=True)
+    ss = t["store_sales"]
+    e = ss.iloc[rng.choice(len(ss), 12)].reset_index(drop=True)
+    e["ss_item_sk"] = np.tile(it82, 3).astype(np.int32)
+    e["ss_ticket_number"] = (ss["ss_ticket_number"].max() + 1 +
+                             np.arange(12)).astype(np.int32)
+    t["store_sales"] = pd.concat([ss, e], ignore_index=True)
+
+    # ---- q71: manager-1 brands sold at breakfast/dinner in 1999-11 ------
+    mgr1 = item[item.i_manager_id == 1]["i_item_sk"].to_numpy()
+    if mgr1.size == 0:
+        r = lo + rng.choice(len(item) - lo, 4, replace=False)
+        t["item"].loc[r, "i_manager_id"] = 1
+        mgr1 = np.asarray(r, np.int32)
+    nov99 = dd[(dd.d_moy == 11) & (dd.d_year == 1999)][
+        "d_date_sk"].to_numpy()
+    meals = np.concatenate([np.arange(6 * 60, 9 * 60),
+                            np.arange(17 * 60, 20 * 60)])
+    k71 = 24
+    for tbl, ic, dc, tc, extra in (
+            ("store_sales", "ss_item_sk", "ss_sold_date_sk",
+             "ss_sold_time_sk", "ss_ticket_number"),
+            ("catalog_sales", "cs_item_sk", "cs_sold_date_sk",
+             "cs_sold_time_sk", None),
+            ("web_sales", "ws_item_sk", "ws_sold_date_sk",
+             "ws_sold_time_sk", None)):
+        base2 = t[tbl]
+        e = base2.iloc[rng.choice(len(base2), k71)].reset_index(drop=True)
+        e[ic] = rng.choice(mgr1, k71).astype(np.int32)
+        e[dc] = rng.choice(nov99, k71).astype(np.int32)
+        e[tc] = rng.choice(meals, k71).astype(np.int32)
+        if extra is not None:
+            e[extra] = (base2[extra].max() + 1 +
+                        np.arange(k71)).astype(np.int32)
+        t[tbl] = pd.concat([base2, e], ignore_index=True)

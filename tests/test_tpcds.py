@@ -4,6 +4,7 @@ single- and multi-partition, plain and skewed (SURVEY.md §4 tier-4 analog)."""
 import pytest
 
 from auron_tpu.tpcds.queries import QUERIES
+from auron_tpu.tpcds import runner
 from auron_tpu.tpcds.runner import run_all
 
 
@@ -180,3 +181,17 @@ def test_q64_dense_cross_years():
     want = oracle(tables)
     assert len(want) > 0, "q64: dense fixture still empty"
     assert frames_match(got, want), (got, want)
+
+
+def test_no_query_matches_on_zero_rows():
+    """Differential power floor (round-2 verdict weak #3): a query whose
+    oracle returns 0 rows proves nothing. Every query must have support
+    at the default test sf (datagen._correlation_seeds + _zero_row_seeds2
+    provide the dsdgen-like joint distributions)."""
+    tables = runner.generate_cached(0.2, 0, 0.0)
+    zero = []
+    for q in runner.QUERIES:
+        _, oracle = runner.QUERIES[q]
+        if len(oracle(tables)) == 0:
+            zero.append(q)
+    assert not zero, f"queries matching on zero rows: {zero}"
