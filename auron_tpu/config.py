@@ -159,6 +159,20 @@ JOIN_OUT_FACTOR = ConfigOption(
     "counter that the execution boundary checks (auron.overflow.check); "
     "regrow mode re-runs with this factor grown to fit.")
 
+SHRINK_FACTOR = ConfigOption(
+    "auron.shrink.capacity.factor", 1.0, float,
+    "Scales the calibrated shrink_to capacities (plan/nodes.py Filter/Join "
+    "shrink_to): the executor compacts a selective node's output into a "
+    "block of shrink_to*factor rows so downstream ops run at the data's "
+    "true size. Grown by overflow regrow if a live count ever exceeds its "
+    "calibrated capacity.")
+
+SHRINK_MIN_RATIO = ConfigOption(
+    "auron.shrink.min.ratio", 4, int,
+    "Only compact when the block capacity exceeds the calibrated live "
+    "count by at least this ratio — below it the compaction gather costs "
+    "more than the downstream savings.")
+
 OVERFLOW_CHECK = ConfigOption(
     "auron.overflow.check", "regrow", str,
     "What the host does when a traced overflow counter exceeds its static "
@@ -269,6 +283,15 @@ JIT_CALIBRATE = ConfigOption(
     "probe*factor sizing compounds per join (HBM-fatal at scale). The "
     "overflow-regrow loop remains the correctness net either way.")
 
+JIT_CALIBRATE_ON_HOST = ConfigOption(
+    "auron.jit.calibrate.on.host", True, bool,
+    "Run the calibration prepass on the host CPU backend when the main "
+    "backend is an accelerator: the measured counts are identical (same "
+    "data, same plan), but eager per-node dispatch on the TPU tunnel "
+    "costs a 40s+ compile per node and pins every intermediate in HBM at "
+    "once (OOM at sf=500 before any count exists). The table set is "
+    "copied to host RAM once per session and reused.")
+
 JIT_CACHE_MAX_ENTRIES = ConfigOption(
     "auron.jit.cache.max.entries", 64, int,
     "LRU capacity of the whole-plan jit cache (plan/builder.py). Each "
@@ -342,6 +365,17 @@ PALLAS_FUSED_ENABLE = ConfigOption(
     "compiles — XLA already fuses the one-hot into the MXU pass. Kept for "
     "shapes where a hand-scheduled pipeline may win and as the Mosaic "
     "reference kernel (BENCH_NOTES.md).")
+
+TAKE_CHUNK_ROWS = ConfigOption(
+    "auron.take.chunk.rows", 8_388_608, int,
+    "Stacked multi-plane gathers with more indices than this run as a "
+    "lax.scan over index chunks with per-plane outputs. The TPU gather "
+    "emitter materializes 2-D gather outputs offsets-minor — s32[n,k] "
+    "padded to 128 lanes, 512 B/index — so one 50M-index stacked take "
+    "wants a 25.7 GB temp and cannot compile; chunking bounds the temp "
+    "to chunk*512B (4.3 GB at the default) while keeping the per-index "
+    "amortization (measured v5e @ 50M x 5 planes: 1.15 s chunked vs "
+    "3.0 s separate 1-D takes vs OOM direct).")
 
 MXU_GATHER_MAX_TABLE = ConfigOption(
     "auron.gather.mxu.max.table", 0, int,

@@ -25,6 +25,40 @@ def compaction_indices(mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return idx, n
 
 
+def _stacked_take(stacked, indices):
+    """take(stacked[k,N], idx, axis=1) that survives huge index counts.
+
+    The TPU gather emitter materializes the 2-D gather output
+    offsets-MINOR: s32[n_idx, k]{1,0:T(8,128)} — k padded to 128 lanes,
+    i.e. 512 B per index regardless of k. At 50M indices that temp is
+    25.7 GB and the program cannot even compile (measured; forcing the
+    layout via a fori_loop accumulator or lax.map fails identically —
+    layout assignment propagates the gather's preference). Above a chunk
+    threshold we therefore run the SAME stacked gather inside lax.scan
+    with per-plane tuple outputs: every persistent buffer is per-plane
+    (no k-minor dim exists to pad) and the padded temp is bounded by the
+    chunk (8M idx = 4.3 GB). Measured v5e @ 50M idx x 5 planes:
+    scan-chunked 1150 ms vs separate 1-D takes 3007 ms vs direct 2-D OOM.
+    """
+    import jax
+    from auron_tpu.config import conf
+    k = stacked.shape[0]
+    n = indices.shape[0]
+    chunk = conf.get("auron.take.chunk.rows")
+    if n <= chunk or k == 1:
+        got = jnp.take(stacked, indices, axis=1)
+        return [got[j] for j in range(k)]
+    pad = (-n) % chunk
+    ix = jnp.pad(indices, (0, pad)).reshape(-1, chunk)
+
+    def body(carry, ch):
+        got = jnp.take(stacked, ch, axis=1)  # [k, chunk] — bounded temp
+        return carry, tuple(got[j] for j in range(k))
+
+    _, ys = jax.lax.scan(body, 0, ix)        # k arrays of [nchunks, chunk]
+    return [y.reshape(-1)[:n] for y in ys]
+
+
 def batched_take(arrays: dict, indices) -> dict:
     """Gather many row-aligned arrays by the same indices in ONE 2-D gather.
 
@@ -40,7 +74,8 @@ def batched_take(arrays: dict, indices) -> dict:
     which OOMs HBM at 50M rows (measured: s32[50M,4] wants 25.7 GB).
     [k, capacity] pads k only to 8 sublanes and measures FASTER
     (v5e, 8M rows x 4 planes: 86 ms vs 96 ms axis-0 vs 341 ms separate;
-    50M rows: 394 ms while axis-0 cannot even compile).
+    50M rows: 394 ms while axis-0 cannot even compile). Huge index
+    counts route through the scan-chunked form (_stacked_take).
     """
     import jax
     # NOTE: 64-bit dtypes CANNOT ride the int32 plane stack — TPU's x64
@@ -70,10 +105,10 @@ def batched_take(arrays: dict, indices) -> dict:
         if len(keys) == 1:
             out[keys[0]] = jnp.take(arrays[keys[0]], indices)
         else:
-            got = jnp.take(jnp.stack([arrays[k] for k in keys], axis=0),
-                           indices, axis=1)
+            rows64 = _stacked_take(
+                jnp.stack([arrays[k] for k in keys], axis=0), indices)
             for j, k in enumerate(keys):
-                out[k] = got[j]
+                out[k] = rows64[j]
     if not cols:
         return out
     from auron_tpu.ops.mxu_gather import mxu_gather_i32_planes, use_mxu_gather
@@ -85,8 +120,7 @@ def batched_take(arrays: dict, indices) -> dict:
     elif len(cols) == 1:
         rows = [jnp.take(cols[0], indices)]
     else:
-        got2 = jnp.take(jnp.stack(cols, axis=0), indices, axis=1)
-        rows = [got2[j] for j in range(len(cols))]
+        rows = _stacked_take(jnp.stack(cols, axis=0), indices)
     for j, (key, kind, dt) in enumerate(plan):
         col = rows[j]
         if kind == "32":
@@ -129,6 +163,27 @@ def compact(block: TableBlock) -> Tuple[TableBlock, jnp.ndarray]:
     cap = block.capacity
     new_mask = jnp.arange(cap) < n
     return take_block(block, idx, new_mask), n
+
+
+def shrink_block(block: TableBlock, new_capacity: int) -> TableBlock:
+    """Compact live rows into a block of SMALLER static capacity.
+
+    The static-shape selectivity AQE: after a selective filter/join, most
+    of a scan-capacity block is dead mask, yet every downstream gather,
+    sort and aggregation still pays the full capacity (a 1/1000-selective
+    dimension filter at 50M rows leaves 50M-row buffers flowing through
+    the rest of the query). The calibration prepass measures the true
+    live count (runtime/calibrate.py record_live) and the executor calls
+    this to re-home the survivors in a right-sized block. Truncation is
+    impossible by silent default: the true live count rides the traced
+    overflow counters and regrow re-runs with a grown shrink factor.
+    """
+    from auron_tpu.runtime import overflow as OV
+    n = jnp.sum(block.row_mask.astype(jnp.int32))
+    OV.record("shrink", n, new_capacity)
+    idx = jnp.nonzero(block.row_mask, size=new_capacity, fill_value=0)[0]
+    new_mask = jnp.arange(new_capacity) < n
+    return take_block(block, idx, new_mask)
 
 
 def head_limit(block: TableBlock, limit: int, offset: int = 0) -> TableBlock:

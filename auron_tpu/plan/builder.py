@@ -329,14 +329,48 @@ class Frame:
             return hit
         from auron_tpu.runtime import calibrate as CAL
         from auron_tpu.runtime import overflow as OV
+        sess = self._calibration_session()
         try:
-            with OV.collect(), CAL.collect() as caps:
-                execute_plan(plan, self.session, annotate=False)
+            import contextlib
+            import jax
+            ctx = jax.default_device(jax.devices("cpu")[0]) \
+                if sess is not self.session else contextlib.nullcontext()
+            with OV.collect(), CAL.collect() as caps, ctx:
+                execute_plan(plan, sess, annotate=False)
         except Exception:
             return plan
         plan = CAL.apply(plan, caps) if caps else plan
         self._calibrated = plan
         return plan
+
+    def _calibration_session(self) -> Session:
+        """Session for the calibration prepass. On accelerator backends the
+        prepass runs ON THE HOST CPU with a copied table set: the measured
+        counts are identical (same data, same plan), but eager per-node
+        dispatch through the TPU tunnel costs a 40s+ compile per node, and
+        eager execution pins every intermediate in HBM simultaneously —
+        at sf=500 that OOMs 16 GB before the counts exist (q67). Host RAM
+        and local CPU dispatch have neither problem. Gated by
+        auron.jit.calibrate.on.host; no-op on CPU backends."""
+        import jax
+        from auron_tpu import config as C
+        if not C.conf.get(C.JIT_CALIBRATE_ON_HOST) or \
+                jax.devices()[0].platform == "cpu":
+            return self.session
+        cached = getattr(self.session, "_host_shadow", None)
+        if cached is not None:
+            return cached
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:  # CPU platform unavailable in this process
+            return self.session
+        shadow = Session(self.session.conf)
+        with jax.default_device(cpu):
+            for name, blocks in self.session.tables.items():
+                shadow.tables[name] = [jax.device_put(b, cpu)
+                                       for b in blocks]
+        self.session._host_shadow = shadow
+        return shadow
 
     def _run_jit(self, overrides: dict):
         # whole-query jit: annotate/prune against the concrete tables, then

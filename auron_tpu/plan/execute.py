@@ -262,6 +262,7 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
     t0 = time.perf_counter()
     out = _dispatch(node, s)
     s.cancel_token.check()  # a kill during this subtree surfaces here
+    out = _selectivity_shrink(node, out, s)
     if memo is not None and id(node) in _EXEC_TLS.shared:
         memo[id(node)] = out
     if s.conf.get(config.METRICS_ENABLE):
@@ -280,6 +281,40 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         # (runtime/metrics.py collect_op_counters)
         from auron_tpu.runtime.metrics import record_op_rows
         record_op_rows(key, out)
+    return out
+
+
+def _selectivity_shrink(node, out: List[TableBlock],
+                        s: Session) -> List[TableBlock]:
+    """Static-shape selectivity AQE (ops/selection.py shrink_block).
+
+    During the calibration prepass (runtime/calibrate.py), measure each
+    Filter/Join's live output rows; in the calibrated tree, compact the
+    output into a right-sized block when the capacity exceeds the
+    measured live count by auron.shrink.min.ratio. A 1/1000-selective
+    dimension filter then collapses the REST of the query to the
+    surviving-row scale instead of dragging scan-capacity buffers through
+    every downstream join/sort/agg. The live count rides the traced
+    overflow counters, so an undersized shrink regrows — never truncates.
+    """
+    if not isinstance(node, (PN.Filter, PN.Join)):
+        return out
+    st = getattr(node, "shrink_to", None)
+    if st is not None:
+        from auron_tpu.block import round_capacity
+        from auron_tpu.ops.selection import shrink_block
+        f = s.conf.get(config.SHRINK_FACTOR)
+        cap2 = round_capacity(int(st * f) + 1) if f > 1.0 else st
+        ratio = s.conf.get(config.SHRINK_MIN_RATIO)
+        return [shrink_block(b, cap2)
+                if b.capacity >= cap2 * ratio else b for b in out]
+    from auron_tpu.runtime import calibrate
+    if calibrate.active() and out:
+        import jax.core
+        if not any(isinstance(b.row_mask, jax.core.Tracer) for b in out):
+            live = max(int(np.asarray(jnp.sum(b.row_mask.astype(jnp.int32))))
+                       for b in out)
+            calibrate.record_live(node, live)
     return out
 
 

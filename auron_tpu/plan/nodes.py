@@ -98,6 +98,12 @@ class LakehouseScan(PlanNode):
 class Filter(PlanNode):
     child: PlanNode
     predicate: Expr
+    # measured live-row count from the jit calibration prepass
+    # (runtime/calibrate.py): when far below the input capacity, the
+    # executor compacts the output into a block of this (rounded)
+    # capacity so every downstream op runs at the data's true size
+    # instead of the scan capacity (static-shape selectivity AQE)
+    shrink_to: Optional[int] = None
 
 
 @_ident
@@ -192,6 +198,11 @@ class Join(PlanNode):
     # storage order): the dense position table is the identity, so the probe
     # skips both its scatter and its per-probe-row table gather
     build_sequential: bool = False
+    # measured live-row count (calibration prepass) — see Filter.shrink_to:
+    # selective probe-side joins (dimension filters) leave most of the
+    # probe-capacity block dead; compacting here collapses the rest of the
+    # query to the surviving-row scale
+    shrink_to: Optional[int] = None
 
 
 @_ident

@@ -64,6 +64,21 @@ def record(node, rows) -> None:
         caps[key] = r
 
 
+def record_live(node, rows) -> None:
+    """Record a node's measured LIVE output rows (max over partitions).
+    Selective Filter/Join nodes whose live count is far below their block
+    capacity get a ``shrink_to`` in the rebuilt tree — the executor then
+    compacts their output so downstream ops run at the data's true size
+    (the static-shape analog of Arrow's dynamic batch shrinking)."""
+    caps = _active()
+    if caps is None or rows is None:
+        return
+    key = (id(node), "live")
+    r = int(rows)
+    if r > caps.get(key, -1):
+        caps[key] = r
+
+
 def apply(plan, caps: Dict[int, int]):
     """Rebuild ``plan`` with measured capacities as out_capacity hints.
 
@@ -99,6 +114,10 @@ def apply(plan, caps: Dict[int, int]):
                 isinstance(node, (PN.Join, PN.Generate)) and \
                 node.out_capacity is None:
             changes["out_capacity"] = round_capacity(max(measured, 1))
+        live = caps.get((id(node), "live"))
+        if live is not None and isinstance(node, (PN.Join, PN.Filter)) \
+                and node.shrink_to is None:
+            changes["shrink_to"] = round_capacity(max(live, 1))
         new = dataclasses.replace(node, **changes) if changes else node
         memo[id(node)] = new
         return new

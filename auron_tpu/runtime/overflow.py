@@ -80,6 +80,7 @@ _TAG_KNOB: Dict[str, Tuple[str, float]] = {
     "skew_heavy": ("auron.skew.heavy.capacity.factor", 1.05),
     "collect": ("auron.agg.collect.len.factor", 1.0),
     "generate": ("auron.generate.output.capacity.factor", 1.05),
+    "shrink": ("auron.shrink.capacity.factor", 1.05),
 }
 
 

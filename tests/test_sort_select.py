@@ -78,3 +78,36 @@ def test_sort_under_jit(rng):
     run = jax.jit(lambda blk: sort_block(blk, [SortKey("k")]))
     got = run(b).to_pandas()["k"].to_numpy()
     np.testing.assert_array_equal(got, np.sort(df["k"].to_numpy()))
+
+
+def test_batched_take_chunked_exact(rng):
+    """Huge-index stacked takes run as a lax.scan over index chunks
+    (TPU gather temps are 512 B/index regardless of plane count — one
+    50M-index 2-D take cannot even compile; BENCH_NOTES). The chunked
+    form must stay bit-exact across every plane kind, eager and jit."""
+    from auron_tpu.config import conf
+    from auron_tpu.ops.selection import batched_take
+
+    N, NI = 1000, 3000
+    arrays = {
+        "i32": jnp.asarray(rng.integers(-2**31, 2**31, N).astype(np.int32)),
+        "f32": jnp.asarray(rng.standard_normal(N).astype(np.float32)),
+        "i64a": jnp.asarray(rng.integers(-2**62, 2**62, N)),
+        "i64b": jnp.asarray(rng.integers(-2**62, 2**62, N)),
+        "f64": jnp.asarray(rng.standard_normal(N)),
+        "i8": jnp.asarray(rng.integers(0, 2, N).astype(np.int8)),
+    }
+    idx = jnp.asarray(rng.integers(0, N, NI).astype(np.int32))
+    want = {k: np.asarray(v)[np.asarray(idx)] for k, v in arrays.items()}
+    old = conf.get("auron.take.chunk.rows")
+    try:
+        for chunk in (old, 1024, 700):  # direct, even and ragged chunking
+            conf.set("auron.take.chunk.rows", chunk)
+            for got in (batched_take(arrays, idx),
+                        jax.jit(batched_take)(arrays, idx)):
+                for k in arrays:
+                    assert got[k].dtype == arrays[k].dtype
+                    np.testing.assert_array_equal(np.asarray(got[k]),
+                                                  want[k])
+    finally:
+        conf.set("auron.take.chunk.rows", old)
