@@ -310,6 +310,33 @@ CATALOG_REST_SCHEME = ConfigOption(
     "whenever a bearer token is configured so credentials never travel "
     "cleartext (a rest+https:// table URI also forces https).")
 
+CATALOG_GLUE_ENDPOINT = ConfigOption(
+    "auron.catalog.glue.endpoint", "", str,
+    "AWS Glue catalog endpoint for glue:// table URIs "
+    "(connectors/glue.py). Empty derives https://glue.<region>."
+    "amazonaws.com from the region; an http://host:port value targets a "
+    "local fake for tests.")
+
+CATALOG_GLUE_REGION = ConfigOption(
+    "auron.catalog.glue.region", "", str,
+    "AWS region for Glue SigV4 signing; falls back to $AWS_REGION, then "
+    "to the region embedded in the endpoint hostname, then us-east-1.")
+
+CATALOG_GLUE_ACCESS_KEY = ConfigOption(
+    "auron.catalog.glue.access.key", "", str,
+    "AWS access key id for Glue requests; empty falls back to "
+    "$AWS_ACCESS_KEY_ID.")
+
+CATALOG_GLUE_SECRET_KEY = ConfigOption(
+    "auron.catalog.glue.secret.key", "", str,
+    "AWS secret access key for Glue requests; empty falls back to "
+    "$AWS_SECRET_ACCESS_KEY.")
+
+CATALOG_GLUE_SESSION_TOKEN = ConfigOption(
+    "auron.catalog.glue.session.token", "", str,
+    "Optional AWS session token (STS temporary credentials); empty falls "
+    "back to $AWS_SESSION_TOKEN.")
+
 CATALOG_REST_PREFIX = ConfigOption(
     "auron.catalog.rest.prefix", "", str,
     "Explicit REST catalog prefix. When set, NO path segment of a rest:// "

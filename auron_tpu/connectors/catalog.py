@@ -1,4 +1,19 @@
-"""Iceberg REST catalog client (catalog services beyond path-based tables).
+"""Catalog services beyond path-based tables: Iceberg REST, HMS, Glue.
+
+This module is the dispatcher: ``rest://`` URIs resolve through the
+standardized Iceberg REST catalog below; ``hms://`` goes to the thrift
+Hive-Metastore client (connectors/hms.py) and ``glue://`` to the SigV4
+AWS Glue client (connectors/glue.py). ``describe_table`` normalizes all
+three into one shape a Session can register from:
+
+    {"kind": "iceberg"|"files", "format": ..., "paths": [...],
+     "metadata_location": ...}
+
+Iceberg tables surface through ANY of the three catalogs (HMS/Glue mark
+them with ``table_type=ICEBERG`` + a ``metadata_location`` parameter —
+the convention Iceberg's own HiveCatalog/GlueCatalog write); plain hive
+parquet/orc tables resolve to their storage-descriptor locations
+(+ per-partition locations when partitioned).
 
 Reference analog: the reference's Iceberg integration rides Spark's catalog
 plumbing (iceberg-core + whatever catalog the session configured); this
@@ -93,3 +108,71 @@ def load_table(uri: str, timeout: float = 30.0) -> Tuple[str,
     if loc.startswith("file://"):
         loc = loc[len("file://"):]
     return loc, body.get("metadata")
+
+
+# ------------------------------------------------- HMS / Glue dispatcher --
+
+def _strip_file(loc: str) -> str:
+    return loc[len("file://"):] if loc.startswith("file://") else loc
+
+
+def _format_of(input_format: str) -> str:
+    low = (input_format or "").lower()
+    if "parquet" in low:
+        return "parquet"
+    if "orc" in low:
+        return "orc"
+    raise ValueError(f"unsupported hive input format {input_format!r} "
+                     "(want parquet or orc)")
+
+
+def describe_table(uri: str, timeout: float = 30.0) -> Dict[str, Any]:
+    """Normalize a catalog table reference (rest:// | hms:// | glue://)
+    into {"kind", "format", "paths", "metadata_location"}."""
+    if uri.startswith(("rest://", "rest+http://", "rest+https://")):
+        loc, _meta = load_table(uri, timeout=timeout)
+        return {"kind": "iceberg", "metadata_location": loc}
+    if uri.startswith("hms://"):
+        from auron_tpu.connectors import hms as mod
+    elif uri.startswith("glue://"):
+        from auron_tpu.connectors import glue as mod
+    else:
+        raise ValueError(f"unknown catalog scheme in {uri!r} "
+                         "(want rest:// | hms:// | glue://)")
+    t = mod.load_table(uri, timeout=timeout)
+    params = {str(k).lower(): v for k, v in
+              (t.get("parameters") or {}).items()}
+    if (str(t.get("table_type") or "").upper() == "ICEBERG"
+            or str(params.get("table_type", "")).upper() == "ICEBERG"):
+        loc = params.get("metadata_location")
+        if not loc:
+            raise ValueError(f"{uri}: Iceberg table without a "
+                             "metadata_location parameter")
+        return {"kind": "iceberg",
+                "metadata_location": _strip_file(loc)}
+    sd = t.get("sd") or {}
+    fmt = _format_of(sd.get("input_format"))
+    root = _strip_file(sd.get("location") or "")
+    paths = [root]
+    if t.get("partition_keys"):
+        # partitioned hive table: each partition's storage descriptor
+        # carries its own location. In the standard warehouse layout every
+        # partition dir lives under the table root with key=value names —
+        # scanning the ROOT lets hive partitioning discovery turn those
+        # back into columns (and prune on them). Out-of-root partition
+        # locations (ALTER TABLE ... SET LOCATION per partition) are a
+        # declared capability boundary: their values are only recorded in
+        # the metastore, not the paths, and the scan layer injects consts
+        # from paths only.
+        parts = mod.load_partitions(uri, timeout=timeout)
+        locs = [_strip_file(p["sd"]["location"]) for p in parts
+                if p.get("sd", {}).get("location")]
+        rootp = root.rstrip("/") + "/"
+        if locs and not all(loc.startswith(rootp) for loc in locs):
+            raise NotImplementedError(
+                f"{uri}: partition locations outside the table root are "
+                "not supported (values live only in the metastore); move "
+                "partitions under the root's key=value layout")
+    if not any(paths):
+        raise ValueError(f"{uri}: table has no storage location")
+    return {"kind": "files", "format": fmt, "paths": paths}

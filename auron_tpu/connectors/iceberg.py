@@ -95,9 +95,14 @@ def resolve(table_path: str, snapshot_id: Optional[int] = None,
     the REST catalog resolves it to the current metadata file
     (connectors/catalog.py) and everything else proceeds unchanged.
     """
-    if table_path.startswith(("rest://", "rest+http://", "rest+https://")):
+    if table_path.startswith(("rest://", "rest+http://", "rest+https://",
+                              "hms://", "glue://")):
         from auron_tpu.connectors import catalog
-        meta_loc, _ = catalog.load_table(table_path)
+        desc = catalog.describe_table(table_path)
+        if desc["kind"] != "iceberg":
+            raise ValueError(f"{table_path} is not an Iceberg table "
+                             f"(resolved kind={desc['kind']!r})")
+        meta_loc = desc["metadata_location"]
         # table root = parent of metadata/ (for path re-rooting)
         table_path = os.path.dirname(os.path.dirname(meta_loc))
     else:

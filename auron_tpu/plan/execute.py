@@ -15,6 +15,7 @@ rt.rs:76-139). Exchange nodes re-route rows between partitions.
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
@@ -114,6 +115,36 @@ class Session:
                                 options=tuple(options.items()))
         self.tables[name] = _dispatch(node, self)
         return self
+
+    def register_catalog(self, name: str, uri: str,
+                         num_partitions: int = 1,
+                         **options) -> "Session":
+        """Register a table resolved through a catalog service:
+        ``rest://`` (Iceberg REST), ``hms://host:port/db/table`` (Hive
+        Metastore thrift), or ``glue://db/table`` (AWS Glue, SigV4).
+        Iceberg tables (any catalog) scan through the lakehouse
+        machinery with snapshot options; plain hive parquet/orc tables
+        register their storage locations directly (hive partition dirs
+        become columns via dataset discovery). The reference gets this
+        resolution free from Spark's session catalog; here it is native
+        (connectors/{catalog,hms,glue}.py)."""
+        from auron_tpu.connectors import catalog as cat
+        if uri.startswith(("rest://", "rest+http://", "rest+https://")):
+            # REST is Iceberg-only; let the lakehouse scan re-resolve so
+            # snapshot/time-travel options apply at execution time
+            return self.register_lakehouse(name, uri, format="iceberg",
+                                           num_partitions=num_partitions,
+                                           **options)
+        desc = cat.describe_table(uri)
+        if desc["kind"] == "iceberg":
+            root = os.path.dirname(
+                os.path.dirname(desc["metadata_location"]))
+            return self.register_lakehouse(name, root, format="iceberg",
+                                           num_partitions=num_partitions,
+                                           **options)
+        return self.register_files(name, desc["paths"],
+                                   format=desc["format"],
+                                   num_partitions=num_partitions)
 
     def write_lakehouse(self, df, path: str, format: str = "iceberg",
                         partition_by=()):
