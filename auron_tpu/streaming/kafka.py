@@ -9,7 +9,15 @@ protocol over a socket — request framing, Metadata v1, ListOffsets v1,
 Fetch v4 with RecordBatch v2 (magic=2) decoding incl. crc32c
 verification and varint record parsing, OffsetCommit v2 / OffsetFetch v1
 for the checkpoint-commit parity path — so any broker speaking those
-APIs works. ``FakeBroker`` is an in-process TCP server implementing the
+APIs works. Authenticated listeners are supported: SASL PLAIN and
+SCRAM-SHA-256 (RFC 5802/7677, mutual — the client verifies the server
+signature) via SaslHandshake v1 + SaslAuthenticate v0, and TLS via a
+caller-supplied ssl.SSLContext (SASL_SSL when combined) — the
+rdkafka security.protocol/sasl.* analog. Consumer-GROUP rebalance
+(JoinGroup/SyncGroup) is deliberately absent: like the reference's scan
+(kafka_scan_exec.rs:259-336), partitions are manually assigned and
+offsets are checkpoint-owned, so group membership would only fight the
+engine's own partition placement. ``FakeBroker`` is an in-process TCP server implementing the
 same subset (the kafka_mock_scan_exec.rs analog, but over a REAL wire:
 the client exercises genuine framing/parsing, not an in-memory shortcut).
 
@@ -34,6 +42,44 @@ from .source import MicroBatchSource, Offsets, Record
 # api keys (Kafka protocol)
 PRODUCE, FETCH, LIST_OFFSETS, METADATA = 0, 1, 2, 3
 OFFSET_COMMIT, OFFSET_FETCH, API_VERSIONS = 8, 9, 18
+SASL_HANDSHAKE, SASL_AUTHENTICATE = 17, 36
+
+# error codes used on the auth path
+ERR_UNSUPPORTED_SASL_MECHANISM = 33
+ERR_ILLEGAL_SASL_STATE = 34
+ERR_SASL_AUTHENTICATION_FAILED = 58
+
+
+# ---- SCRAM-SHA-256 (RFC 5802/7677) — shared by client and fake broker -------
+
+def _scram_hmac(key: bytes, msg: bytes) -> bytes:
+    import hashlib
+    import hmac as _hmac
+    return _hmac.new(key, msg, hashlib.sha256).digest()
+
+
+def _scram_h(data: bytes) -> bytes:
+    import hashlib
+    return hashlib.sha256(data).digest()
+
+
+def scram_salted_password(password: str, salt: bytes, iters: int) -> bytes:
+    import hashlib
+    return hashlib.pbkdf2_hmac("sha256", password.encode(), salt, iters)
+
+
+def scram_signatures(password: str, salt: bytes, iters: int,
+                     auth_message: bytes) -> Tuple[bytes, bytes]:
+    """(client_proof, server_signature) for one SCRAM exchange."""
+    import hmac as _hmac
+    salted = scram_salted_password(password, salt, iters)
+    client_key = _scram_hmac(salted, b"Client Key")
+    stored_key = _scram_h(client_key)
+    client_sig = _scram_hmac(stored_key, auth_message)
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _scram_hmac(salted, b"Server Key")
+    server_sig = _scram_hmac(server_key, auth_message)
+    return proof, server_sig
 
 
 # ---- crc32c (Castagnoli) — RecordBatch v2 integrity -------------------------
@@ -246,10 +292,70 @@ def decode_record_batches(buf: bytes, topic: str,
 # ---- client ------------------------------------------------------------------
 
 class _Conn:
-    def __init__(self, host: str, port: int, client_id: str = "auron-tpu"):
+    def __init__(self, host: str, port: int, client_id: str = "auron-tpu",
+                 ssl_context=None, sasl: Optional[Dict] = None):
         self.sock = socket.create_connection((host, port), timeout=30)
+        if ssl_context is not None:
+            self.sock = ssl_context.wrap_socket(self.sock,
+                                                server_hostname=host)
         self.client_id = client_id
         self._corr = 0
+        if sasl:
+            self._authenticate(sasl)
+
+    # -- SASL (SaslHandshake v1 + SaslAuthenticate v0) -----------------------
+    def _authenticate(self, sasl: Dict) -> None:
+        mech = sasl.get("mechanism", "PLAIN").upper()
+        user, password = sasl["username"], sasl["password"]
+        w = _Writer()
+        w.string(mech)
+        r = self.request(SASL_HANDSHAKE, 1, bytes(w.b))
+        err = r.i16()
+        if err:
+            enabled = [r.string() for _ in range(r.i32())]
+            raise PermissionError(
+                f"SaslHandshake rejected {mech} (error {err}; broker "
+                f"supports {enabled})")
+        if mech == "PLAIN":
+            token = b"\x00" + user.encode() + b"\x00" + password.encode()
+            self._sasl_round(token)
+            return
+        if mech != "SCRAM-SHA-256":
+            raise ValueError(f"unsupported sasl mechanism {mech!r}")
+        import base64
+        import os as _os
+        cnonce = base64.b64encode(_os.urandom(18)).decode()
+        gs2, cf_bare = "n,,", f"n={user},r={cnonce}"
+        server_first = self._sasl_round((gs2 + cf_bare).encode()).decode()
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        nonce, salt = attrs["r"], base64.b64decode(attrs["s"])
+        iters = int(attrs["i"])
+        if not nonce.startswith(cnonce):
+            raise PermissionError("SCRAM server nonce does not extend ours")
+        cf_woproof = (f"c={base64.b64encode(gs2.encode()).decode()},"
+                      f"r={nonce}")
+        auth_msg = f"{cf_bare},{server_first},{cf_woproof}".encode()
+        proof, server_sig = scram_signatures(password, salt, iters,
+                                             auth_msg)
+        final = (f"{cf_woproof},"
+                 f"p={base64.b64encode(proof).decode()}").encode()
+        server_final = self._sasl_round(final).decode()
+        v = dict(kv.split("=", 1) for kv in server_final.split(","))
+        if base64.b64decode(v.get("v", "")) != server_sig:
+            raise PermissionError(
+                "SCRAM server signature mismatch (not the broker that "
+                "holds our credentials)")
+
+    def _sasl_round(self, token: bytes) -> bytes:
+        w = _Writer()
+        w.nbytes(token)
+        r = self.request(SASL_AUTHENTICATE, 0, bytes(w.b))
+        err = r.i16()
+        msg = r.string()
+        if err:
+            raise PermissionError(f"SASL authentication failed "
+                                  f"(error {err}): {msg}")
+        return r.nbytes() or b""
 
     def request(self, api_key: int, api_version: int, body: bytes) -> _Reader:
         self._corr += 1
@@ -294,17 +400,27 @@ class KafkaWireSource(MicroBatchSource):
     for lag monitors and for first-start positioning."""
 
     def __init__(self, host: str, port: int, topics: List[str],
-                 group_id: str = "auron", max_bytes: int = 1 << 20):
+                 group_id: str = "auron", max_bytes: int = 1 << 20,
+                 ssl_context=None, sasl: Optional[Dict] = None):
+        """``ssl_context``: an ssl.SSLContext for TLS listeners.
+        ``sasl``: {"mechanism": "PLAIN"|"SCRAM-SHA-256", "username",
+        "password"} — authenticated per-connection via SaslHandshake v1 +
+        SaslAuthenticate v0 before any other request (the rdkafka
+        sasl.mechanism/sasl.username/sasl.password analog)."""
         self.host, self.port = host, port
         self.topics = list(topics)
         self.group_id = group_id
         self.max_bytes = max_bytes
+        self.ssl_context = ssl_context
+        self.sasl = dict(sasl) if sasl else None
         self._conn: Optional[_Conn] = None
         self._parts: Optional[Dict[str, List[int]]] = None
 
     def _c(self) -> _Conn:
         if self._conn is None:
-            self._conn = _Conn(self.host, self.port)
+            self._conn = _Conn(self.host, self.port,
+                               ssl_context=self.ssl_context,
+                               sasl=self.sasl)
         return self._conn
 
     def close(self):
@@ -459,8 +575,22 @@ class FakeBroker:
     real encoded RecordBatch v2 bytes — Fetch serves the stored batches
     verbatim, so the client's crc/varint decoding is genuinely exercised."""
 
-    def __init__(self, num_partitions: int = 2):
+    def __init__(self, num_partitions: int = 2,
+                 sasl_users: Optional[Dict[str, str]] = None,
+                 certfile: Optional[str] = None,
+                 keyfile: Optional[str] = None):
+        """``sasl_users``: {username: password}. When set, every
+        connection must complete SaslHandshake+SaslAuthenticate (PLAIN or
+        SCRAM-SHA-256) before any other API — unauthenticated requests
+        close the connection, like a real broker's SASL listener.
+        ``certfile``/``keyfile``: serve TLS (SASL_SSL when combined)."""
         self._np = num_partitions
+        self._sasl_users = dict(sasl_users) if sasl_users else None
+        self._ssl_ctx = None
+        if certfile:
+            import ssl
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(certfile, keyfile)
         self._topics: Dict[str, List[_PartLog]] = {}
         self._commits: Dict[Tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
@@ -509,7 +639,11 @@ class FakeBroker:
                              daemon=True).start()
 
     def _handle(self, conn: socket.socket):
+        auth = {"ok": self._sasl_users is None, "mech": None,
+                "scram": None}
         try:
+            if self._ssl_ctx is not None:
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
             while True:
                 head = self._recv_n(conn, 4)
                 if head is None:
@@ -521,13 +655,98 @@ class FakeBroker:
                 r = _Reader(buf)
                 api_key, api_version, corr = r.i16(), r.i16(), r.i32()
                 r.string()  # client id
-                body = self._dispatch(api_key, api_version, r)
+                if not auth["ok"] and api_key not in (
+                        API_VERSIONS, SASL_HANDSHAKE, SASL_AUTHENTICATE):
+                    return  # real SASL listeners drop unauthenticated reqs
+                if api_key in (SASL_HANDSHAKE, SASL_AUTHENTICATE):
+                    body = self._dispatch_sasl(api_key, r, auth)
+                else:
+                    body = self._dispatch(api_key, api_version, r)
                 resp = struct.pack(">i", corr) + body
                 conn.sendall(struct.pack(">i", len(resp)) + resp)
         except (ConnectionError, OSError, ValueError):
             pass
         finally:
             conn.close()
+
+    def _dispatch_sasl(self, api_key: int, r: _Reader, auth: Dict) -> bytes:
+        import base64
+        import os as _os
+        w = _Writer()
+        if api_key == SASL_HANDSHAKE:
+            mech = (r.string() or "").upper()
+            mechs = ["PLAIN", "SCRAM-SHA-256"]
+            if self._sasl_users is None or mech not in mechs:
+                w.i16(ERR_UNSUPPORTED_SASL_MECHANISM).i32(len(mechs))
+                for m in mechs:
+                    w.string(m)
+                return bytes(w.b)
+            auth["mech"] = mech
+            w.i16(0).i32(len(mechs))
+            for m in mechs:
+                w.string(m)
+            return bytes(w.b)
+        # SaslAuthenticate v0: [error, message, auth_bytes]
+        token = r.nbytes() or b""
+
+        def fail(msg: str) -> bytes:
+            w.i16(ERR_SASL_AUTHENTICATION_FAILED).string(msg).nbytes(b"")
+            return bytes(w.b)
+
+        if auth["mech"] == "PLAIN":
+            try:
+                _authzid, user, password = token.split(b"\x00", 2)
+            except ValueError:
+                return fail("malformed PLAIN token")
+            want = (self._sasl_users or {}).get(user.decode())
+            if want is None or want.encode() != password:
+                return fail("bad credentials")
+            auth["ok"] = True
+            w.i16(0).string(None).nbytes(b"")
+            return bytes(w.b)
+        if auth["mech"] == "SCRAM-SHA-256":
+            if auth["scram"] is None:
+                first = token.decode()
+                if not first.startswith("n,,"):
+                    return fail("unsupported gs2 header")
+                cf_bare = first[3:]
+                attrs = dict(kv.split("=", 1)
+                             for kv in cf_bare.split(","))
+                user, cnonce = attrs.get("n"), attrs.get("r")
+                if user not in (self._sasl_users or {}):
+                    return fail("unknown user")
+                salt = _os.urandom(16)
+                nonce = cnonce + base64.b64encode(
+                    _os.urandom(12)).decode()
+                server_first = (f"r={nonce},"
+                                f"s={base64.b64encode(salt).decode()},"
+                                f"i=4096")
+                auth["scram"] = {"user": user, "nonce": nonce,
+                                 "salt": salt, "iters": 4096,
+                                 "cf_bare": cf_bare,
+                                 "server_first": server_first}
+                w.i16(0).string(None).nbytes(server_first.encode())
+                return bytes(w.b)
+            st = auth["scram"]
+            final = token.decode()
+            woproof, _, proof_attr = final.rpartition(",")
+            if not proof_attr.startswith("p="):
+                return fail("missing proof")
+            attrs = dict(kv.split("=", 1) for kv in woproof.split(","))
+            if attrs.get("r") != st["nonce"]:
+                return fail("nonce mismatch")
+            auth_msg = (f"{st['cf_bare']},{st['server_first']},"
+                        f"{woproof}").encode()
+            want_proof, server_sig = scram_signatures(
+                self._sasl_users[st["user"]], st["salt"], st["iters"],
+                auth_msg)
+            if base64.b64decode(proof_attr[2:]) != want_proof:
+                return fail("bad SCRAM proof")
+            auth["ok"] = True
+            w.i16(0).string(None).nbytes(
+                b"v=" + base64.b64encode(server_sig))
+            return bytes(w.b)
+        return fail("SaslAuthenticate before SaslHandshake")
 
     @staticmethod
     def _recv_n(conn, n) -> Optional[bytes]:

@@ -289,3 +289,138 @@ def test_restart_replay_differential(broker, tmp_path):
         assert np.allclose(frame["s"], oracle["s"])
         assert frame["c"].tolist() == oracle["c"].tolist()
     src3.close()
+
+
+# ---- SASL / TLS (the rdkafka sasl.mechanism / security.protocol analog) ----
+
+SASL_USERS = {"svc-auron": "hunter2!"}
+
+
+def _produce_events(b):
+    b.produce("events", [b"a", b"b", b"c"], partition=0, timestamp_ms=1)
+
+
+def test_sasl_plain_authenticates_and_fetches():
+    b = FakeBroker(num_partitions=1, sasl_users=SASL_USERS)
+    try:
+        _produce_events(b)
+        src = KafkaWireSource(
+            "127.0.0.1", b.port, ["events"],
+            sasl={"mechanism": "PLAIN", "username": "svc-auron",
+                  "password": "hunter2!"})
+        assert [r.value for r in src.poll({}, 10)] == [b"a", b"b", b"c"]
+        src.close()
+    finally:
+        b.close()
+
+
+def test_sasl_plain_bad_password_rejected():
+    b = FakeBroker(num_partitions=1, sasl_users=SASL_USERS)
+    try:
+        src = KafkaWireSource(
+            "127.0.0.1", b.port, ["events"],
+            sasl={"mechanism": "PLAIN", "username": "svc-auron",
+                  "password": "wrong"})
+        with pytest.raises(PermissionError, match="authentication failed"):
+            src.partitions()
+        src.close()
+    finally:
+        b.close()
+
+
+def test_unauthenticated_request_dropped():
+    """A SASL listener must not serve Metadata before authentication —
+    the broker closes the connection (as real brokers do)."""
+    b = FakeBroker(num_partitions=1, sasl_users=SASL_USERS)
+    try:
+        src = KafkaWireSource("127.0.0.1", b.port, ["events"])  # no sasl
+        with pytest.raises((ConnectionError, OSError)):
+            src.partitions()
+        src.close()
+    finally:
+        b.close()
+
+
+def test_sasl_scram_sha256_full_exchange():
+    """RFC 5802 SCRAM: proof verified server-side, server signature
+    verified client-side (mutual authentication)."""
+    b = FakeBroker(num_partitions=1, sasl_users=SASL_USERS)
+    try:
+        _produce_events(b)
+        src = KafkaWireSource(
+            "127.0.0.1", b.port, ["events"],
+            sasl={"mechanism": "SCRAM-SHA-256", "username": "svc-auron",
+                  "password": "hunter2!"})
+        assert src.end_offsets() == {("events", 0): 3}
+        src.commit({("events", 0): 3})
+        assert src.committed() == {("events", 0): 3}
+        src.close()
+        # wrong password: the client's proof fails server-side
+        bad = KafkaWireSource(
+            "127.0.0.1", b.port, ["events"],
+            sasl={"mechanism": "SCRAM-SHA-256", "username": "svc-auron",
+                  "password": "nope"})
+        with pytest.raises(PermissionError, match="SCRAM proof|failed"):
+            bad.partitions()
+        bad.close()
+    finally:
+        b.close()
+
+
+def test_scram_signature_vector():
+    """SCRAM derivation against the RFC 7677 test vector (user/pass
+    'user'/'pencil', salt/iters from the RFC's example exchange)."""
+    import base64
+    from auron_tpu.streaming.kafka import scram_signatures
+    salt = base64.b64decode("W22ZaJ0SNY7soEsUEjb6gQ==")
+    cf_bare = "n=user,r=rOprNGfwEbeRWgbNEkqO"
+    sfirst = ("r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0,"
+              "s=W22ZaJ0SNY7soEsUEjb6gQ==,i=4096")
+    cfinal_wo = ("c=biws,"
+                 "r=rOprNGfwEbeRWgbNEkqO%hvYDpWUa2RaTCAfuxFIlj)hNlF$k0")
+    auth_msg = f"{cf_bare},{sfirst},{cfinal_wo}".encode()
+    proof, server_sig = scram_signatures("pencil", salt, 4096, auth_msg)
+    assert base64.b64encode(proof).decode() == \
+        "dHzbZapWIk4jUhN+Ute9ytag9zjfMHgsqmmiz7AndVQ="
+    assert base64.b64encode(server_sig).decode() == \
+        "6rriTRBi23WpRR/wtup+mMhUZUn/dB5nLTJRsjl95G4="
+
+
+@pytest.fixture(scope="module")
+def tls_cert(tmp_path_factory):
+    import subprocess
+    d = tmp_path_factory.mktemp("tls")
+    crt, key = str(d / "b.crt"), str(d / "b.key")
+    subprocess.run(
+        ["openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+         "-keyout", key, "-out", crt, "-days", "1", "-subj",
+         "/CN=127.0.0.1", "-addext", "subjectAltName=IP:127.0.0.1"],
+        check=True, capture_output=True)
+    return crt, key
+
+
+def test_tls_and_sasl_ssl(tls_cert):
+    """SASL_SSL: TLS transport + SCRAM auth in one listener; the client
+    verifies the broker certificate against the provided CA."""
+    import ssl
+    crt, key = tls_cert
+    b = FakeBroker(num_partitions=1, sasl_users=SASL_USERS,
+                   certfile=crt, keyfile=key)
+    try:
+        _produce_events(b)
+        ctx = ssl.create_default_context(cafile=crt)
+        src = KafkaWireSource(
+            "127.0.0.1", b.port, ["events"], ssl_context=ctx,
+            sasl={"mechanism": "SCRAM-SHA-256", "username": "svc-auron",
+                  "password": "hunter2!"})
+        assert [r.value for r in src.poll({}, 10)] == [b"a", b"b", b"c"]
+        src.close()
+        # untrusted cert: handshake must fail closed
+        strict = ssl.create_default_context()
+        plain = KafkaWireSource("127.0.0.1", b.port, ["events"],
+                                ssl_context=strict)
+        with pytest.raises(ssl.SSLError):
+            plain.partitions()
+        plain.close()
+    finally:
+        b.close()
