@@ -140,7 +140,9 @@ def resolve(table_path: str) -> Dict[str, Any]:
         if path is None and not slice_logs:
             continue
         f: Dict[str, Any] = {"path": path, "format": "parquet",
-                             "consts": consts}
+                             "consts": consts, "file_id": fid,
+                             "base_instant": instant,
+                             "partition_dir": "" if rel == "." else rel}
         if slice_logs:
             f["log_files"] = slice_logs
         files.append(f)

@@ -1,4 +1,5 @@
-"""Lakehouse WRITE paths: append commits for Iceberg / Paimon / Hudi.
+"""Lakehouse WRITE paths: append / upsert / row-level delete for
+Iceberg, Paimon and Hudi.
 
 Beyond the reference's integration depth (its convert providers are
 scan-only; writes stay in the host engine). Each writer produces
@@ -22,8 +23,20 @@ resolvers AND follows the public table-format layouts:
   (`<fileId>_<writeToken>_<instant>.parquet`) — an INSERT; upserts belong
   to the MOR log-file path (connectors/hudi.py write_log_file).
 
-All writers append-only: existing snapshots/instants stay readable (time
-travel keeps working).
+Row-level mutation (``write_table(mode="upsert"|"delete")``):
+
+* Iceberg: a v2 ROW DELTA — an equality delete file (content=2) on the
+  key columns plus (for upserts) new data files, both at the new sequence
+  number; the delete anti-joins only strictly-older files per spec.
+* Paimon: PK (LSM) tables get level-0 delta files carrying
+  `_KEY_*`/`_SEQUENCE_NUMBER`/`_VALUE_KIND` (+U for upsert, -D for
+  delete) with sequence numbers above every prior snapshot's.
+* Hudi: MoR — Avro log blocks routed to the file slice holding each
+  `_hoodie_record_key` (new keys open log-only groups) under a new
+  `.deltacommit`; deletes ride `_hoodie_is_deleted=true` sentinels.
+
+All writers are metadata-append-only: existing snapshots/instants stay
+readable (time travel keeps working), including past a delete.
 """
 
 from __future__ import annotations
@@ -132,11 +145,44 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                    ) -> int:
     """Append ``df`` as a new Iceberg snapshot; creates the table when the
     metadata directory is absent. Returns the new snapshot id."""
+    return _iceberg_commit(table_path, df, partition_by)
+
+
+def iceberg_delete(table_path: str, keys_df) -> int:
+    """Row-level DELETE: commit an EQUALITY delete file whose columns are
+    ``keys_df``'s columns — every table row matching any key tuple (in
+    data files of a LOWER sequence number, per spec scoping) disappears
+    from subsequent scans. Time travel to older snapshots still sees the
+    rows. Returns the new snapshot id."""
+    return _iceberg_commit(table_path, None, (), delete_df=keys_df,
+                           operation="delete")
+
+
+def iceberg_upsert(table_path: str, df, key_cols: Sequence[str],
+                   partition_by: Sequence[str] = ()) -> int:
+    """MERGE/upsert in ONE snapshot: an equality delete on ``key_cols``
+    plus the new data files, both at the same (new) sequence number — the
+    delete anti-joins only strictly-older files, so replaced keys vanish
+    and the fresh rows survive (the Iceberg v2 row-delta commit shape).
+    """
+    missing = [c for c in key_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"upsert key columns {missing} not in frame")
+    return _iceberg_commit(table_path, df, partition_by,
+                           delete_df=df[list(key_cols)],
+                           operation="overwrite")
+
+
+def _iceberg_commit(table_path: str, df, partition_by: Sequence[str] = (),
+                    delete_df=None, operation: str = "append") -> int:
     from auron_tpu.connectors import iceberg as I
 
     mdir = os.path.join(table_path, "metadata")
     existing = os.path.isdir(mdir) and any(
         n.endswith(".metadata.json") for n in os.listdir(mdir))
+    if not existing and df is None:
+        raise FileNotFoundError(
+            f"{table_path}: cannot delete from a table that does not exist")
     if existing:
         meta_path = I._latest_metadata(table_path)
         with open(meta_path) as f:
@@ -185,9 +231,12 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                 "last-sequence-number": 0,
                 "snapshots": [], "snapshot-log": [], "metadata-log": []}
     by_name = {f["name"]: f for f in fields}
-    missing = [c for c in df.columns if c not in by_name]
-    if missing:
-        raise ValueError(f"columns {missing} not in the Iceberg schema")
+    for frame in (df, delete_df):
+        if frame is None:
+            continue
+        missing = [c for c in frame.columns if c not in by_name]
+        if missing:
+            raise ValueError(f"columns {missing} not in the Iceberg schema")
 
     snaps = meta.get("snapshots", [])
     snap_id = max((s["snapshot-id"] for s in snaps), default=0) + 1
@@ -221,7 +270,8 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                 ]}}]}
 
     entries = []
-    for consts, sub in _partition_groups(df, partition_by):
+    for consts, sub in (_partition_groups(df, partition_by)
+                        if df is not None else ()):
         rel = os.path.join("data", _part_dirs(consts)) if consts else "data"
         path = os.path.join(table_path, rel,
                             f"{uuid.uuid4().hex}.parquet")
@@ -247,15 +297,45 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                 "equality_ids": None}})
 
     os.makedirs(mdir, exist_ok=True)
-    mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
-    # external readers expect the Iceberg schema/spec in the OCF header
-    avro.write_container(mpath, entry_schema, entries, extra_meta={
-        "schema": json.dumps({"schema-id": meta.get("current-schema-id", 0),
-                              "type": "struct",
-                              "fields": fields}).encode(),
-        "partition-spec": json.dumps(spec["fields"]).encode(),
-        "partition-spec-id": str(spec["spec-id"]).encode(),
-        "format-version": b"2", "content": b"data"})
+
+    def _manifest_meta(content: str) -> Dict[str, bytes]:
+        # external readers expect the Iceberg schema/spec in the OCF header
+        return {
+            "schema": json.dumps({
+                "schema-id": meta.get("current-schema-id", 0),
+                "type": "struct", "fields": fields}).encode(),
+            "partition-spec": json.dumps(spec["fields"]).encode(),
+            "partition-spec-id": str(spec["spec-id"]).encode(),
+            "format-version": b"2", "content": content.encode()}
+
+    mpath = None
+    if entries:
+        mpath = os.path.join(mdir, f"m-{snap_id}-{uuid.uuid4().hex}.avro")
+        avro.write_container(mpath, entry_schema, entries,
+                             extra_meta=_manifest_meta("data"))
+
+    # equality delete file + its DELETE manifest (content=1/2)
+    del_entries: List[Dict[str, Any]] = []
+    del_mpath = None
+    if delete_df is not None:
+        keys = delete_df.drop_duplicates()
+        dpath = os.path.join(table_path, "data",
+                             f"{uuid.uuid4().hex}-deletes.parquet")
+        dsize, dnrows = _write_parquet(dpath, keys, field_ids,
+                                       timestamps_us=True)
+        del_entries.append({
+            "status": 1, "snapshot_id": snap_id, "sequence_number": seq,
+            "data_file": {
+                "content": 2, "file_path": dpath,
+                "file_format": "PARQUET",
+                "partition": {},  # global (unpartitioned) delete scope
+                "record_count": dnrows, "file_size_in_bytes": dsize,
+                "lower_bounds": None, "upper_bounds": None,
+                "equality_ids": [field_ids[c] for c in keys.columns]}})
+        del_mpath = os.path.join(
+            mdir, f"m-{snap_id}-del-{uuid.uuid4().hex}.avro")
+        avro.write_container(del_mpath, entry_schema, del_entries,
+                             extra_meta=_manifest_meta("deletes"))
     mf_schema = {"type": "record", "name": "manifest_file", "fields": [
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
@@ -299,17 +379,22 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
                 "existing_rows_count": r.get("existing_rows_count", 0),
                 "deleted_rows_count": r.get("deleted_rows_count", 0),
                 "partitions": r.get("partitions")})
-    rows.append({"manifest_path": mpath,
-                 "manifest_length": os.path.getsize(mpath),
-                 "partition_spec_id": spec["spec-id"], "content": 0,
-                 "added_snapshot_id": snap_id,
-                 "sequence_number": seq, "min_sequence_number": seq,
-                 "added_files_count": len(entries),
-                 "existing_files_count": 0, "deleted_files_count": 0,
-                 "added_rows_count": sum(
-                     e["data_file"]["record_count"] for e in entries),
-                 "existing_rows_count": 0, "deleted_rows_count": 0,
-                 "partitions": None})
+    for path, ents, content in ((mpath, entries, 0),
+                                (del_mpath, del_entries, 1)):
+        if path is None:
+            continue
+        rows.append({"manifest_path": path,
+                     "manifest_length": os.path.getsize(path),
+                     "partition_spec_id": spec["spec-id"],
+                     "content": content,
+                     "added_snapshot_id": snap_id,
+                     "sequence_number": seq, "min_sequence_number": seq,
+                     "added_files_count": len(ents),
+                     "existing_files_count": 0, "deleted_files_count": 0,
+                     "added_rows_count": sum(
+                         e["data_file"]["record_count"] for e in ents),
+                     "existing_rows_count": 0, "deleted_rows_count": 0,
+                     "partitions": None})
     lpath = os.path.join(mdir, f"snap-{snap_id}-{uuid.uuid4().hex}.avro")
     avro.write_container(lpath, mf_schema, rows,
                          extra_meta={"format-version": b"2"})
@@ -319,7 +404,7 @@ def iceberg_append(table_path: str, df, partition_by: Sequence[str] = ()
         "snapshot-id": snap_id, "timestamp-ms": now_ms,
         "sequence-number": seq, "manifest-list": lpath,
         "schema-id": meta.get("current-schema-id", 0),
-        "summary": {"operation": "append"}}]
+        "summary": {"operation": operation}}]
     meta["current-snapshot-id"] = snap_id
     meta["last-sequence-number"] = seq
     meta["last-updated-ms"] = now_ms
@@ -440,7 +525,140 @@ def paimon_append(table_path: str, df, partition_by: Sequence[str] = ()
     return snap_n
 
 
+_PAIMON_PANDAS = {"BOOLEAN": "boolean", "INT": "Int32", "BIGINT": "Int64",
+                  "FLOAT": "float32", "DOUBLE": "float64",
+                  "STRING": "object", "TIMESTAMP": "datetime64[ns]"}
+
+
+def paimon_upsert(table_path: str, df,
+                  primary_keys: Sequence[str] = (),
+                  partition_by: Sequence[str] = (),
+                  _delete: bool = False) -> int:
+    """Upsert into a Paimon PRIMARY-KEY (LSM) table: a new delta file at
+    level 0 carrying the `_KEY_<pk>` / `_SEQUENCE_NUMBER` / `_VALUE_KIND`
+    system columns, with sequence numbers above every prior snapshot's so
+    the deduplicate merge engine (connectors/paimon.py merge_pk_tables)
+    makes the new row win per key. Creates the PK table when absent
+    (``primary_keys`` required then). Returns the new snapshot id."""
+    sdir = os.path.join(table_path, "schema")
+    if not os.path.isdir(sdir) or not os.listdir(sdir):
+        if not primary_keys:
+            raise ValueError("creating a Paimon PK table needs primary_keys")
+        os.makedirs(sdir, exist_ok=True)
+        with open(os.path.join(sdir, "schema-0"), "w") as f:
+            json.dump({"version": 3, "id": 0,
+                       "fields": [{"id": i, "name": c,
+                                   "type": _PAIMON_TYPE[_iceberg_type(df[c])]}
+                                  for i, c in enumerate(df.columns)],
+                       "primaryKeys": list(primary_keys),
+                       "partitionKeys": list(partition_by),
+                       "options": {}}, f)
+    with open(os.path.join(sdir, sorted(os.listdir(sdir))[-1])) as f:
+        schema = json.load(f)
+    pks = schema.get("primaryKeys") or []
+    if not pks:
+        raise ValueError(f"{table_path} is not a primary-key table "
+                         "(use paimon_append)")
+    if primary_keys and list(primary_keys) != pks:
+        raise ValueError(f"primary_keys {list(primary_keys)} != table "
+                         f"schema {pks}")
+    partition_by = schema.get("partitionKeys") or []
+    missing = [k for k in pks if k not in df.columns]
+    if missing:
+        raise ValueError(f"upsert frame is missing key columns {missing}")
+    # conform to the full value schema (delete rows may carry keys only)
+    import pandas as pd
+    types = {f["name"]: f["type"] for f in schema["fields"]}
+    full = df.copy()
+    for name, t in types.items():
+        if name not in full.columns:
+            full[name] = pd.array([None] * len(full),
+                                  dtype=_PAIMON_PANDAS.get(t, "object"))
+    full = full[[f["name"] for f in schema["fields"]]]
+
+    from auron_tpu.connectors import paimon as P
+    prev_n = P._latest_snapshot(table_path) \
+        if os.path.isdir(os.path.join(table_path, "snapshot")) else None
+    snap_n = (prev_n or 0) + 1
+    mdir = os.path.join(table_path, "manifest")
+    os.makedirs(mdir, exist_ok=True)
+
+    kind = P._KIND_DELETE if _delete else P._KIND_UPDATE_AFTER
+    entries = []
+    for consts, sub in _partition_groups(full, partition_by):
+        import numpy as np
+        filed = sub.copy()
+        for k in pks:
+            # Paimon requires primary keys to contain the partition keys;
+            # partitioned key values arrive via the group's consts
+            filed[f"_KEY_{k}"] = consts[k] if k in consts else filed[k]
+        # strictly-increasing sequence numbers across snapshots: any prior
+        # snapshot's rows sit below snap_n * 2^20 (amply above realistic
+        # per-commit row counts in this writer)
+        base = snap_n << 20
+        filed[P._SYS_SEQ] = np.arange(base, base + len(filed), dtype=np.int64)
+        filed[P._SYS_KIND] = np.full(len(filed), kind, np.int32)
+        name = f"data-{uuid.uuid4().hex}.parquet"
+        rel = os.path.join(_part_dirs(consts), "bucket-0") if consts \
+            else "bucket-0"
+        size, nrows = _write_parquet(
+            os.path.join(table_path, rel, name), filed)
+        entries.append({"_KIND": 0, "_PARTITION": b"", "_BUCKET": 0,
+                        "_FILE": {"_FILE_NAME": name, "_FILE_SIZE": size,
+                                  "_ROW_COUNT": nrows, "_LEVEL": 0}})
+    mname = f"manifest-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, mname), _PAIMON_ENTRY, entries)
+    delta_name = f"manifest-list-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, delta_name), _PAIMON_MLIST,
+                         [{"_FILE_NAME": mname, "_FILE_SIZE": 1,
+                           "_NUM_ADDED_FILES": len(entries)}])
+    base_rows: List[Dict[str, Any]] = []
+    if prev_n is not None:
+        with open(os.path.join(table_path, "snapshot",
+                               f"snapshot-{prev_n}")) as f:
+            prev = json.load(f)
+        for key in ("baseManifestList", "deltaManifestList"):
+            if prev.get(key):
+                base_rows.extend(
+                    {"_FILE_NAME": r.get("_FILE_NAME") or r.get("fileName"),
+                     "_FILE_SIZE": r.get("_FILE_SIZE", 1),
+                     "_NUM_ADDED_FILES": r.get("_NUM_ADDED_FILES", 0)}
+                    for r in avro.read_container(
+                        os.path.join(mdir, os.path.basename(prev[key]))))
+    base_name = f"manifest-list-{uuid.uuid4().hex}.avro"
+    avro.write_container(os.path.join(mdir, base_name), _PAIMON_MLIST,
+                         base_rows)
+    os.makedirs(os.path.join(table_path, "snapshot"), exist_ok=True)
+    with open(os.path.join(table_path, "snapshot",
+                           f"snapshot-{snap_n}"), "w") as f:
+        json.dump({"version": 3, "id": snap_n, "schemaId": 0,
+                   "baseManifestList": base_name,
+                   "deltaManifestList": delta_name,
+                   "commitKind": "APPEND",
+                   "timeMillis": int(time.time() * 1000)}, f)
+    with open(os.path.join(table_path, "snapshot", "LATEST"), "w") as f:
+        f.write(str(snap_n))
+    return snap_n
+
+
+def paimon_delete(table_path: str, keys_df) -> int:
+    """Row-level DELETE from a Paimon PK table: commit `_VALUE_KIND=-D`
+    rows for the given keys — the deduplicate merge drops those keys from
+    every subsequent scan (older snapshots still see them)."""
+    return paimon_upsert(table_path, keys_df, _delete=True)
+
+
 # -- Hudi ----------------------------------------------------------------------
+
+
+def _hudi_next_instant(hdir: str) -> str:
+    """Strictly increasing commit timestamps even within one second."""
+    existing = [n.split(".")[0].split("_")[0] for n in os.listdir(hdir)
+                if n.endswith((".commit", ".deltacommit", ".replacecommit"))]
+    instant = time.strftime("%Y%m%d%H%M%S") + "000"
+    while instant in existing:
+        instant = str(int(instant) + 1)
+    return instant
 
 
 def hudi_append(table_path: str, df, partition_by: Sequence[str] = ()
@@ -455,12 +673,7 @@ def hudi_append(table_path: str, df, partition_by: Sequence[str] = ()
         with open(props, "w") as f:
             f.write("hoodie.table.name=auron\n"
                     "hoodie.table.type=COPY_ON_WRITE\n")
-    # strictly increasing commit timestamps even within one second
-    existing = [n.split(".")[0].split("_")[0] for n in os.listdir(hdir)
-                if n.endswith((".commit", ".deltacommit", ".replacecommit"))]
-    instant = time.strftime("%Y%m%d%H%M%S") + "000"
-    while instant in existing:
-        instant = str(int(instant) + 1)
+    instant = _hudi_next_instant(hdir)
     for consts, sub in _partition_groups(df, partition_by):
         fid = str(uuid.uuid4())
         rel = _part_dirs(consts)
@@ -472,12 +685,171 @@ def hudi_append(table_path: str, df, partition_by: Sequence[str] = ()
     return instant
 
 
+def _avro_type(series) -> str:
+    return {"boolean": "boolean", "int": "int", "long": "long",
+            "float": "float", "double": "double",
+            "string": "string"}.get(_iceberg_type(series), "string")
+
+
+def _hudi_log_schema(df) -> Dict[str, Any]:
+    fields = [{"name": "_hoodie_record_key", "type": "string"}]
+    for c in df.columns:
+        if c in ("_hoodie_record_key", "_hoodie_is_deleted"):
+            continue
+        fields.append({"name": c, "type": ["null", _avro_type(df[c])]})
+    fields.append({"name": "_hoodie_is_deleted", "type": "boolean"})
+    return {"type": "record", "name": "rec", "fields": fields}
+
+
+def _hudi_records(df, deleted: bool) -> List[Dict[str, Any]]:
+    import pandas as pd
+    recs = []
+    for row in df.to_dict("records"):
+        rec = {}
+        for k, v in row.items():
+            rec[k] = None if (v is None or (isinstance(v, float)
+                              and v != v) or v is pd.NA) else _py(v)
+        rec["_hoodie_is_deleted"] = deleted
+        recs.append(rec)
+    return recs
+
+
+def hudi_upsert(table_path: str, df,
+                partition_by: Sequence[str] = (),
+                _delete: bool = False) -> str:
+    """Merge-on-read UPSERT: one new `.deltacommit` instant whose Avro log
+    blocks land on the file slices that hold each `_hoodie_record_key`
+    (routing = the slice's effective key set: base keys + committed log
+    keys, the write-path analog of the scan's OverwriteWithLatestAvro
+    merge); never-seen keys open LOG-ONLY file groups. Returns the new
+    instant time. The reference bails out of MoR scans entirely
+    (HudiScanSupport.scala:132) — this is the matching write path for the
+    scan support this repo already has (connectors/hudi.py)."""
+    from auron_tpu.connectors import hudi as H
+    if "_hoodie_record_key" not in df.columns:
+        raise ValueError("hudi upsert frame needs _hoodie_record_key")
+    hdir = os.path.join(table_path, ".hoodie")
+    if not os.path.isdir(hdir):
+        raise FileNotFoundError(f"{table_path}: no .hoodie timeline "
+                                "(hudi_append creates the table)")
+    import pyarrow.parquet as pq
+    info = H.resolve(table_path)
+    completed = set(info.get("completed_instants") or [])
+    instant = _hudi_next_instant(hdir)
+
+    # slice routing: key -> resolved slice
+    route: Dict[Any, Dict[str, Any]] = {}
+    for f in info["files"]:
+        keys = set()
+        if f.get("path"):
+            keys.update(pq.read_table(
+                f["path"],
+                columns=["_hoodie_record_key"]).column(0).to_pylist())
+        for lp in f.get("log_files", ()):
+            for b in H.read_log_file(lp):
+                if b["type"] != H.BLK_AVRO:
+                    continue
+                if b["headers"].get(H.HDR_INSTANT) not in completed:
+                    continue
+                keys.update(r.get("_hoodie_record_key")
+                            for r in b["records"])
+        for k in keys:
+            route[k] = f
+
+    by_slice: Dict[Tuple[str, str, str], List[int]] = {}
+    fresh: List[int] = []
+    key_col = df["_hoodie_record_key"].tolist()
+    for i, k in enumerate(key_col):
+        f = route.get(k)
+        if f is None:
+            fresh.append(i)
+        else:
+            by_slice.setdefault(
+                (f["partition_dir"], f["file_id"], f["base_instant"]),
+                []).append(i)
+
+    def _log_path(rel: str, fid: str, base: str, version: int) -> str:
+        d = os.path.join(table_path, rel) if rel else table_path
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f".{fid}_{base}.log.{version}_0-1-0")
+
+    for (rel, fid, base), idxs in sorted(by_slice.items()):
+        sub = df.iloc[idxs]
+        # next log version for this slice
+        slice_logs = next(
+            (f.get("log_files", ()) for f in info["files"]
+             if f["file_id"] == fid and f["partition_dir"] == rel), ())
+        vmax = 0
+        for lp in slice_logs:
+            tail = os.path.basename(lp).partition(".log.")[2]
+            try:
+                vmax = max(vmax, int(tail.split("_", 1)[0]))
+            except ValueError:
+                pass
+        H.write_log_file(_log_path(rel, fid, base, vmax + 1), [
+            {"type": H.BLK_AVRO, "schema": _hudi_log_schema(sub),
+             "headers": {H.HDR_INSTANT: instant},
+             "records": _hudi_records(sub, _delete)}])
+    if fresh and not _delete:
+        # new keys: log-only file groups, one per partition combo
+        sub_all = df.iloc[fresh]
+        for consts, sub in _partition_groups(sub_all, partition_by):
+            fid = str(uuid.uuid4())
+            H.write_log_file(
+                _log_path(_part_dirs(consts), fid, instant, 1), [
+                    {"type": H.BLK_AVRO, "schema": _hudi_log_schema(sub),
+                     "headers": {H.HDR_INSTANT: instant},
+                     "records": _hudi_records(sub, False)}])
+    with open(os.path.join(hdir, f"{instant}.deltacommit"), "w") as f:
+        json.dump({"operationType": "DELETE" if _delete else "UPSERT"}, f)
+    return instant
+
+
+def hudi_delete(table_path: str, keys_df) -> str:
+    """Row-level DELETE on a Hudi table: `_hoodie_is_deleted=true` records
+    appended to the owning file slices' logs under a new deltacommit (the
+    sentinel-column delete path the scan honors; kryo DELETE_BLOCKs stay
+    out of scope). Keys not present in the table are ignored."""
+    return hudi_upsert(table_path, keys_df, _delete=True)
+
+
 _WRITERS = {"iceberg": iceberg_append, "paimon": paimon_append,
             "hudi": hudi_append}
 
+_UPSERTERS = {
+    "iceberg": lambda p, df, keys, partition_by: iceberg_upsert(
+        p, df, keys, partition_by),
+    "paimon": lambda p, df, keys, partition_by: paimon_upsert(
+        p, df, keys, partition_by),
+    "hudi": lambda p, df, keys, partition_by: hudi_upsert(
+        p, df, partition_by),
+}
+
+_DELETERS = {"iceberg": iceberg_delete, "paimon": paimon_delete,
+             "hudi": hudi_delete}
+
 
 def write_table(fmt: str, table_path: str, df,
-                partition_by: Sequence[str] = ()):
-    if fmt not in _WRITERS:
-        raise NotImplementedError(f"lakehouse write format {fmt}")
-    return _WRITERS[fmt](table_path, df, partition_by)
+                partition_by: Sequence[str] = (),
+                mode: str = "append", keys: Sequence[str] = ()):
+    """Dispatch: mode append (new snapshot/commit of fresh rows), upsert
+    (replace-by-key + insert), delete (drop rows matching ``df``'s key
+    tuples). ``keys``: the match columns for upsert (Iceberg equality ids;
+    Paimon uses the table's primary keys; Hudi always keys on
+    _hoodie_record_key)."""
+    if mode == "append":
+        table = _WRITERS.get(fmt)
+        if table is None:
+            raise NotImplementedError(f"lakehouse write format {fmt}")
+        return table(table_path, df, partition_by)
+    if mode == "upsert":
+        fn = _UPSERTERS.get(fmt)
+        if fn is None:
+            raise NotImplementedError(f"lakehouse upsert format {fmt}")
+        return fn(table_path, df, list(keys), list(partition_by))
+    if mode == "delete":
+        fn = _DELETERS.get(fmt)
+        if fn is None:
+            raise NotImplementedError(f"lakehouse delete format {fmt}")
+        return fn(table_path, df)
+    raise ValueError(f"write mode {mode!r} (append | upsert | delete)")

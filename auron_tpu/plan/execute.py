@@ -147,13 +147,18 @@ class Session:
                                    num_partitions=num_partitions)
 
     def write_lakehouse(self, df, path: str, format: str = "iceberg",
-                        partition_by=()):
-        """Append a pandas DataFrame as a new Iceberg snapshot / Paimon
-        snapshot / Hudi commit (connectors/write.py; creates the table on
-        first write). Returns the new snapshot id / instant. Beyond the
-        reference's scan-only convert providers."""
+                        partition_by=(), mode: str = "append", keys=()):
+        """Write a pandas DataFrame to a lakehouse table
+        (connectors/write.py; creates the table on first append). Modes:
+        ``append`` (new Iceberg snapshot / Paimon snapshot / Hudi commit),
+        ``upsert`` (replace-by-key + insert: Iceberg equality-delete row
+        delta, Paimon LSM +U rows, Hudi MoR log blocks), ``delete``
+        (row-level delete by the frame's key tuples). Returns the new
+        snapshot id / instant. Beyond the reference's scan-only convert
+        providers."""
         from auron_tpu.connectors.write import write_table
-        return write_table(format, path, df, partition_by=partition_by)
+        return write_table(format, path, df, partition_by=partition_by,
+                           mode=mode, keys=keys)
 
     def metrics_report(self) -> str:
         """Formatted per-operator metrics (the Spark SQL metrics tree analog,

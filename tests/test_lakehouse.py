@@ -884,3 +884,129 @@ def test_iceberg_rest_catalog(tmp_path):
         assert sorted(got["v"].tolist()) == [0, 1, 2, 3]
     finally:
         srv.shutdown()
+
+
+# -- row-level upsert / delete writers (write_table mode=) ---------------------
+
+def test_iceberg_upsert_row_delta(tmp_path):
+    """One snapshot = equality delete + new data: replaced keys vanish,
+    fresh rows land, time travel still sees the old rows."""
+    from auron_tpu.connectors.write import (iceberg_append, iceberg_delete,
+                                            iceberg_upsert)
+    root = str(tmp_path / "ice_up")
+    base = pd.DataFrame({"k": ["a", "b", "c"],
+                         "v": np.array([1, 2, 3], np.int64)})
+    s1 = iceberg_append(root, base)
+    up = pd.DataFrame({"k": ["b", "d"], "v": np.array([20, 40], np.int64)})
+    s2 = iceberg_upsert(root, up, key_cols=["k"])
+    got = _collect(LakehouseScan("iceberg", root))
+    assert dict(zip(got["k"], got["v"])) == \
+        {"a": 1, "b": 20, "c": 3, "d": 40}
+    # time travel to the pre-upsert snapshot
+    old = _collect(LakehouseScan("iceberg", root,
+                                 options=(("snapshot_id", s1),)))
+    assert dict(zip(old["k"], old["v"])) == {"a": 1, "b": 2, "c": 3}
+    # row-level delete
+    iceberg_delete(root, pd.DataFrame({"k": ["a", "d"]}))
+    got = _collect(LakehouseScan("iceberg", root))
+    assert dict(zip(got["k"], got["v"])) == {"b": 20, "c": 3}
+    # the upsert snapshot remains intact behind the delete
+    mid = _collect(LakehouseScan("iceberg", root,
+                                 options=(("snapshot_id", s2),)))
+    assert dict(zip(mid["k"], mid["v"])) == \
+        {"a": 1, "b": 20, "c": 3, "d": 40}
+
+
+def test_iceberg_upsert_repeated_same_key(tmp_path):
+    """Back-to-back upserts of one key: only the newest value survives
+    (each delete scopes every prior sequence number)."""
+    from auron_tpu.connectors.write import iceberg_append, iceberg_upsert
+    root = str(tmp_path / "ice_up2")
+    iceberg_append(root, pd.DataFrame(
+        {"k": ["x"], "v": np.array([0], np.int64)}))
+    for i in (1, 2, 3):
+        iceberg_upsert(root, pd.DataFrame(
+            {"k": ["x"], "v": np.array([i], np.int64)}), key_cols=["k"])
+    got = _collect(LakehouseScan("iceberg", root))
+    assert got["k"].tolist() == ["x"] and got["v"].tolist() == [3]
+
+
+def test_paimon_pk_upsert_and_delete(tmp_path):
+    from auron_tpu.connectors.write import paimon_delete, paimon_upsert
+    root = str(tmp_path / "pm_up")
+    df1 = pd.DataFrame({"k": ["a", "b"], "v": np.array([1, 2], np.int64)})
+    paimon_upsert(root, df1, primary_keys=["k"])
+    paimon_upsert(root, pd.DataFrame(
+        {"k": ["b", "c"], "v": np.array([20, 30], np.int64)}))
+    got = _collect(LakehouseScan("paimon", root))
+    assert dict(zip(got["k"], got["v"])) == {"a": 1, "b": 20, "c": 30}
+    paimon_delete(root, pd.DataFrame({"k": ["a"]}))
+    got = _collect(LakehouseScan("paimon", root))
+    assert dict(zip(got["k"], got["v"])) == {"b": 20, "c": 30}
+    # time travel: snapshot 2 (before the delete) still sees "a"
+    old = _collect(LakehouseScan("paimon", root,
+                                 options=(("snapshot", 2),)))
+    assert dict(zip(old["k"], old["v"])) == {"a": 1, "b": 20, "c": 30}
+
+
+def test_paimon_pk_upsert_partitioned(tmp_path):
+    """PKs contain the partition key (Paimon invariant); routing by the
+    partition group keeps the LSM merge per (partition, bucket)."""
+    from auron_tpu.connectors.write import paimon_upsert
+    root = str(tmp_path / "pm_up_part")
+    df = pd.DataFrame({"ds": ["d1", "d1", "d2"], "k": ["a", "b", "a"],
+                       "v": np.array([1, 2, 3], np.int64)})
+    paimon_upsert(root, df, primary_keys=["ds", "k"],
+                  partition_by=["ds"])
+    paimon_upsert(root, pd.DataFrame(
+        {"ds": ["d1"], "k": ["a"], "v": np.array([10], np.int64)}))
+    got = _collect(LakehouseScan("paimon", root))
+    key = list(zip(got["ds"].astype(str), got["k"]))
+    assert dict(zip(key, got["v"])) == \
+        {("d1", "a"): 10, ("d1", "b"): 2, ("d2", "a"): 3}
+
+
+def test_hudi_upsert_routes_to_owning_slice(tmp_path):
+    """Updates land on the file slice that holds the key (base OR earlier
+    log writes); new keys open log-only groups; deletes drop keys."""
+    from auron_tpu.connectors.write import (hudi_append, hudi_delete,
+                                            hudi_upsert)
+    root = str(tmp_path / "hudi_up")
+    base = pd.DataFrame({"_hoodie_record_key": ["a", "b"],
+                         "k": ["a", "b"], "v": np.array([1, 2], np.int64)})
+    hudi_append(root, base)
+    # update b, insert d (new key -> log-only group)
+    hudi_upsert(root, pd.DataFrame(
+        {"_hoodie_record_key": ["b", "d"], "k": ["b", "d"],
+         "v": np.array([20, 40], np.int64)}))
+    got = _collect(LakehouseScan("hudi", root))
+    assert dict(zip(got["k"], got["v"])) == \
+        {"a": 1, "b": 20, "d": 40}
+    # second upsert of d must route to the SAME log-only group (routing
+    # sees committed log keys, not just base keys)
+    hudi_upsert(root, pd.DataFrame(
+        {"_hoodie_record_key": ["d"], "k": ["d"],
+         "v": np.array([400], np.int64)}))
+    got = _collect(LakehouseScan("hudi", root))
+    assert dict(zip(got["k"], got["v"])) == \
+        {"a": 1, "b": 20, "d": 400}
+    assert len(got) == 3  # no duplicate d from a stray second group
+    hudi_delete(root, pd.DataFrame({"_hoodie_record_key": ["a", "d"]}))
+    got = _collect(LakehouseScan("hudi", root))
+    assert dict(zip(got["k"], got["v"])) == {"b": 20}
+
+
+def test_session_write_lakehouse_modes(tmp_path):
+    """The Session-level mode dispatch drives all three writers."""
+    from auron_tpu.plan import builder as _b  # Session.table
+    s = Session()
+    root = str(tmp_path / "sess_ice")
+    s.write_lakehouse(pd.DataFrame(
+        {"k": ["a", "b"], "v": np.array([1, 2], np.int64)}), root)
+    s.write_lakehouse(pd.DataFrame(
+        {"k": ["b"], "v": np.array([9], np.int64)}), root,
+        mode="upsert", keys=["k"])
+    s.write_lakehouse(pd.DataFrame({"k": ["a"]}), root, mode="delete")
+    s.register_lakehouse("t", root, format="iceberg")
+    got = s.table("t").collect()
+    assert dict(zip(got["k"], got["v"])) == {"b": 9}
