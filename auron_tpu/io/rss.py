@@ -123,6 +123,65 @@ class HttpShuffleStorage:
         return out
 
 
+class ObjectStoreStorage:
+    """Production object-store backend over pyarrow.fs URIs
+    (``s3://bucket/prefix``, ``gs://bucket/prefix``, ``hdfs://...``,
+    ``file:///dir``) — the same filesystem bridge the scans use
+    (io/parquet.py resolve_filesystem). Object PUTs are atomic on real
+    object stores; on filesystems (file/hdfs) a tmp-write + move keeps
+    the publish atomic so reducers never observe half-written payloads.
+    """
+
+    def __init__(self, base_uri: str):
+        from pyarrow import fs as pafs
+        self.fs, self.base = pafs.FileSystem.from_uri(base_uri)
+        self.base = self.base.rstrip("/")
+        # object stores have atomic PUT; filesystems need rename-publish
+        self._needs_move = type(self.fs).__name__ in (
+            "LocalFileSystem", "HadoopFileSystem", "SubTreeFileSystem")
+
+    def _dir(self, app: str, shuffle: int, partition: int) -> str:
+        return (f"{self.base}/{app}/shuffle-{shuffle}/"
+                f"part-{partition:05d}")
+
+    def put(self, app: str, shuffle: int, partition: int, map_id: int,
+            payload: bytes) -> None:
+        d = self._dir(app, shuffle, partition)
+        self.fs.create_dir(d, recursive=True)
+        key = f"{d}/map-{map_id:05d}.blk"
+        if self._needs_move:
+            tmp = f"{d}/.map-{map_id:05d}.tmp"
+            with self.fs.open_output_stream(tmp) as f:
+                f.write(payload)
+            self.fs.move(tmp, key)
+        else:
+            with self.fs.open_output_stream(key) as f:
+                f.write(payload)
+
+    def get(self, app: str, shuffle: int, partition: int) -> List[bytes]:
+        from pyarrow import fs as pafs
+        sel = pafs.FileSelector(self._dir(app, shuffle, partition),
+                                allow_not_found=True)
+        names = sorted(
+            info.path for info in self.fs.get_file_info(sel)
+            if info.type == pafs.FileType.File
+            and info.base_name.endswith(".blk"))
+        out = []
+        for path in names:
+            with self.fs.open_input_stream(path) as f:
+                out.append(f.read())
+        return out
+
+    def partitions(self, app: str, shuffle: int) -> List[int]:
+        from pyarrow import fs as pafs
+        sel = pafs.FileSelector(f"{self.base}/{app}/shuffle-{shuffle}",
+                                allow_not_found=True)
+        return sorted(
+            int(info.base_name.split("-")[1])
+            for info in self.fs.get_file_info(sel)
+            if info.base_name.startswith("part-"))
+
+
 def serve_local(host: str = "127.0.0.1", port: int = 0):
     """In-process HTTP shuffle service for tests: returns (server, url).
 

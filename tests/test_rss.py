@@ -101,3 +101,15 @@ def test_multi_block_map_task_no_overwrite(tmp_path):
     rows = sum(len(read_partition(st, "app3", 2, p).to_pandas())
                for p in range(2))
     assert rows == len(df)
+
+
+def test_object_store_storage(tmp_path):
+    """pyarrow.fs URI backend (the s3://, gs://, hdfs:// production arm)
+    driven through a file:// URI — same FileSystem API surface, so the
+    put/get/partitions/list plumbing is what a bucket would execute."""
+    from auron_tpu.io.rss import ObjectStoreStorage
+    st = ObjectStoreStorage(f"file://{tmp_path}/rss_obj")
+    _roundtrip(st)
+    assert st.partitions("app1", 7) == [0, 1, 2, 3]
+    assert st.partitions("app1", 99) == []
+    assert st.get("app1", 7, 55) == []
