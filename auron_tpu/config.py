@@ -292,6 +292,18 @@ JIT_CALIBRATE_ON_HOST = ConfigOption(
     "once (OOM at sf=500 before any count exists). The table set is "
     "copied to host RAM once per session and reused.")
 
+JIT_CALIBRATE_SAMPLE = ConfigOption(
+    "auron.jit.calibrate.sample.rows", 0, int,
+    "When > 0, tables larger than this row count enter the host "
+    "calibration prepass as a deterministic row SAMPLE of this size, and "
+    "the measured join/explode capacities scale back up by the largest "
+    "table-shrink ratio. Bounds the prepass's host-RAM footprint for "
+    "fan-out-heavy plans (q67-class: 9 grouping-set aggs over 50M-row "
+    "joins pin every eager intermediate at once). Fact-vs-dimension "
+    "match counts scale ~linearly so the scaled hints are near-exact; "
+    "super-linear shapes (fact-fact joins) undershoot and are corrected "
+    "by the overflow-regrow loop. 0 = full-table prepass.")
+
 JIT_CACHE_MAX_ENTRIES = ConfigOption(
     "auron.jit.cache.max.entries", 64, int,
     "LRU capacity of the whole-plan jit cache (plan/builder.py). Each "

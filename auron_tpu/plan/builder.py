@@ -339,6 +339,15 @@ class Frame:
                 execute_plan(plan, sess, annotate=False)
         except Exception:
             return plan
+        ratio = getattr(sess, "_sample_ratio", 1.0)
+        if ratio > 1.0 and caps:
+            # sampled prepass: measured counts shrink ~linearly with the
+            # sampled fraction for fact-vs-dimension joins; scale back up
+            # by the largest table-shrink ratio. Super-linear cases
+            # (fact-fact joins shrink ~quadratically) undershoot — the
+            # overflow-regrow loop corrects those, which is exactly its
+            # job; the point of sampling is bounding the PREPASS footprint.
+            caps = {k: int(v * ratio) + 1 for k, v in caps.items()}
         plan = CAL.apply(plan, caps) if caps else plan
         self._calibrated = plan
         return plan
@@ -351,11 +360,16 @@ class Frame:
         eager execution pins every intermediate in HBM simultaneously —
         at sf=500 that OOMs 16 GB before the counts exist (q67). Host RAM
         and local CPU dispatch have neither problem. Gated by
-        auron.jit.calibrate.on.host; no-op on CPU backends."""
+        auron.jit.calibrate.on.host; no-op on CPU backends unless a
+        sample-rows bound is set (sampling shrinks the prepass footprint
+        on any backend)."""
         import jax
         from auron_tpu import config as C
-        if not C.conf.get(C.JIT_CALIBRATE_ON_HOST) or \
-                jax.devices()[0].platform == "cpu":
+        sample_rows = int(C.conf.get(C.JIT_CALIBRATE_SAMPLE) or 0)
+        is_cpu = jax.devices()[0].platform == "cpu"
+        wants_shadow = sample_rows > 0 or (
+            not is_cpu and C.conf.get(C.JIT_CALIBRATE_ON_HOST))
+        if not wants_shadow:
             return self.session
         cached = getattr(self.session, "_host_shadow", None)
         if cached is not None:
@@ -365,12 +379,43 @@ class Frame:
         except RuntimeError:  # CPU platform unavailable in this process
             return self.session
         shadow = Session(self.session.conf)
+        ratio = 1.0
         with jax.default_device(cpu):
             for name, blocks in self.session.tables.items():
-                shadow.tables[name] = [jax.device_put(b, cpu)
-                                       for b in blocks]
+                total = sum(int(b.row_mask.shape[0])
+                            for b in blocks)
+                if sample_rows and total > sample_rows:
+                    # sampled shadow: every eager intermediate of the
+                    # prepass shrinks by the same factor (q67-class plans
+                    # pin 9 grouping-set aggs over 50M-row joins otherwise)
+                    shadow.tables[name] = [
+                        self._sample_block(b, max(
+                            1, int(b.row_mask.shape[0])
+                            * sample_rows // total), cpu)
+                        for b in blocks]
+                    ratio = max(ratio, total / sample_rows)
+                else:
+                    shadow.tables[name] = [jax.device_put(b, cpu)
+                                           for b in blocks]
+        shadow._sample_ratio = ratio
         self.session._host_shadow = shadow
         return shadow
+
+    @staticmethod
+    def _sample_block(block, k: int, cpu):
+        """Deterministic row sample of one block onto the host CPU: a
+        sorted rng(0) choice of LIVE rows (order preserved so sorted-key
+        fast paths annotate the same way)."""
+        import jax
+        import numpy as np
+        from auron_tpu.block import TableBlock
+        host = jax.device_put(block, cpu)
+        df = host.to_pandas()
+        if len(df) <= k:
+            return TableBlock.from_pandas(df)
+        idx = np.sort(np.random.default_rng(0).choice(
+            len(df), size=k, replace=False))
+        return TableBlock.from_pandas(df.iloc[idx].reset_index(drop=True))
 
     def _run_jit(self, overrides: dict):
         # whole-query jit: annotate/prune against the concrete tables, then

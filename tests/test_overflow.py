@@ -272,3 +272,57 @@ def test_jit_calibration_measured_capacities():
     # measured capacity is tight: within one rounding step of true size
     from auron_tpu.block import round_capacity
     assert max(j.out_capacity for j in js) <= round_capacity(len(want))
+
+
+def test_jit_calibration_sampled_prepass():
+    """Sampled calibration (auron.jit.calibrate.sample.rows): large tables
+    enter the prepass as a row sample and the measured capacities scale
+    back up by the shrink ratio — results stay exact (regrow corrects any
+    undershoot), hints stay O(true size) not probe*factor compounding."""
+    rng = np.random.default_rng(7)
+    n = 4096
+    probe = pd.DataFrame({"k": rng.integers(0, 16, n).astype(np.int64),
+                          "v": rng.normal(size=n).round(3)})
+    build = pd.DataFrame({
+        "j": np.repeat(np.arange(16, dtype=np.int64), 4),
+        "w": np.arange(64, dtype=np.int64)})
+    s = Session()
+    s.register_pandas("p", probe)
+    s.register_pandas("b", build)
+    f = (table(s, "p").join(table(s, "b"), ("k",), ("j",))
+         .groupby("k").agg(sw=("sum", col("w"))))
+    with config.conf.scoped_overrides(
+            {"auron.jit.calibrate.sample.rows": 512}):
+        got = f.collect(jit=True)
+    want = (probe.merge(build, left_on="k", right_on="j")
+            .groupby("k", as_index=False)["w"].sum()
+            .rename(columns={"w": "sw"}))
+    assert sorted_rows(got) == sorted_rows(want)
+    # the shadow sampled the probe table (4096 > 512) and recorded ratio
+    shadow = s._host_shadow
+    assert shadow._sample_ratio >= 4096 / 512
+    assert sum(int(b.row_mask.shape[0])
+               for b in shadow.tables["p"]) <= 1024
+    # small build table stays whole
+    assert sum(int(np.asarray(b.row_mask).sum())
+               for b in shadow.tables["b"]) == 64
+    # the calibrated join hint is scaled-sample-measured: bounded by
+    # ratio * sample-measured rows, far under probe*fanout compounding
+    import dataclasses
+    from auron_tpu.plan import nodes as PN
+
+    def find_join(node):
+        if isinstance(node, PN.Join):
+            return node
+        for fld in dataclasses.fields(node):
+            v = getattr(node, fld.name)
+            if isinstance(v, PN.PlanNode):
+                j = find_join(v)
+                if j is not None:
+                    return j
+        return None
+
+    j = find_join(f._calibrated)
+    assert j is not None and j.out_capacity is not None
+    true_out = len(probe) * 4
+    assert true_out <= j.out_capacity <= true_out * 8
