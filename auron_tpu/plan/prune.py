@@ -105,6 +105,11 @@ def prune_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
     outer = _PRUNE_MEMO
     _PRUNE_MEMO = {}
     try:
+        # semantic rewrites first (null-rejection join reassociation) so
+        # every execution path — eager, whole-plan jit, staged — plans
+        # the same shrunk-build tree (plan/rewrite.py)
+        from auron_tpu.plan.rewrite import reassociate_left_joins
+        plan = reassociate_left_joins(plan, session)
         needed = set(output_names(plan, session))
         return _prune(plan, needed, session)
     finally:
