@@ -429,6 +429,32 @@ PALLAS_INTERPRET = ConfigOption(
     "auron.pallas.interpret", False, bool,
     "Run Pallas kernels in interpreter mode on non-TPU backends (testing).")
 
+OPT_REORDER_JOINS = ConfigOption(
+    "auron.optimizer.reorder.joins", True, bool,
+    "Reorder chains of inner equi-joins so measured-selective build sides "
+    "(filtered dimensions) apply before expanding fact-fact joins "
+    "(plan/rewrite.py reorder_inner_joins). The reference inherits this "
+    "from Spark's cost-based join reordering; this engine plans from its "
+    "own front-ends, so the rewrite lives in the plan layer. Ordering "
+    "respects column dependencies between build sides and never crosses "
+    "outer/semi/anti joins.")
+
+OPT_REORDER_PROBE_ROWS = ConfigOption(
+    "auron.optimizer.reorder.probe.rows", 4_194_304, int,
+    "Build sides whose scan capacity is at most this many rows are "
+    "filter-evaluated once on the host to measure their true selectivity "
+    "for join ordering; larger builds are treated as non-selective and "
+    "keep their original relative order.")
+
+OPT_ROLLUP_REAGG = ConfigOption(
+    "auron.optimizer.rollup.reaggregate", True, bool,
+    "Rewrite UNIONs of grouping-set aggregations over one shared input "
+    "(the ROLLUP/CUBE decomposition) to aggregate the input ONCE at the "
+    "finest key set and derive every coarser level by re-aggregating that "
+    "result (plan/rewrite.py reaggregate_rollups). Turns q67-class plans "
+    "from N full-fact aggregations into one plus N-1 tiny ones; applies "
+    "only when every aggregate is re-aggregable (sum/min/max/count).")
+
 # Global default session configuration.
 conf = AuronConf()
 

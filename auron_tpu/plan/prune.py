@@ -96,35 +96,69 @@ def output_names(node: PN.PlanNode, session) -> List[str]:
 
 
 _PRUNE_MEMO = None
+_NEED_UNION = None  # pass-1 record: id(node) -> union of needed sets
+_USE_UNION = None   # pass-2 override: same map, consumed instead of recorded
+_PRUNED_NEEDED = None  # pass-2 record: id(pruned node) -> needed set
 
 
 def prune_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
     # memoize rebuilds so DAG sharing survives pruning (a CTE consumed by
     # N branches stays ONE node and executes once, not N times)
-    global _PRUNE_MEMO
-    outer = _PRUNE_MEMO
-    _PRUNE_MEMO = {}
+    global _PRUNE_MEMO, _NEED_UNION, _USE_UNION, _PRUNED_NEEDED
+    outer, outer_union, outer_use, outer_pn = \
+        _PRUNE_MEMO, _NEED_UNION, _USE_UNION, _PRUNED_NEEDED
     try:
-        # semantic rewrites first (null-rejection join reassociation) so
-        # every execution path — eager, whole-plan jit, staged — plans
-        # the same shrunk-build tree (plan/rewrite.py)
-        from auron_tpu.plan.rewrite import reassociate_left_joins
+        # semantic rewrites first (null-rejection join reassociation,
+        # rollup re-aggregation) so every execution path — eager,
+        # whole-plan jit, staged — plans the same optimized tree
+        # (plan/rewrite.py). Join REORDERING runs after pruning below:
+        # multi-role dimensions (three date_dim scans in one query) carry
+        # colliding column names until pruning strips the unreferenced
+        # ones, and reordering never changes column requirements, so the
+        # pruned tree stays exactly pruned.
+        from auron_tpu.plan.rewrite import (reassociate_left_joins,
+                                            reaggregate_rollups,
+                                            reorder_inner_joins)
         plan = reassociate_left_joins(plan, session)
+        plan = reaggregate_rollups(plan, session)
         needed = set(output_names(plan, session))
-        return _prune(plan, needed, session)
+        # TWO passes. A node shared by consumers with different column
+        # needs (rollup levels over one agg, CTE branches) must be pruned
+        # ONCE with the union of those needs — per-consumer pruning would
+        # split it into N copies that each execute. Pass 1 records the
+        # union of needed-at-entry per node (needs propagation is
+        # union-distributive, so one recording pass reaches the fixpoint);
+        # pass 2 prunes each node once with its union, memoized by id.
+        _PRUNE_MEMO, _NEED_UNION, _USE_UNION = {}, {}, None
+        _PRUNED_NEEDED = None
+        _prune(plan, needed, session)
+        _PRUNE_MEMO, _USE_UNION = {}, _NEED_UNION
+        _NEED_UNION, _PRUNED_NEEDED = None, {}
+        pruned = _prune(plan, needed, session)
+        return reorder_inner_joins(pruned, session,
+                                   needed_above=_PRUNED_NEEDED)
     finally:
-        _PRUNE_MEMO = outer
+        _PRUNE_MEMO, _NEED_UNION, _USE_UNION, _PRUNED_NEEDED = \
+            outer, outer_union, outer_use, outer_pn
 
 
 def _prune(node: PN.PlanNode, needed: Set[str], session) -> PN.PlanNode:
     if _PRUNE_MEMO is not None:
-        key = (id(node), frozenset(needed))
+        if _USE_UNION is not None:
+            needed = _USE_UNION.get(id(node), needed)
+            key = id(node)
+        else:
+            if _NEED_UNION is not None:
+                _NEED_UNION.setdefault(id(node), set()).update(needed)
+            key = (id(node), frozenset(needed))
         hit = _PRUNE_MEMO.get(key)
         if hit is None:
             hit = _prune_impl(node, needed, session)
             # pin the source node: id()-keyed caches must keep it alive
             _PRUNE_MEMO[key] = hit
             _PRUNE_MEMO.setdefault(("pin", id(node)), node)
+            if _PRUNED_NEEDED is not None:
+                _PRUNED_NEEDED[id(hit)] = frozenset(needed)
         return hit
     return _prune_impl(node, needed, session)
 

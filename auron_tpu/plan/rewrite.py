@@ -36,7 +36,7 @@ Safety conditions (checked structurally):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+from typing import Dict, List, Optional, Tuple
 
 from auron_tpu.plan import nodes as PN
 
@@ -76,6 +76,408 @@ def _try_reassociate(j: PN.PlanNode, session) -> Optional[PN.PlanNode]:
         else bc
     return dataclasses.replace(lower, right=new_right, join_type="inner",
                                out_capacity=None)
+
+
+# ---------------------------------------------------------------------------
+# Inner-join reordering (measured-selectivity greedy).
+#
+# The reference receives plans AFTER Spark's optimizer has ordered joins
+# (cost-based reordering + predicate pushdown); this engine owns the whole
+# driver, so the ordering decision lives here. The classic TPC-DS failure
+# mode without it is q25-class: the query text joins fact-to-fact FIRST
+# (store_sales x store_returns x catalog_sales) and only then applies the
+# highly selective date-dimension joins — executed verbatim, the fact-fact
+# intermediate is ~1000x larger than the post-date one.
+#
+# The pass collects a maximal spine of movable inner equi-joins, scores
+# each build side by MEASURED filter selectivity (scan-chain builds up to
+# auron.optimizer.reorder.probe.rows are filter-evaluated once on the host
+# CPU — dimensions are small; anything bigger keeps a neutral score), and
+# greedily applies the most selective ready join first, respecting column
+# dependencies between build sides (a join keyed on another build's output
+# can only run after it). Correctness envelope: inner equi-joins commute
+# and associate freely; anything else (outer/semi/anti/existence,
+# null-aware, left-built, multi-partition exchanges) is a spine barrier.
+# ---------------------------------------------------------------------------
+
+_SCORE_NEUTRAL = 1.0   # unfiltered build: joins ~every probe row
+_SCORE_UNKNOWN = 2.0   # non-scan-chain or too-big build: keep late
+
+
+def _scan_chain_table(node) -> Tuple[Optional[str], bool]:
+    """(table, has_filter) when ``node`` is a Filter/Project/Rename chain
+    over one MemoryScan; (None, _) otherwise."""
+    has_filter = False
+    while True:
+        if isinstance(node, PN.Filter):
+            has_filter = True
+            node = node.child
+        elif isinstance(node, (PN.Project, PN.Rename)):
+            node = node.child
+        elif isinstance(node, PN.MemoryScan):
+            return node.table, has_filter
+        else:
+            return None, has_filter
+
+
+def _host_live_count(node, table: str, session) -> Optional[int]:
+    """Execute a small scan-chain build side once on the host CPU and
+    return its live-row count. Table blocks are copied host-side once per
+    session (dimension tables — the probe-rows bound keeps facts out)."""
+    try:
+        import jax
+        import numpy as np
+        from auron_tpu.plan.execute import Session, execute_plan
+        cache = getattr(session, "_reorder_host_tables", None)
+        if cache is None:
+            cache = session._reorder_host_tables = {}
+        blocks = cache.get(table)
+        if blocks is None:
+            cpu = jax.devices("cpu")[0]
+            blocks = [jax.device_put(b, cpu) for b in session.tables[table]]
+            cache[table] = blocks
+        s2 = Session(getattr(session, "conf", None))
+        s2.register(table, blocks)
+        import jax as _jax
+        with _jax.default_device(_jax.devices("cpu")[0]):
+            out = execute_plan(node, s2, annotate=False)
+        return sum(int(np.asarray(b.row_mask).sum()) for b in out)
+    except Exception:
+        return None
+
+
+def _build_score(st: PN.Join, session) -> float:
+    """Estimated probe-survival fraction of one build side: measured
+    filter selectivity for small scan-chain builds, neutral otherwise.
+    Builds whose single join key is known NON-unique can expand the probe
+    (fan-out) — they score past neutral so PK-style dimensions apply
+    first."""
+    from auron_tpu import config as C
+    right = st.right
+    node = right.child if isinstance(right, PN.Exchange) else right
+    table, has_filter = _scan_chain_table(node)
+    if table is None or table not in getattr(session, "tables", {}):
+        return _SCORE_UNKNOWN
+    fanout = False
+    if len(st.right_keys) == 1:
+        try:
+            from auron_tpu.plan.stats import _table_ranges
+            rng = _table_ranges(session, table).get(st.right_keys[0])
+            fanout = rng is not None and not rng[2]
+        except Exception:
+            fanout = False
+    if fanout:
+        return _SCORE_UNKNOWN
+    if not has_filter:
+        return _SCORE_NEUTRAL
+    try:
+        cap = sum(int(b.row_mask.shape[0]) for b in session.tables[table])
+    except Exception:
+        return _SCORE_UNKNOWN
+    if cap > int(C.conf.get(C.OPT_REORDER_PROBE_ROWS)):
+        return _SCORE_UNKNOWN
+    live = _host_live_count(node, table, session)
+    if live is None:
+        return _SCORE_NEUTRAL
+    return max(live, 1) / max(cap, 1)
+
+
+def _join_exchange_ok(side, keys) -> bool:
+    """A partitioned join's staging exchange is movable only when it is the
+    trivial single-partition hash exchange the builder inserted for these
+    exact keys (n>1 placement depends on position in the tree)."""
+    p = side.partitioning
+    return tuple(getattr(p, "key_names", ()) or ()) == tuple(keys) and \
+        int(getattr(p, "num_partitions", 0) or 0) == 1
+
+
+def _spine_step_ok(j: PN.Join) -> bool:
+    if j.join_type != "inner" or j.null_aware or j.build != "right":
+        return False
+    if j.strategy == "broadcast":
+        return True
+    if j.strategy == "partitioned":
+        return isinstance(j.left, PN.Exchange) and \
+            isinstance(j.right, PN.Exchange) and \
+            _join_exchange_ok(j.left, j.left_keys) and \
+            _join_exchange_ok(j.right, j.right_keys)
+    return False
+
+
+def _try_reorder(top: PN.Join, session,
+                 needed_above=None) -> Optional[PN.PlanNode]:
+    from auron_tpu.parallel.partition import HashPartitioning
+    from auron_tpu.plan.prune import expr_refs
+
+    # collect the spine top-down, then reverse to application order
+    steps: List[PN.Join] = []
+    node: PN.PlanNode = top
+    while isinstance(node, PN.Join) and _spine_step_ok(node):
+        steps.append(node)
+        node = node.left.child if node.strategy == "partitioned" \
+            else node.left
+    if len(steps) < 2:
+        return None
+    steps.reverse()
+    probe = node
+
+    probe_names = _names(probe, session)
+    if probe_names is None:
+        return None
+    right_names: List[set] = []
+    dup: set = set()
+    seen = set(probe_names)
+    for st in steps:
+        rn = _names(st.right, session)
+        if rn is None:
+            return None
+        dup |= rn & seen
+        right_names.append(rn)
+        seen |= rn
+
+    deps: List[set] = []
+    spine_refs: set = set()
+    for st, rn in zip(steps, right_names):
+        d = set(st.left_keys)
+        if st.condition is not None:
+            d |= expr_refs(st.condition) - rn
+        deps.append(d)
+        spine_refs |= d
+    if dup:
+        # duplicated column names across sides (multi-role dimensions
+        # post-prune still expose filter-referenced columns): reordering
+        # changes which duplicate "wins" in the output bag, so it is only
+        # safe when no duplicate is a spine key/condition ref and none is
+        # consumed above the spine (the pruner's needed-set at this node)
+        na = None if needed_above is None else needed_above.get(id(top))
+        if na is None or (dup & set(na)) or (dup & spine_refs):
+            return None
+
+    scores = [_build_score(st, session) for st in steps]
+
+    order: List[int] = []
+    avail = set(probe_names)
+    remaining = list(range(len(steps)))
+    while remaining:
+        ready = [i for i in remaining if deps[i] <= avail]
+        if not ready:
+            return None  # a dependency outside the spine: bail out
+        pick = min(ready, key=lambda i: (scores[i], i))
+        order.append(pick)
+        remaining.remove(pick)
+        avail |= right_names[pick]
+    if order == list(range(len(steps))):
+        return None  # already optimal under this scoring
+
+    acc: PN.PlanNode = probe
+    for i in order:
+        st = steps[i]
+        left = acc
+        if st.strategy == "partitioned":
+            left = PN.Exchange(acc, HashPartitioning(tuple(st.left_keys), 1))
+        # planner-filled hints (capacities, domains, shrink) are stale at
+        # the new position; stats + calibration re-derive them
+        acc = dataclasses.replace(
+            st, left=left, out_capacity=None, shrink_to=None,
+            build_domain=None, build_unique=False, build_sequential=False)
+    return acc
+
+
+def reorder_inner_joins(plan: PN.PlanNode, session,
+                        needed_above=None) -> PN.PlanNode:
+    """Top-down pass: the FIRST movable join spine found on each path is
+    reordered wholesale (its internal joins are not revisited); DAG
+    sharing preserved via an id-keyed memo. ``needed_above`` (from the
+    pruner) maps id(node) -> columns consumed above it, enabling the
+    duplicate-name safety check for multi-role dimension plans."""
+    from auron_tpu import config as C
+    if not C.conf.get(C.OPT_REORDER_JOINS):
+        return plan
+    memo: dict = {}
+
+    def walk(node):
+        if not isinstance(node, PN.PlanNode):
+            return node
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
+        out = node
+        if isinstance(node, PN.Join):
+            new = _try_reorder(node, session, needed_above)
+            if new is not None:
+                out = new
+        changes = {}
+        for f in dataclasses.fields(out):
+            v = getattr(out, f.name)
+            if isinstance(v, PN.PlanNode):
+                # do not descend into a freshly reordered spine's joins —
+                # only into build sides and the probe, which walk reaches
+                # through the Join fields below
+                nv = walk(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, tuple) and v and \
+                    all(isinstance(x, PN.PlanNode) for x in v):
+                nv = tuple(walk(x) for x in v)
+                if any(x is not y for x, y in zip(nv, v)):
+                    changes[f.name] = nv
+        if changes:
+            out = dataclasses.replace(out, **changes)
+        memo[id(node)] = out
+        return out
+
+    return walk(plan)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP re-aggregation.
+#
+# The Frame/SQL front-ends decompose ROLLUP(c1..cn) into a UNION of n+1
+# grouping-set aggregations over one shared join subtree (exactly how
+# Spark's ExpandExec materializes it, expand_exec.rs:506 — except Expand
+# replicates every input ROW n+1 times). When every aggregate is
+# re-aggregable (sum/min/max/count), the coarser levels are derivable from
+# the FINEST level's output: aggregate the fact once at the full key set,
+# then re-aggregate that (tiny) result per level. q67-class plans go from
+# 9 x 50M-row aggregations to 1 x 50M + 8 x |groups|.
+# ---------------------------------------------------------------------------
+
+_REAGG_KIND = {"sum": "sum", "min": "min", "max": "max",
+               "count": "sum", "count_star": "sum"}
+
+
+def _unwrap_to_agg(child) -> Optional[PN.Agg]:
+    node = child
+    while isinstance(node, (PN.Project, PN.Rename)):
+        node = node.child
+    return node if isinstance(node, PN.Agg) else None
+
+
+def _key_cols(agg: PN.Agg) -> Optional[Tuple[Tuple[str, str], ...]]:
+    """((output name, source column), ...) when every group key is a plain
+    column reference; None otherwise."""
+    from auron_tpu.plan.stats import _column_of
+    out = []
+    for name, e in agg.keys:
+        c = _column_of(e)
+        if c is None:
+            return None
+        out.append((name, c))
+    return tuple(out)
+
+
+def _call_sig(c: PN.AggCall) -> Optional[tuple]:
+    if c.kind not in _REAGG_KIND or c.fn is not None:
+        return None
+    return (c.name, c.kind, repr(c.expr), repr(c.filter))
+
+
+def _flatten_union(u: PN.Union) -> PN.Union:
+    """Union-of-unions -> one flat Union (the Frame builder chains .union()
+    pairwise, so an n-level rollup arrives as a left-deep nest). Pure
+    concatenation either way; only used when the re-agg rewrite fires."""
+    kids: List[PN.PlanNode] = []
+
+    def add(node):
+        if isinstance(node, PN.Union):
+            for k in node.children_nodes:
+                add(k)
+        else:
+            kids.append(node)
+
+    add(u)
+    if len(kids) == len(u.children_nodes):
+        return u
+    return PN.Union(tuple(kids))
+
+
+def _try_reaggregate(u0: PN.Union, session) -> Optional[PN.Union]:
+    u = _flatten_union(u0)
+    aggs = [_unwrap_to_agg(c) for c in u.children_nodes]
+    if len(aggs) < 2 or any(a is None for a in aggs):
+        return None
+    shared = aggs[0].child
+    if any(a.child is not shared or a.mode != "single" for a in aggs):
+        return None
+    sigs = [tuple(_call_sig(c) for c in a.calls) for a in aggs]
+    if any(s is None for sig in sigs for s in sig) or \
+            any(sig != sigs[0] for sig in sigs[1:]):
+        return None
+    keycols = [_key_cols(a) for a in aggs]
+    if any(k is None for k in keycols):
+        return None
+    finest_i = max(range(len(aggs)), key=lambda i: len(keycols[i]))
+    finest_keys = dict(keycols[finest_i])
+    n_finest = len(keycols[finest_i])
+    for kc in keycols:
+        for name, col in kc:
+            if finest_keys.get(name) != col:
+                return None  # not a sub-grouping of the finest level
+    if all(len(kc) == n_finest for kc in keycols):
+        return None  # no proper sub-grouping: nothing to derive
+    finest = aggs[finest_i]
+
+    from auron_tpu.expr.nodes import Column
+
+    def rebuild_level(agg: PN.Agg) -> PN.Agg:
+        keys = tuple((name, Column(name)) for name, _ in _key_cols(agg))
+        calls = tuple(
+            PN.AggCall(c.name, _REAGG_KIND[c.kind], Column(c.name))
+            for c in agg.calls)
+        return PN.Agg(finest, keys, calls, mode="single")
+
+    def rewrap(child, new_agg) -> PN.PlanNode:
+        if isinstance(child, (PN.Project, PN.Rename)):
+            return dataclasses.replace(child,
+                                       child=rewrap(child.child, new_agg))
+        return new_agg
+
+    new_children = []
+    for i, (child, agg) in enumerate(zip(u.children_nodes, aggs)):
+        if len(keycols[i]) == n_finest:
+            new_children.append(child)  # already at the finest grouping
+        else:
+            new_children.append(rewrap(child, rebuild_level(agg)))
+    return dataclasses.replace(u, children_nodes=tuple(new_children))
+
+
+def reaggregate_rollups(plan: PN.PlanNode, session) -> PN.PlanNode:
+    from auron_tpu import config as C
+    if not C.conf.get(C.OPT_ROLLUP_REAGG):
+        return plan
+    memo: dict = {}
+
+    def walk(node):
+        if not isinstance(node, PN.PlanNode):
+            return node
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
+        src = node
+        if isinstance(node, PN.Union):
+            # rewrite TOP-DOWN: the rollup nest must be seen whole (a
+            # bottom-up pass would rewrite the innermost pair first and
+            # break the shared-child condition for the outer levels)
+            new = _try_reaggregate(node, session)
+            if new is not None:
+                node = new
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, PN.PlanNode):
+                nv = walk(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, tuple) and v and \
+                    all(isinstance(x, PN.PlanNode) for x in v):
+                nv = tuple(walk(x) for x in v)
+                if any(x is not y for x, y in zip(nv, v)):
+                    changes[f.name] = nv
+        out = dataclasses.replace(node, **changes) if changes else node
+        memo[id(src)] = out
+        return out
+
+    return walk(plan)
 
 
 def reassociate_left_joins(plan: PN.PlanNode, session) -> PN.PlanNode:

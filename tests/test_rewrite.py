@@ -125,3 +125,225 @@ def test_rewrite_fires_inside_prune_plan():
          .join(table(s, "c"), ("bx",), ("cy",)))
     pruned = prune_plan(f.plan, s)
     assert all(j.join_type == "inner" for j in _find_joins(pruned, []))
+
+
+# ---------------------------------------------------------------------------
+# Inner-join reordering (reorder_inner_joins): measured-selectivity greedy
+# with dependency respect — the q25-class rewrite.
+# ---------------------------------------------------------------------------
+
+def _star_tables(s: Session):
+    rng = np.random.default_rng(7)
+    n = 20_000
+    fact = pd.DataFrame({
+        "f_date": rng.integers(0, 1000, n).astype(np.int64),
+        "f_item": rng.integers(0, 200, n).astype(np.int64),
+        "f_v": rng.normal(size=n)})
+    dates = pd.DataFrame({"d_sk": np.arange(1000, dtype=np.int64),
+                          "d_year": (np.arange(1000) // 100).astype(np.int64)})
+    items = pd.DataFrame({"i_sk": np.arange(200, dtype=np.int64),
+                          "i_brand": (np.arange(200) % 13).astype(np.int64)})
+    other = pd.DataFrame({
+        "o_item": rng.integers(0, 200, 5000).astype(np.int64),
+        "o_w": rng.integers(0, 9, 5000).astype(np.int64)})
+    s.register_pandas("fact", fact)
+    s.register_pandas("dates", dates)
+    s.register_pandas("items", items)
+    s.register_pandas("other", other)
+    return fact, dates, items, other
+
+
+def test_reorder_moves_selective_dim_first():
+    from auron_tpu.plan.rewrite import reorder_inner_joins
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    # original order: expanding fact-fact join FIRST, selective date LAST
+    f = (table(s, "fact")
+         .join(table(s, "other"), ("f_item",), ("o_item",))
+         .join(table(s, "items"), ("f_item",), ("i_sk",))
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    new = reorder_inner_joins(f.plan, s)
+    joins = _find_joins(new, [])
+    # spine top-down is [last applied ... first applied]: the selective
+    # filtered date join must now be FIRST (deepest), the fan-out join last
+    spine = [j.right_keys for j in joins]
+    assert spine[0] == ("o_item",), spine
+    assert spine[-1] == ("d_sk",), spine
+    # differential, eager + jit
+    want = (fact.merge(other, left_on="f_item", right_on="o_item")
+            .merge(items, left_on="f_item", right_on="i_sk")
+            .merge(dates[dates["d_year"] == 3],
+                   left_on="f_date", right_on="d_sk"))
+    got = f.collect()
+    cols = want.columns.tolist()
+    assert sorted_rows(got[cols]) == sorted_rows(want)
+    got_jit = f.collect(jit=True)
+    assert sorted_rows(got_jit[cols]) == sorted_rows(want)
+
+
+def test_reorder_respects_dependencies():
+    """A join keyed on ANOTHER build side's output can only run after it:
+    dim2 joins on other's o_w column, so it must stay after other even
+    though it is more selective."""
+    from auron_tpu.plan.rewrite import reorder_inner_joins
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    dim2 = pd.DataFrame({"w_sk": np.arange(9, dtype=np.int64),
+                         "w_tag": np.arange(9, dtype=np.int64) * 10})
+    s.register_pandas("dim2", dim2)
+    f = (table(s, "fact")
+         .join(table(s, "other"), ("f_item",), ("o_item",))
+         .join(table(s, "dim2").filter(col("w_tag") <= lit(10)),
+               ("o_w",), ("w_sk",))
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    new = reorder_inner_joins(f.plan, s)
+    joins = _find_joins(new, [])
+    order_bottom_up = [j.right_keys for j in reversed(joins)]
+    # date first (selective, ready); dim2 only after other
+    assert order_bottom_up.index(("o_item",)) < \
+        order_bottom_up.index(("w_sk",))
+    assert order_bottom_up[0] == ("d_sk",)
+    want = (fact.merge(other, left_on="f_item", right_on="o_item")
+            .merge(dim2[dim2["w_tag"] <= 10], left_on="o_w",
+                   right_on="w_sk")
+            .merge(dates[dates["d_year"] == 3],
+                   left_on="f_date", right_on="d_sk"))
+    got = f.collect()
+    assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_reorder_barrier_on_outer_join():
+    """Outer joins are spine barriers: nothing moves across them."""
+    from auron_tpu.plan.rewrite import reorder_inner_joins
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    f = (table(s, "fact")
+         .join(table(s, "other"), ("f_item",), ("o_item",), how="left",
+               strategy="partitioned")
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    before = [j.right_keys for j in _find_joins(f.plan, [])]
+    new = reorder_inner_joins(f.plan, s)
+    after = [j.right_keys for j in _find_joins(new, [])]
+    assert before == after
+
+
+# ---------------------------------------------------------------------------
+# Rollup re-aggregation (reaggregate_rollups): UNION of grouping sets over
+# one shared child -> finest agg once + re-agg per level (q67-class).
+# ---------------------------------------------------------------------------
+
+def _count_fact_aggs(p):
+    import dataclasses
+    seen, acc = set(), []
+
+    def walk(n):
+        if id(n) in seen or not dataclasses.is_dataclass(n):
+            return
+        seen.add(id(n))
+        if isinstance(n, PN.Agg) and not isinstance(n.child, PN.Agg):
+            acc.append(n)
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            for x in (v if isinstance(v, tuple) else [v]):
+                if isinstance(x, PN.PlanNode):
+                    walk(x)
+    walk(p)
+    return len(acc)
+
+
+def test_rollup_reaggregates_from_finest_level():
+    s = Session()
+    rng = np.random.default_rng(11)
+    n = 6000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 5, n).astype(np.int64),
+        "b": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.integers(0, 100, n).astype(np.int64)})
+    s.register_pandas("t", df)
+    t = table(s, "t")
+    lv2 = t.groupby("a", "b").agg(sv=("sum", col("v")),
+                                  cnt=("count_star", None),
+                                  mx=("max", col("v")))
+    lv1 = t.groupby("a").agg(sv=("sum", col("v")),
+                             cnt=("count_star", None),
+                             mx=("max", col("v"))) \
+        .with_columns(b=lit(-1)).select("a", "b", "sv", "cnt", "mx")
+    lv2s = lv2.select("a", "b", "sv", "cnt", "mx")
+    u = lv2s.union(lv1)
+    pruned = prune_plan(u.plan, s)
+    assert _count_fact_aggs(u.plan) == 2
+    assert _count_fact_aggs(pruned) == 1
+    # differential: engine result (which executes the pruned/rewritten
+    # plan) matches the two-level pandas rollup, eager and jit
+    g2 = df.groupby(["a", "b"]).agg(sv=("v", "sum"), cnt=("v", "size"),
+                                    mx=("v", "max")).reset_index()
+    g1 = df.groupby(["a"]).agg(sv=("v", "sum"), cnt=("v", "size"),
+                               mx=("v", "max")).reset_index()
+    g1["b"] = np.int64(-1)
+    want = pd.concat([g2, g1[g2.columns.tolist()]], ignore_index=True)
+    got = u.collect()
+    assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+    got_jit = u.collect(jit=True)
+    assert sorted_rows(got_jit[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_rollup_skips_non_reaggregable():
+    """avg cannot be re-aggregated from per-group avgs — no rewrite."""
+    s = Session()
+    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64) % 4,
+                       "b": np.arange(100, dtype=np.int64) % 3,
+                       "v": np.arange(100, dtype=np.float64)})
+    s.register_pandas("t", df)
+    t = table(s, "t")
+    lv2 = t.groupby("a", "b").agg(m=("avg", col("v"))) \
+        .select("a", "b", "m")
+    lv1 = t.groupby("a").agg(m=("avg", col("v"))) \
+        .with_columns(b=lit(-1)).select("a", "b", "m")
+    u = lv2.union(lv1)
+    pruned = prune_plan(u.plan, s)
+    assert _count_fact_aggs(pruned) == 2
+    got = u.collect()
+    g2 = df.groupby(["a", "b"]).agg(m=("v", "mean")).reset_index()
+    g1 = df.groupby(["a"]).agg(m=("v", "mean")).reset_index()
+    g1["b"] = np.int64(-1)
+    want = pd.concat([g2, g1[g2.columns.tolist()]], ignore_index=True)
+    assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_shared_subtree_pruned_once_with_union_of_needs():
+    """Two consumers needing DIFFERENT columns of one shared agg: pruning
+    must keep the agg a single shared node (union of needs), not split it
+    into per-consumer copies that each execute."""
+    s = Session()
+    df = pd.DataFrame({"k": np.arange(50, dtype=np.int64) % 5,
+                       "x": np.arange(50, dtype=np.int64),
+                       "y": np.arange(50, dtype=np.int64) * 2})
+    s.register_pandas("t", df)
+    base = table(s, "t").groupby("k").agg(sx=("sum", col("x")),
+                                          sy=("sum", col("y")))
+    left = base.select("k", "sx")
+    right = base.select(k2=col("k"), sy=col("y" "s"[0] + "y")) \
+        if False else base.select("k", "sy")
+    u = left.union(right.rename(sy="sx"))
+    pruned = prune_plan(u.plan, s)
+    aggs = []
+    import dataclasses
+
+    def walk(n, seen):
+        if id(n) in seen or not dataclasses.is_dataclass(n):
+            return
+        seen.add(id(n))
+        if isinstance(n, PN.Agg):
+            aggs.append(n)
+        for f in dataclasses.fields(n):
+            v = getattr(n, f.name)
+            for x in (v if isinstance(v, tuple) else [v]):
+                if isinstance(x, PN.PlanNode):
+                    walk(x, seen)
+    walk(pruned, set())
+    assert len(aggs) == 1, [a.calls for a in aggs]
+    # and the single agg kept BOTH call columns (union of needs)
+    assert sorted(c.name for c in aggs[0].calls) == ["sx", "sy"]
