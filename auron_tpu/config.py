@@ -429,6 +429,13 @@ PALLAS_INTERPRET = ConfigOption(
     "auron.pallas.interpret", False, bool,
     "Run Pallas kernels in interpreter mode on non-TPU backends (testing).")
 
+MXU_SEGMENTS_FORCE = ConfigOption(
+    "auron.mxu.segments.force", False, bool,
+    "Route segment aggregation through the one-hot MXU path (incl. the "
+    "batched OneHotBatcher) on non-TPU backends — slower there; exists so "
+    "the TPU aggregation path can be differentially tested on the CPU "
+    "mesh.")
+
 OPT_REORDER_JOINS = ConfigOption(
     "auron.optimizer.reorder.joins", True, bool,
     "Reorder chains of inner equi-joins so measured-selective build sides "

@@ -90,6 +90,11 @@ def segment_aggregate(
         batcher = PK.SumBatcher(
             gid32, num_segments,
             interpret=jax.default_backend() != "tpu")
+    elif use_mxu:
+        # XLA one-hot path: batch every count/sum of this GROUP BY into
+        # ONE _scan_dot (shared one-hot, stacked [S,k,blk] MXU dot) —
+        # per-call scans rebuild the one-hot and waste 127/128 MXU rows
+        batcher = PK.OneHotBatcher(gid32, num_segments)
     finishers = []
 
     def _seg_count(flags):

@@ -29,8 +29,12 @@ MAX_DIRECT_SEGMENTS = 8192  # one-hot width cap (VMEM: 1024x8192xf32 = 32MB/4)
 
 def use_mxu_segments(num_segments: int, rows: int) -> bool:
     """MXU one-hot aggregation pays off on TPU for bounded segment counts
-    (measured 16x over XLA scatter segment_sum at 8M rows)."""
-    return (jax.default_backend() == "tpu"
+    (measured 16x over XLA scatter segment_sum at 8M rows).
+    ``auron.mxu.segments.force`` routes non-TPU backends through the same
+    path (slower there — differential testing only)."""
+    backend_ok = jax.default_backend() == "tpu" or \
+        config.conf.get(config.MXU_SEGMENTS_FORCE)
+    return (backend_ok
             and config.conf.get(config.PALLAS_ENABLE)
             and num_segments <= MAX_DIRECT_SEGMENTS
             and rows >= (1 << 15))
@@ -40,14 +44,19 @@ SUBBLOCKS = 16  # sub-blocks per scan step (fewer steps, same exactness)
 
 
 def _scan_dot(planes, gid, d: int, blk: int):
-    """Shared scan: for each f32 plane, per-sub-block [blk]x[blk,d] one-hot
-    dot in f32 (MXU) with f64 carry across steps. Each scan step processes
-    SUBBLOCKS sub-blocks via a batched dot_general — the f32 accumulation
-    bound (per-sub-block sums over `blk` rows) is unchanged, but scan-step
-    launch overhead drops 16x. f64 matmul is ~300x slower on TPU (emulated)
-    — the carry is the only f64 work. Returns list of [d] f64 plane sums.
+    """Shared scan: per-sub-block [k,blk]x[blk,d] one-hot dot in f32 (MXU)
+    with f64 carry across steps. Each scan step processes SUBBLOCKS
+    sub-blocks via a batched dot_general — the f32 accumulation bound
+    (per-sub-block sums over ``blk`` rows) is unchanged, but scan-step
+    launch overhead drops 16x. ALL planes ride ONE stacked [S,k,blk] dot:
+    the one-hot is built once per step, and the MXU — whose row dimension
+    pads to 128 regardless — does k planes for the price of one (a lone
+    [1,blk] row-vector dot uses 1/128 of the array). f64 matmul is ~300x
+    slower on TPU (emulated) — the carry is the only f64 work. Returns
+    list of [d] f64 plane sums.
     """
     n = planes[0].shape[0]
+    k = len(planes)
     S = SUBBLOCKS
     step = blk * S
     pad = (-n) % step
@@ -59,26 +68,83 @@ def _scan_dot(planes, gid, d: int, blk: int):
     p2 = [p.reshape(nb, S, blk) for p in planes]
     gid2 = gid.reshape(nb, S, blk).astype(jnp.int32)
 
-    def body(accs, xs):
+    def body(acc, xs):
         g = xs[-1]                                     # [S, blk]
         oh = (g[:, :, None] ==
               jax.lax.broadcasted_iota(jnp.int32, (S, blk, d), 2)
               ).astype(jnp.float32)
-        new = []
-        for acc, x in zip(accs, xs[:-1]):              # x: [S, blk]
-            # batched [S,1,blk] @ [S,blk,d] -> [S,1,d]; per-sub-block sums
-            # stay within the f32 exactness bound, then sum in f64
-            sub = jax.lax.dot_general(
-                x[:, None, :], oh,
-                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.float32)    # [S, 1, d]
-            new.append(acc + jnp.sum(sub[:, 0, :].astype(jnp.float64),
-                                     axis=0))
-        return tuple(new), None
+        x = jnp.stack(xs[:-1], axis=1)                 # [S, k, blk]
+        # batched [S,k,blk] @ [S,blk,d] -> [S,k,d]; per-sub-block sums
+        # stay within the f32 exactness bound, then sum in f64
+        sub = jax.lax.dot_general(
+            x, oh,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)        # [S, k, d]
+        return acc + jnp.sum(sub.astype(jnp.float64), axis=0), None
 
-    acc0 = tuple(jnp.zeros(d, jnp.float64) for _ in planes)
+    acc0 = jnp.zeros((k, d), jnp.float64)
     accs, _ = jax.lax.scan(body, acc0, tuple(p2) + (gid2,))
-    return list(accs)
+    return [accs[i] for i in range(k)]
+
+
+class OneHotBatcher:
+    """Cross-column fusion for the XLA one-hot path (the default MXU
+    aggregation): collect every count/sum plane of one GROUP BY and run
+    them through ONE _scan_dot. Without batching, each aggregate call
+    spins its own lax.scan over the same gid — the one-hot is rebuilt per
+    call and every dot is a [1,blk] row-vector (1/128 MXU row usage); a
+    7-aggregate query (q43's day-name pivot) pays that 21 times over.
+
+    API mirrors SumBatcher (requests return closures resolved after
+    finalize()); integer sums ride four 16-bit magnitude planes (exact:
+    256-row blocks keep per-dot sums <= 2^24, see onehot_segment_sum),
+    floats ride hi/lo f32 splitting with the same 256-row bound.
+    """
+
+    BLK = 256
+
+    def __init__(self, gid32, num_segments: int):
+        self.gid = gid32
+        self.d = int(num_segments)
+        self.planes = []
+        self._sums = None
+
+    def _add(self, plane) -> int:
+        self.planes.append(plane.astype(jnp.float32))
+        return len(self.planes) - 1
+
+    def request_count(self, flags):
+        idx = self._add(flags.astype(jnp.float32))
+        return lambda: self._sums[idx].astype(jnp.int64)
+
+    def request_sum(self, vals):
+        if jnp.issubdtype(vals.dtype, jnp.integer) or \
+                vals.dtype == jnp.bool_:
+            v = vals.astype(jnp.int64)
+            idxs = []
+            rest = v
+            for _ in range(3):
+                idxs.append(self._add((rest & 0xFFFF).astype(jnp.float32)))
+                rest = rest >> 16  # arithmetic shift
+            idxs.append(self._add(rest.astype(jnp.float32)))  # signed top
+
+            def resolve_int():
+                total = jnp.zeros(self.d, jnp.int64)
+                for k, i in enumerate(idxs):
+                    total = total + \
+                        (self._sums[i].astype(jnp.int64) << (16 * k))
+                return total
+            return resolve_int
+        v64 = vals.astype(jnp.float64)
+        hi = v64.astype(jnp.float32)
+        lo = (v64 - hi.astype(jnp.float64)).astype(jnp.float32)
+        ih, il = self._add(hi), self._add(lo)
+        return lambda: self._sums[ih] + self._sums[il]
+
+    def finalize(self):
+        if not self.planes:
+            return
+        self._sums = _scan_dot(self.planes, self.gid, self.d, self.BLK)
 
 
 def onehot_segment_sum(values, gid, num_segments: int, out_dtype=None):

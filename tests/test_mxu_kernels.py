@@ -87,3 +87,89 @@ def test_mxu_path_via_config(data, monkeypatch):
                                   np.asarray(fast["c"].values))
     np.testing.assert_array_equal(np.asarray(base["mx"].values),
                                   np.asarray(fast["mx"].values))
+
+
+def test_onehot_batcher_matches_oracle():
+    """OneHotBatcher (the XLA-path cross-column fusion): every count/sum
+    of one GROUP BY rides ONE _scan_dot; results must equal per-call
+    numpy oracles exactly (ints) / to f64 tolerance (floats)."""
+    import numpy as np
+    from auron_tpu.ops import pallas_kernels as PK
+
+    rng = np.random.default_rng(3)
+    n, d = 70_000, 37
+    gid = rng.integers(0, d, n).astype(np.int32)
+    fvals = rng.normal(size=n) * 1e6
+    ivals = rng.integers(-(2**40), 2**40, n)
+    flags = rng.random(n) < 0.3
+
+    b = PK.OneHotBatcher(jnp.asarray(gid), d)
+    tf = b.request_sum(jnp.asarray(fvals))
+    ti = b.request_sum(jnp.asarray(ivals))
+    tc = b.request_count(jnp.asarray(flags))
+    b.finalize()
+
+    want_f = np.zeros(d)
+    np.add.at(want_f, gid, fvals)
+    want_i = np.zeros(d, np.int64)
+    np.add.at(want_i, gid, ivals)
+    want_c = np.zeros(d, np.int64)
+    np.add.at(want_c, gid, flags.astype(np.int64))
+
+    # float sums carry f32 block-accumulation error relative to the GROSS
+    # magnitude (the kernel's documented contract; signs cancel here) —
+    # integer sums and counts must be bit-exact
+    gross = np.zeros(d)
+    np.add.at(gross, gid, np.abs(fvals))
+    np.testing.assert_allclose(np.asarray(tf()), want_f,
+                               atol=1e-5 * gross.max(), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(ti()), want_i)
+    np.testing.assert_array_equal(np.asarray(tc()), want_c)
+
+
+def test_segment_aggregate_with_forced_onehot_batcher(monkeypatch):
+    """Force the TPU-only MXU gate on CPU so the batched one-hot path is
+    exercised end-to-end through segment_aggregate."""
+    import numpy as np
+    from auron_tpu.ops import aggregate as AG
+    from auron_tpu.ops import pallas_kernels as PK
+    from auron_tpu.block import Column
+    from auron_tpu.dtypes import FLOAT64, INT64
+
+    monkeypatch.setattr(PK, "use_mxu_segments", lambda d, r: True)
+    rng = np.random.default_rng(5)
+    n, d = 40_000, 11
+    gid = jnp.asarray(rng.integers(0, d, n).astype(np.int64))
+    live = jnp.asarray(rng.random(n) < 0.9)
+    fv = rng.normal(size=n)
+    iv = rng.integers(0, 1000, n)
+    cols = {
+        "s": Column.of(jnp.asarray(fv), FLOAT64),
+        "c": Column.of(jnp.asarray(iv), INT64),
+    }
+    aggs = [
+        (AG.AggSpec("sf", "sum"), cols["s"]),
+        (AG.AggSpec("si", "sum"), cols["c"]),
+        (AG.AggSpec("n", "count"), cols["s"]),
+        (AG.AggSpec("star", "count_star"), None),
+        (AG.AggSpec("mx", "max"), cols["c"]),
+    ]
+    out = AG.segment_aggregate(gid, d, live, aggs)
+    lv = np.asarray(live)
+    g = np.asarray(gid)
+    want_sf = np.zeros(d)
+    np.add.at(want_sf, g[lv], fv[lv])
+    want_si = np.zeros(d, np.int64)
+    np.add.at(want_si, g[lv], iv[lv])
+    want_n = np.zeros(d, np.int64)
+    np.add.at(want_n, g[lv], 1)
+    np.testing.assert_allclose(np.asarray(out["sf"].values), want_sf,
+                               rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["si"].values), want_si)
+    np.testing.assert_array_equal(np.asarray(out["n"].values), want_n)
+    np.testing.assert_array_equal(np.asarray(out["star"].values), want_n)
+    want_mx = np.full(d, -(2**62), np.int64)
+    np.maximum.at(want_mx, g[lv], iv[lv])
+    got_mx = np.asarray(out["mx"].values)
+    sel = want_n > 0
+    np.testing.assert_array_equal(got_mx[sel], want_mx[sel])
