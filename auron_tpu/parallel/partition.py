@@ -165,6 +165,14 @@ def repartition(blocks: Sequence[TableBlock], part,
     blocks never leave HBM.
     """
     n = part.num_partitions
+    if n == 1:
+        # single destination: every row routes to partition 0 whatever the
+        # partitioning computes — skip the hash and the compaction gather
+        # entirely (under jit the compact cannot shrink a static shape, so
+        # it would be a full-capacity gather for nothing; a q93-scale probe
+        # side pays seconds for it at 50M rows)
+        blocks = list(blocks)
+        return [concat_blocks(blocks) if len(blocks) > 1 else blocks[0]]
     if isinstance(part, RangePartitioning) and not part.bounds:
         # deferred splitter sampling from the blocks actually being
         # exchanged (Spark samples driver-side pre-shuffle; here the child

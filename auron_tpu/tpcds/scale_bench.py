@@ -126,9 +126,12 @@ def cmd_query(qname: str, sf: float, partitions: int = 1,
     return out
 
 
-# queries whose multi-join fan-out needs measured (eager/AQE) sizing —
-# stats-estimated jit capacities compound past HBM at sf>=500
-EAGER_QUERIES = {"q25", "q67", "q93"}
+# Round-3 carried an EAGER_QUERIES escape hatch for q25/q67/q93 whose
+# stats-estimated jit capacities compounded past HBM. Round 4's planner
+# work (measured-capacity calibration + join reordering + rollup
+# re-aggregation, plan/rewrite.py) made whole-plan jit viable for all of
+# them — eager mode remains reachable via --eager for debugging only.
+EAGER_QUERIES: set = set()
 
 
 def cmd_profile(qname: str, sf: float) -> dict:
