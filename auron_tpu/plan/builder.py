@@ -333,10 +333,18 @@ class Frame:
         try:
             import contextlib
             import jax
+            from auron_tpu.plan.execute import execute_forest
             ctx = jax.default_device(jax.devices("cpu")[0]) \
                 if sess is not self.session else contextlib.nullcontext()
+            # trimmed prepass: only the capacity-measured subtrees run —
+            # aggregations/windows/sorts above them are prepass-only cost
+            # (q67's rollup agg over the 50M-row join recorded nothing)
+            roots = CAL.prepass_roots(plan)
             with OV.collect(), CAL.collect() as caps, ctx:
-                execute_plan(plan, sess, annotate=False)
+                if len(roots) == 1 and roots[0] is plan:
+                    execute_plan(plan, sess, annotate=False)
+                else:
+                    execute_forest(roots, sess)
         except Exception:
             return plan
         ratio = getattr(sess, "_sample_ratio", 1.0)

@@ -235,6 +235,38 @@ def current_session() -> Optional[Session]:
     return stack[-1] if stack else None
 
 
+def execute_forest(roots, session: Session):
+    """Execute several subtrees of ONE plan inside a single shared-DAG
+    memo scope: a node shared across roots (CTE / rollup input) runs
+    once, exactly as it would under one execute_plan of the whole tree.
+    Used by the trimmed calibration prepass (runtime/calibrate.py
+    prepass_roots) to execute only the capacity-measured subtrees."""
+    stack = getattr(_EXEC_TLS, "stack", None)
+    if stack is None:
+        stack = _EXEC_TLS.stack = []
+    stack.append(session)
+    refs: dict = {}
+
+    def count(n):
+        refs[id(n)] = refs.get(id(n), 0) + 1
+        if refs[id(n)] == 1:
+            for c in n.children:
+                count(c)
+    for r in roots:
+        count(r)
+    shared = frozenset(k for k, v in refs.items() if v > 1)
+    outer_memo = getattr(_EXEC_TLS, "memo", None)
+    outer_shared = getattr(_EXEC_TLS, "shared", None)
+    _EXEC_TLS.memo = {} if shared else None
+    _EXEC_TLS.shared = shared
+    try:
+        return [_exec(r, session) for r in roots]
+    finally:
+        stack.pop()
+        _EXEC_TLS.memo = outer_memo
+        _EXEC_TLS.shared = outer_shared
+
+
 def execute_plan(plan: PN.PlanNode, session: Session,
                  annotate: bool = True) -> List[TableBlock]:
     """Evaluate the plan bottom-up; traceable (jit the caller for fusion).

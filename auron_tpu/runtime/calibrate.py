@@ -79,6 +79,46 @@ def record_live(node, rows) -> None:
         caps[key] = r
 
 
+def prepass_roots(plan):
+    """Minimal forest whose execution records every capacity ``apply``
+    can consume. The calibration prepass only needs Join/Generate output
+    sizes and Join/Filter live counts — aggregations, windows and sorts
+    ABOVE the topmost measured nodes are pure prepass cost (a q67-class
+    rollup executes a 50M-row 8-key aggregation on the host for hints
+    nobody reads). Returns the topmost measured nodes; a Filter only
+    counts as measured when no Agg/Window sits below it (its own shrink
+    hint is group-sized and not worth executing an aggregation for —
+    deeper measured nodes are still collected through it)."""
+    from auron_tpu.plan import nodes as PN
+
+    blocking_memo: dict = {}
+
+    def blocked(n) -> bool:
+        hit = blocking_memo.get(id(n))
+        if hit is None:
+            hit = isinstance(n, (PN.Agg, PN.Window)) or \
+                any(blocked(c) for c in n.children)
+            blocking_memo[id(n)] = hit
+        return hit
+
+    roots: list = []
+    seen: set = set()
+
+    def walk(n):
+        if id(n) in seen:
+            return
+        seen.add(id(n))
+        if isinstance(n, (PN.Join, PN.Generate)) or \
+                (isinstance(n, PN.Filter) and not blocked(n)):
+            roots.append(n)
+            return
+        for c in n.children:
+            walk(c)
+
+    walk(plan)
+    return roots
+
+
 def apply(plan, caps: Dict[int, int]):
     """Rebuild ``plan`` with measured capacities as out_capacity hints.
 
