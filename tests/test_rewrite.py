@@ -10,6 +10,7 @@ import pandas as pd
 
 from auron_tpu import config
 from auron_tpu.expr.nodes import col, lit
+from auron_tpu.ops.sort import SortKey
 from auron_tpu.plan import Session
 from auron_tpu.plan import nodes as PN
 from auron_tpu.plan.builder import table
@@ -347,3 +348,51 @@ def test_shared_subtree_pruned_once_with_union_of_needs():
     assert len(aggs) == 1, [a.calls for a in aggs]
     # and the single agg kept BOTH call columns (union of needs)
     assert sorted(c.name for c in aggs[0].calls) == ["sx", "sy"]
+
+
+def test_prepass_roots_skips_rollup_agg():
+    """The calibration prepass must execute joins/filters but NOT the
+    rollup aggregation above them (q67-class: a 50M-row host aggregation
+    recorded nothing)."""
+    from auron_tpu.runtime.calibrate import prepass_roots
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    j = (table(s, "fact")
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    lv2 = j.groupby("f_date", "f_item").agg(sv=("sum", col("f_v")))
+    lv1 = j.groupby("f_date").agg(sv=("sum", col("f_v")))
+    u = lv2.select("f_date", "f_item", "sv").union(
+        lv1.with_columns(f_item=lit(-1)).select("f_date", "f_item", "sv"))
+    top = u.sort(SortKey("f_date"), SortKey("f_item"), limit=10)
+    pruned = prune_plan(top.plan, s)
+    roots = prepass_roots(pruned)
+    # exactly one measured root: the (shared) join — no Agg/Sort/Union
+    assert len(roots) == 1 and isinstance(roots[0], PN.Join)
+    # a filter ABOVE an agg is not a root; the join below it is
+    f2 = (table(s, "fact").groupby("f_item")
+          .agg(sv=("sum", col("f_v")))
+          .filter(col("sv") > lit(0.0)))
+    roots2 = prepass_roots(prune_plan(f2.plan, s))
+    assert roots2 == []  # scan-only below the agg: nothing measured
+    # jit end-to-end still exact with the trimmed prepass
+    got = top.collect(jit=True)
+    assert len(got) == 10
+
+
+def test_execute_forest_shares_common_subtrees():
+    from auron_tpu.plan.execute import execute_forest
+    from auron_tpu.plan import nodes as PN2
+    s = Session()
+    df = pd.DataFrame({"k": np.arange(100, dtype=np.int64) % 5,
+                       "v": np.arange(100, dtype=np.float64)})
+    s.register_pandas("t", df)
+    base = PN2.Filter(PN2.MemoryScan("t"), col("v") >= lit(0.0))
+    r1 = PN2.Filter(base, col("k") == lit(1))
+    r2 = PN2.Filter(base, col("k") == lit(2))
+    out = execute_forest([r1, r2], s)
+    assert len(out) == 2
+    import numpy as _np
+    n1 = sum(int(_np.asarray(b.row_mask).sum()) for b in out[0])
+    n2 = sum(int(_np.asarray(b.row_mask).sum()) for b in out[1])
+    assert n1 == 20 and n2 == 20
