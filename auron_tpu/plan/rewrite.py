@@ -153,6 +153,11 @@ def _build_score(st: PN.Join, session) -> float:
     (fan-out) — they score past neutral so PK-style dimensions apply
     first."""
     from auron_tpu import config as C
+    if st.join_type != "inner":
+        # semi/anti/existence: pure probe filters/flags — their probe
+        # survival is a key-overlap fraction the build's size does not
+        # predict; keep them at their original relative position
+        return _SCORE_NEUTRAL
     right = st.right
     node = right.child if isinstance(right, PN.Exchange) else right
     table, has_filter = _scan_chain_table(node)
@@ -191,8 +196,19 @@ def _join_exchange_ok(side, keys) -> bool:
         int(getattr(p, "num_partitions", 0) or 0) == 1
 
 
+# join types that commute freely along an inner spine: inner joins
+# (drop/duplicate probe rows and append build columns), semi/anti joins
+# (pure probe-row filters — each probe row kept at most once, no build
+# columns), and existence joins (pure flag-column adds). Outer joins stay
+# barriers: they synthesize null-extended rows whose content depends on
+# position.
+_MOVABLE_TYPES = ("inner", "left_semi", "left_anti", "existence")
+
+
 def _spine_step_ok(j: PN.Join) -> bool:
-    if j.join_type != "inner" or j.null_aware or j.build != "right":
+    if j.join_type not in _MOVABLE_TYPES or j.build != "right":
+        return False
+    if j.null_aware and j.join_type != "left_anti":
         return False
     if j.strategy == "broadcast":
         return True
@@ -224,22 +240,32 @@ def _try_reorder(top: PN.Join, session,
     probe_names = _names(probe, session)
     if probe_names is None:
         return None
-    right_names: List[set] = []
+    right_names: List[set] = []   # names each step ADDS to the output bag
+    build_names: List[set] = []   # names visible inside the join itself
     dup: set = set()
     seen = set(probe_names)
     for st in steps:
         rn = _names(st.right, session)
         if rn is None:
             return None
-        dup |= rn & seen
-        right_names.append(rn)
-        seen |= rn
+        if st.join_type in ("left_semi", "left_anti"):
+            adds: set = set()     # pure probe filter: no output columns
+        elif st.join_type == "existence":
+            adds = {st.existence_col}
+        else:
+            adds = rn
+        dup |= adds & seen
+        right_names.append(adds)
+        build_names.append(rn)
+        seen |= adds
 
     deps: List[set] = []
     spine_refs: set = set()
-    for st, rn in zip(steps, right_names):
+    for st, rn in zip(steps, build_names):
         d = set(st.left_keys)
         if st.condition is not None:
+            # a join condition may reference build-side columns — those
+            # resolve inside the join, not from the accumulated side
             d |= expr_refs(st.condition) - rn
         deps.append(d)
         spine_refs |= d

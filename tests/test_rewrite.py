@@ -396,3 +396,50 @@ def test_execute_forest_shares_common_subtrees():
     n1 = sum(int(_np.asarray(b.row_mask).sum()) for b in out[0])
     n2 = sum(int(_np.asarray(b.row_mask).sum()) for b in out[1])
     assert n1 == 20 and n2 == 20
+
+
+def test_reorder_moves_dims_past_semi_join():
+    """Semi/anti joins are pure probe filters: selective dimension joins
+    may move below them, and results stay exact."""
+    from auron_tpu.plan.rewrite import reorder_inner_joins
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    sub = pd.DataFrame({"s_item": np.arange(0, 200, 3, dtype=np.int64)})
+    s.register_pandas("sub", sub)
+    f = (table(s, "fact")
+         .join(table(s, "sub"), ("f_item",), ("s_item",), how="left_semi")
+         .join(table(s, "items"), ("f_item",), ("i_sk",))
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    new = reorder_inner_joins(f.plan, s)
+    joins = _find_joins(new, [])
+    order_bottom_up = [j.right_keys for j in reversed(joins)]
+    assert order_bottom_up[0] == ("d_sk",)  # selective dim moved first
+    want = fact[fact["f_item"].isin(sub["s_item"])]
+    want = (want.merge(items, left_on="f_item", right_on="i_sk")
+            .merge(dates[dates["d_year"] == 3],
+                   left_on="f_date", right_on="d_sk"))
+    for jit in (False, True):
+        got = f.collect(jit=jit)
+        assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_reorder_anti_join_stays_exact():
+    from auron_tpu.plan.rewrite import reorder_inner_joins
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    sub = pd.DataFrame({"s_item": np.arange(0, 200, 4, dtype=np.int64)})
+    s.register_pandas("sub2", sub)
+    f = (table(s, "fact")
+         .join(table(s, "sub2"), ("f_item",), ("s_item",), how="left_anti")
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",)))
+    new = reorder_inner_joins(f.plan, s)
+    order_bottom_up = [j.right_keys for j in
+                       reversed(_find_joins(new, []))]
+    assert order_bottom_up[0] == ("d_sk",)
+    want = fact[~fact["f_item"].isin(sub["s_item"])]
+    want = want.merge(dates[dates["d_year"] == 3],
+                      left_on="f_date", right_on="d_sk")
+    got = f.collect()
+    assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
