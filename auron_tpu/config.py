@@ -458,9 +458,11 @@ OPT_ROLLUP_REAGG = ConfigOption(
     "Rewrite UNIONs of grouping-set aggregations over one shared input "
     "(the ROLLUP/CUBE decomposition) to aggregate the input ONCE at the "
     "finest key set and derive every coarser level by re-aggregating that "
-    "result (plan/rewrite.py reaggregate_rollups). Turns q67-class plans "
-    "from N full-fact aggregations into one plus N-1 tiny ones; applies "
-    "only when every aggregate is re-aggregable (sum/min/max/count).")
+    "result (plan/rewrite.py reaggregate_rollups): one shared PARTIAL at "
+    "the finest keys, every level a FINAL over it. Turns q67-class plans "
+    "from N full-fact aggregations into one plus N tiny merges; applies "
+    "when every aggregate has an exact partial/final protocol "
+    "(sum/min/max/count/avg/stddev).")
 
 # Global default session configuration.
 conf = AuronConf()

@@ -368,8 +368,12 @@ def reorder_inner_joins(plan: PN.PlanNode, session,
 # 9 x 50M-row aggregations to 1 x 50M + 8 x |groups|.
 # ---------------------------------------------------------------------------
 
-_REAGG_KIND = {"sum": "sum", "min": "min", "max": "max",
-               "count": "sum", "count_star": "sum"}
+# kinds with an exact partial/final merge protocol (plan/execute.py's
+# SPMD split): every grouping-set level can be expressed as a FINAL
+# aggregation over ONE shared finest-key PARTIAL — partial state merges
+# exactly under ANY regrouping, which is the whole point of the split.
+_REAGG_KINDS = frozenset({"sum", "count", "count_star", "min", "max",
+                          "avg", "stddev", "stddev_samp"})
 
 
 def _unwrap_to_agg(child) -> Optional[PN.Agg]:
@@ -393,7 +397,7 @@ def _key_cols(agg: PN.Agg) -> Optional[Tuple[Tuple[str, str], ...]]:
 
 
 def _call_sig(c: PN.AggCall) -> Optional[tuple]:
-    if c.kind not in _REAGG_KIND or c.fn is not None:
+    if c.kind not in _REAGG_KINDS or c.fn is not None:
         return None
     return (c.name, c.kind, repr(c.expr), repr(c.filter))
 
@@ -445,12 +449,15 @@ def _try_reaggregate(u0: PN.Union, session) -> Optional[PN.Union]:
 
     from auron_tpu.expr.nodes import Column
 
+    # ONE shared partial at the finest key set; every level — the finest
+    # included — becomes a FINAL over it, regrouped to its own keys. The
+    # partial does the full-fact work once; finals run at group scale.
+    partial = PN.Agg(finest.child, finest.keys, finest.calls,
+                     mode="partial", domains=finest.domains)
+
     def rebuild_level(agg: PN.Agg) -> PN.Agg:
         keys = tuple((name, Column(name)) for name, _ in _key_cols(agg))
-        calls = tuple(
-            PN.AggCall(c.name, _REAGG_KIND[c.kind], Column(c.name))
-            for c in agg.calls)
-        return PN.Agg(finest, keys, calls, mode="single")
+        return PN.Agg(partial, keys, agg.calls, mode="final")
 
     def rewrap(child, new_agg) -> PN.PlanNode:
         if isinstance(child, (PN.Project, PN.Rename)):
@@ -459,11 +466,12 @@ def _try_reaggregate(u0: PN.Union, session) -> Optional[PN.Union]:
         return new_agg
 
     new_children = []
+    rebuilt_memo: Dict[int, PN.Agg] = {}
     for i, (child, agg) in enumerate(zip(u.children_nodes, aggs)):
-        if len(keycols[i]) == n_finest:
-            new_children.append(child)  # already at the finest grouping
-        else:
-            new_children.append(rewrap(child, rebuild_level(agg)))
+        hit = rebuilt_memo.get(id(agg))
+        if hit is None:
+            hit = rebuilt_memo[id(agg)] = rebuild_level(agg)
+        new_children.append(rewrap(child, hit))
     return dataclasses.replace(u, children_nodes=tuple(new_children))
 
 

@@ -291,12 +291,14 @@ def test_rollup_reaggregates_from_finest_level():
     assert sorted_rows(got_jit[want.columns.tolist()]) == sorted_rows(want)
 
 
-def test_rollup_skips_non_reaggregable():
-    """avg cannot be re-aggregated from per-group avgs — no rewrite."""
+def test_rollup_reaggregates_avg_via_partial_final():
+    """avg RE-AGGREGATES exactly through the shared-partial scheme (sum +
+    count state merges under regrouping) — the q22-class shape."""
     s = Session()
-    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64) % 4,
-                       "b": np.arange(100, dtype=np.int64) % 3,
-                       "v": np.arange(100, dtype=np.float64)})
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"a": rng.integers(0, 4, 3000).astype(np.int64),
+                       "b": rng.integers(0, 3, 3000).astype(np.int64),
+                       "v": rng.normal(size=3000) * 50})
     s.register_pandas("t", df)
     t = table(s, "t")
     lv2 = t.groupby("a", "b").agg(m=("avg", col("v"))) \
@@ -305,13 +307,31 @@ def test_rollup_skips_non_reaggregable():
         .with_columns(b=lit(-1)).select("a", "b", "m")
     u = lv2.union(lv1)
     pruned = prune_plan(u.plan, s)
-    assert _count_fact_aggs(pruned) == 2
-    got = u.collect()
+    assert _count_fact_aggs(pruned) == 1  # one shared partial
     g2 = df.groupby(["a", "b"]).agg(m=("v", "mean")).reset_index()
     g1 = df.groupby(["a"]).agg(m=("v", "mean")).reset_index()
     g1["b"] = np.int64(-1)
     want = pd.concat([g2, g1[g2.columns.tolist()]], ignore_index=True)
-    assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+    for jit in (False, True):
+        got = u.collect(jit=jit)
+        assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_rollup_skips_non_reaggregable():
+    """collect_set state cannot merge through partial/final — no rewrite."""
+    s = Session()
+    df = pd.DataFrame({"a": np.arange(100, dtype=np.int64) % 4,
+                       "b": np.arange(100, dtype=np.int64) % 3,
+                       "v": np.arange(100, dtype=np.int64) % 7})
+    s.register_pandas("t", df)
+    t = table(s, "t")
+    lv2 = t.groupby("a", "b").agg(m=("collect_set", col("v")))
+    lv1 = t.groupby("a").agg(m=("collect_set", col("v"))) \
+        .with_columns(b=lit(-1))
+    u = lv2.select("a", "b", "m#vals", "m#len").union(
+        lv1.select("a", "b", "m#vals", "m#len"))
+    pruned = prune_plan(u.plan, s)
+    assert _count_fact_aggs(pruned) == 2  # untouched
 
 
 def test_shared_subtree_pruned_once_with_union_of_needs():
