@@ -31,6 +31,10 @@ from auron_tpu.dtypes import (BOOL, DataType, Field, Schema, STRING,
                               TIMESTAMP64, type_from_name)
 
 
+def _narrow_int64_enabled() -> bool:
+    return bool(config.conf.get(config.INT_NARROW_ENABLE))
+
+
 def round_capacity(n: int, align: Optional[int] = None) -> int:
     """Round n up to a lane-friendly capacity bucket (power-of-two-ish)."""
     align = align or config.conf.get(config.CAPACITY_ALIGN)
@@ -241,6 +245,20 @@ class TableBlock:
                 data[name] = npa
             if isna.any():
                 vals[name] = ~isna
+            a = data.get(name)
+            if a is not None and getattr(a, "dtype", None) == np.int64 \
+                    and name not in dts and _narrow_int64_enabled() \
+                    and (a.size == 0 or
+                         (int(a.min()) >= -(1 << 30)
+                          and int(a.max()) < (1 << 30))):
+                # int64 is brutal on TPU: the x64 rewriter splits every
+                # i64[N] into tiled s32[N,2] whose minor dim pads to 128
+                # lanes (64x the HBM traffic), and i64 arithmetic is
+                # software-emulated. Columns whose concrete values fit
+                # comfortably in int32 (2^30 headroom so a+b stays exact)
+                # register as INT32 — sums still widen to int64
+                # (aggregate._sum_dtype), mixed-width comparisons promote.
+                data[name] = a.astype(np.int32)
         return TableBlock.from_numpy(data, dts, capacity, vals, dicts)
 
     # -- basic accessors ----------------------------------------------------

@@ -429,6 +429,19 @@ PALLAS_INTERPRET = ConfigOption(
     "auron.pallas.interpret", False, bool,
     "Run Pallas kernels in interpreter mode on non-TPU backends (testing).")
 
+INT_NARROW_ENABLE = ConfigOption(
+    "auron.int64.narrow.enable", True, bool,
+    "register_pandas narrows int64 columns whose concrete values fit in "
+    "+-2^30 to INT32 storage. On TPU, int64 is software-emulated and the "
+    "x64 rewriter splits i64[N] into tiled s32[N,2] (minor dim pads to "
+    "128 lanes: 64x HBM traffic) — surrogate keys and small measures pay "
+    "that on every join probe, sort and exchange. Sums still widen to "
+    "int64; mixed-width comparisons promote. Caveat: a column Spark "
+    "types as LONG hashes its long layout for partition placement — "
+    "narrowing changes the engine's logical type, so Spark placement "
+    "bit-parity does not hold for narrowed pandas-registered columns "
+    "(parquet/orc scans are not narrowed). Disable for strict parity.")
+
 MXU_SEGMENTS_FORCE = ConfigOption(
     "auron.mxu.segments.force", False, bool,
     "Route segment aggregation through the one-hot MXU path (incl. the "

@@ -68,7 +68,8 @@ def _scan_dot(planes, gid, d: int, blk: int):
     p2 = [p.reshape(nb, S, blk) for p in planes]
     gid2 = gid.reshape(nb, S, blk).astype(jnp.int32)
 
-    def body(acc, xs):
+    def body(carry, xs):
+        acc, comp = carry
         g = xs[-1]                                     # [S, blk]
         oh = (g[:, :, None] ==
               jax.lax.broadcasted_iota(jnp.int32, (S, blk, d), 2)
@@ -80,10 +81,20 @@ def _scan_dot(planes, gid, d: int, blk: int):
             x, oh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)        # [S, k, d]
-        return acc + jnp.sum(sub.astype(jnp.float64), axis=0), None
+        step = jnp.sum(sub.astype(jnp.float64), axis=0)
+        # Kahan-compensated carry: on the real TPU the x64 rewriter
+        # DEMOTES these f64 accumulators to f32, and a plain f32 carry
+        # over thousands of scan steps drifts past differential tolerance
+        # at 1M-row groups (q43 at sf=500, measured). Compensation keeps
+        # the error at ~1 ulp of the total in whatever precision the
+        # backend actually runs; in real f64 (CPU) it only tightens.
+        y = step - comp
+        t = acc + y
+        comp = (t - acc) - y
+        return (t, comp), None
 
-    acc0 = jnp.zeros((k, d), jnp.float64)
-    accs, _ = jax.lax.scan(body, acc0, tuple(p2) + (gid2,))
+    acc0 = (jnp.zeros((k, d), jnp.float64), jnp.zeros((k, d), jnp.float64))
+    (accs, _comp), _ = jax.lax.scan(body, acc0, tuple(p2) + (gid2,))
     return [accs[i] for i in range(k)]
 
 
