@@ -35,6 +35,36 @@ def _narrow_int64_enabled() -> bool:
     return bool(config.conf.get(config.INT_NARROW_ENABLE))
 
 
+def narrow_int64_frame(df, dtypes=None):
+    """Registration-time int64 -> int32 narrowing (config
+    ``auron.int64.narrow.enable``). int64 is brutal on TPU: the x64
+    rewriter splits every i64[N] into tiled s32[N,2] whose minor dim pads
+    to 128 lanes (64x the HBM traffic) and i64 arithmetic is
+    software-emulated, so int64 surrogate keys tax every join probe, sort
+    and exchange. Columns whose concrete values fit comfortably in int32
+    (2^30 headroom so a+b stays exact) are stored as int32 — sums still
+    widen to int64 (aggregate._sum_dtype), mixed-width comparisons promote.
+
+    This is a SESSION registration policy, not a block-level one: the
+    decision is taken on the WHOLE column so every partition of one table
+    agrees on the stored dtype (a per-partition min/max could narrow some
+    partitions and not others, and SPMD stacking requires identical
+    schemas), and ``TableBlock.from_pandas`` itself stays an exact dtype
+    round-trip. Caller-pinned dtypes are never narrowed."""
+    if not _narrow_int64_enabled():
+        return df
+    repl = {}
+    for name in df.columns:
+        if dtypes and name in dtypes:
+            continue
+        s = df[name]
+        if s.dtype == np.int64 and (
+                len(s) == 0 or (int(s.min()) >= -(1 << 30)
+                                and int(s.max()) < (1 << 30))):
+            repl[name] = s.astype(np.int32)
+    return df.assign(**repl) if repl else df
+
+
 def round_capacity(n: int, align: Optional[int] = None) -> int:
     """Round n up to a lane-friendly capacity bucket (power-of-two-ish)."""
     align = align or config.conf.get(config.CAPACITY_ALIGN)
@@ -245,20 +275,6 @@ class TableBlock:
                 data[name] = npa
             if isna.any():
                 vals[name] = ~isna
-            a = data.get(name)
-            if a is not None and getattr(a, "dtype", None) == np.int64 \
-                    and name not in dts and _narrow_int64_enabled() \
-                    and (a.size == 0 or
-                         (int(a.min()) >= -(1 << 30)
-                          and int(a.max()) < (1 << 30))):
-                # int64 is brutal on TPU: the x64 rewriter splits every
-                # i64[N] into tiled s32[N,2] whose minor dim pads to 128
-                # lanes (64x the HBM traffic), and i64 arithmetic is
-                # software-emulated. Columns whose concrete values fit
-                # comfortably in int32 (2^30 headroom so a+b stays exact)
-                # register as INT32 — sums still widen to int64
-                # (aggregate._sum_dtype), mixed-width comparisons promote.
-                data[name] = a.astype(np.int32)
         return TableBlock.from_numpy(data, dts, capacity, vals, dicts)
 
     # -- basic accessors ----------------------------------------------------

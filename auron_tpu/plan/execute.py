@@ -70,6 +70,8 @@ class Session:
         (runtime/memory.py MemoryBudget.suggest_partitions — the dynamic
         batch-sizing analog of compute_suggested_batch_size,
         datafusion-ext-commons/src/lib.rs:93-117)."""
+        from auron_tpu.block import narrow_int64_frame
+        df = narrow_int64_frame(df, dtypes)
         if num_partitions is None:
             from auron_tpu.runtime.memory import MemoryBudget, row_bytes
             budget = getattr(self, "memory_budget", None) or MemoryBudget()
