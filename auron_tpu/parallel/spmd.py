@@ -65,6 +65,11 @@ def stack_partitions(blocks: Sequence[TableBlock]) -> TableBlock:
 
 def pad_partitions(blocks: Sequence[TableBlock], n: int) -> List[TableBlock]:
     """Pad/extend a partition list to exactly n shards of equal capacity."""
+    if len(blocks) > n:
+        raise ValueError(
+            f"{len(blocks)} partitions cannot ride a {n}-position mesh: "
+            "rows beyond the mesh size would be silently dropped. "
+            "Repartition the table or widen the mesh.")
     cap = max(b.capacity for b in blocks)
     out = []
     for i in range(n):
