@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from auron_tpu.block import Column, TableBlock
+from auron_tpu import dtypes as _DT
 from auron_tpu.ops.hashing import column_hash_inputs, hash_columns_murmur3
 
 
@@ -48,7 +49,16 @@ def _hash_pair(col: Column, capacity: int):
     """Two independent 32-bit hashes per row (Spark-style double hashing:
     bit_i derives from h1 + i*h2). h2 comes from a second murmur3 pass under
     a different seed, finalized against h1 — same independence property as
-    Spark's hashLong(item, h1) chain without per-row seeding."""
+    Spark's hashLong(item, h1) chain without per-row seeding.
+
+    Integer keys hash through their INT64 layout regardless of stored
+    width: Spark's bloom_filter_agg/might_contain operate on longs only
+    (spark_bloom_filter.rs hashes 8-byte items), and width-canonical
+    hashing keeps a filter built from an int64 column consistent with a
+    probe column the registration-time narrower stored as int32."""
+    if jnp.issubdtype(jnp.asarray(col.values).dtype, jnp.integer):
+        col = Column.of(col.values.astype(jnp.int64),
+                        _DT.INT64, col.validity)
     h1 = hash_columns_murmur3([column_hash_inputs(col)], capacity, seed=0)
     h1u = jax.lax.bitcast_convert_type(h1, jnp.uint32)
     h2 = hash_columns_murmur3([column_hash_inputs(col)], capacity,
