@@ -77,9 +77,16 @@ def _scan_dot(planes, gid, d: int, blk: int):
         x = jnp.stack(xs[:-1], axis=1)                 # [S, k, blk]
         # batched [S,k,blk] @ [S,blk,d] -> [S,k,d]; per-sub-block sums
         # stay within the f32 exactness bound, then sum in f64
+        # precision=HIGHEST is load-bearing: the TPU default is a single
+        # bf16 MXU pass (8-bit mantissa) — q43's day-sums drifted 6e-5
+        # relative at sf=500 and the 16-bit integer magnitude planes
+        # (values to 65535) would not even round-trip. HIGHEST keeps the
+        # f32 per-sub-block exactness bound the batching preserved from
+        # the per-call path it replaced.
         sub = jax.lax.dot_general(
             x, oh,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)        # [S, k, d]
         step = jnp.sum(sub.astype(jnp.float64), axis=0)
         # Kahan-compensated carry: on the real TPU the x64 rewriter
