@@ -57,9 +57,15 @@ def q17(s: Session) -> Frame:
               cs_cnt=("count", col("cs_quantity")),
               cs_avg=("avg", col("cs_quantity")),
               cs_std=("stddev", col("cs_quantity"))))
+    # NOTE the literal q17.sql aliases `catalog_sales_quantitystdev` to
+    # stddev_samp(cs_quantity)/avg(cs_quantity) — identical to the cov
+    # column, NOT the raw stddev (a quirk of the reference query text
+    # that Spark executes as written; caught by the sqlite independence
+    # tier in round 4). cs_std is therefore overwritten with cov.
     return (g.with_columns(ss_cov=col("ss_std") / col("ss_avg"),
                            sr_cov=col("sr_std") / col("sr_avg"),
                            cs_cov=col("cs_std") / col("cs_avg"))
+            .with_columns(cs_std=col("cs_std") / col("cs_avg"))
             .sort(SortKey("i_item_id"), SortKey("i_item_desc"),
                   SortKey("s_state"), limit=100))
 
@@ -93,6 +99,8 @@ def q17_oracle(t: Dict[str, pd.DataFrame]) -> pd.DataFrame:
         cs_std=("cs_quantity", "std")).reset_index()
     for p in ("ss", "sr", "cs"):
         g[f"{p}_cov"] = g[f"{p}_std"] / g[f"{p}_avg"]
+    # literal q17.sql: catalog_sales_quantitystdev == the cov expression
+    g["cs_std"] = g["cs_cov"]
     return g.sort_values(["i_item_id", "i_item_desc", "s_state"],
                          kind="stable").head(100)
 
@@ -126,11 +134,16 @@ def _q39_inv(s: Session, extra_cov=None) -> Frame:
 
 
 def _q39(s: Session, extra_cov=None) -> Frame:
+    # literal q39b.sql applies the extra threshold as `inv1.cov > 1.5` —
+    # to the MONTH-1 side only; inv2 carries just the CTE's cov > 1.
+    # (Round-4 sqlite independence tier caught the correlated bug where
+    # both engine and pandas oracle thresholded both sides: 5 rows where
+    # the literal SQL returns 13 at sf=0.5.)
     inv1 = (_q39_inv(s, extra_cov).filter(col("d_moy") == lit(1))
             .select(w1=col("w_warehouse_sk"), i1=col("i_item_sk"),
                     moy1=col("d_moy"), mean1=col("mean"),
                     cov1=col("cov")))
-    inv2 = (_q39_inv(s, extra_cov).filter(col("d_moy") == lit(2))
+    inv2 = (_q39_inv(s, None).filter(col("d_moy") == lit(2))
             .select(w2=col("w_warehouse_sk"), i2=col("i_item_sk"),
                     moy2=col("d_moy"), mean2=col("mean"),
                     cov2=col("cov")))
@@ -165,12 +178,13 @@ def _q39_oracle(t, extra_cov=None):
         stdev=("inv_quantity_on_hand", "std"),
         mean=("inv_quantity_on_hand", "mean")).reset_index()
     covf = np.where(g["mean"] == 0, 0.0, g["stdev"] / g["mean"])
-    sel = covf > 1.0
-    if extra_cov is not None:
-        sel &= covf > extra_cov
-    g = g[sel].copy()
+    g = g[covf > 1.0].copy()
     g["cov"] = np.where(g["mean"] == 0, np.nan, g["stdev"] / g["mean"])
-    a = g[g["d_moy"] == 1].rename(columns={
+    a = g[g["d_moy"] == 1]
+    if extra_cov is not None:
+        # literal q39b.sql: `inv1.cov > 1.5` — month-1 side only
+        a = a[a["cov"] > extra_cov]
+    a = a.rename(columns={
         "w_warehouse_sk": "w1", "i_item_sk": "i1", "d_moy": "moy1",
         "mean": "mean1", "cov": "cov1"})
     b = g[g["d_moy"] == 2].rename(columns={

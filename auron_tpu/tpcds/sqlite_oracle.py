@@ -53,6 +53,26 @@ _QUERY_PATCHES = {
              "w_warehouse_name, d1.d_week_seq")],
 }
 
+# explicit SELECT-alias -> oracle-column maps where neither name matching
+# nor class-aware positional pairing can work (q17 interleaves cov after
+# each stdev; the oracle appends all covs at the end)
+_COLUMN_MAPS = {
+    "q17": {
+        "store_sales_quantitycount": "ss_cnt",
+        "store_sales_quantityave": "ss_avg",
+        "store_sales_quantitystdev": "ss_std",
+        "store_sales_quantitycov": "ss_cov",
+        "as_store_returns_quantitycount": "sr_cnt",
+        "as_store_returns_quantityave": "sr_avg",
+        "as_store_returns_quantitystdev": "sr_std",
+        "store_returns_quantitycov": "sr_cov",
+        "catalog_sales_quantitycount": "cs_cnt",
+        "catalog_sales_quantityave": "cs_avg",
+        "catalog_sales_quantitystdev": "cs_std",
+        "catalog_sales_quantitycov": "cs_cov",
+    },
+}
+
 
 class _Stddev:
     """Welford sample stddev (sqlite has no stddev_samp)."""
@@ -220,10 +240,40 @@ def _align_columns(got, want):
         if len(cands) == 1:
             mapping[w] = cands[0]
             used.add(cands[0])
+    # Positional remainder is CLASS-AWARE: the pandas oracles order
+    # columns by construction (aggregates first, keys last) while the
+    # SQL SELECT puts keys first — blind positional pairing sent q85's
+    # substr(r_reason_desc,...) strings into a numeric avg column and
+    # crashed the coercion. Split both remainders into numeric-like vs
+    # textual and pair within class.
+    import pandas as pd
+
+    def _is_numericish(series) -> bool:
+        s = series.dropna()
+        if s.empty or pd.api.types.is_numeric_dtype(s):
+            return True
+        try:
+            pd.to_numeric(s.iloc[:50])
+            return True
+        except (ValueError, TypeError):
+            return False
+
     rest = [c for c in got.columns if c not in used]
-    for w in want.columns:
-        if w not in mapping:
-            mapping[w] = rest.pop(0)
+    want_rest = [w for w in want.columns if w not in mapping]
+    got_num = [c for c in rest if _is_numericish(got[c])]
+    got_txt = [c for c in rest if c not in got_num]
+    want_num = [w for w in want_rest
+                if pd.api.types.is_numeric_dtype(want[w]) or
+                pd.api.types.is_datetime64_any_dtype(want[w])]
+    want_txt = [w for w in want_rest if w not in want_num]
+    if len(got_txt) == len(want_txt):
+        for w, g in zip(want_txt, got_txt):
+            mapping[w] = g
+        for w, g in zip(want_num, got_num):
+            mapping[w] = g
+    else:
+        for w, g in zip(want_rest, rest):
+            mapping[w] = g
     return got[[mapping[w] for w in want.columns]].set_axis(
         list(want.columns), axis=1)
 
@@ -264,6 +314,8 @@ def compare_query(qname: str, conn, tables,
         got = run_sqlite(conn, sql)
     except sqlite3.Error as e:
         return "SKIP", f"sqlite: {e}"
+    if qname in _COLUMN_MAPS:
+        got = got.rename(columns=_COLUMN_MAPS[qname])
     want = QUERIES[qname][1](tables)
     if len(got.columns) != len(want.columns):
         return "DIFF", (f"shape got={list(got.columns)} "
