@@ -176,7 +176,12 @@ def make_session(tables: Dict[str, pd.DataFrame],
 
 
 def run_query(name: str, session: Session,
-              tables: Dict[str, pd.DataFrame], jit: bool = False) -> Dict:
+              tables: Dict[str, pd.DataFrame], jit: bool = False,
+              oracle_runs: int = 1) -> Dict:
+    """oracle_runs>1 measures the pandas oracle as a MEDIAN of that many
+    warm runs — round-4 verdict: a single warm run made the speedup
+    denominator noise-sensitive (q3 swung 3.05x->0.82x->2.03x across
+    rounds on oracle jitter alone)."""
     build, oracle = QUERIES[name]
     frame = build(session)
     t_compute = None
@@ -199,9 +204,12 @@ def run_query(name: str, session: Session,
     t0 = time.perf_counter()
     got = frame.collect(jit=jit)
     t_engine = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    want = oracle(tables)
-    t_oracle = time.perf_counter() - t0
+    oracle_ts = []
+    for _ in range(max(1, oracle_runs)):
+        t0 = time.perf_counter()
+        want = oracle(tables)
+        oracle_ts.append(time.perf_counter() - t0)
+    t_oracle = float(np.median(oracle_ts))
     match = frames_match(got, want)
     out = {"query": name, "match": match, "rows": len(got),
            "engine_s": round(t_engine, 4), "oracle_s": round(t_oracle, 4),

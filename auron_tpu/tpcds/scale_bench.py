@@ -43,9 +43,13 @@ import time
 CACHE_ROOT = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), ".bench_cache")
 
-# join-heavy (q3, q93), multi-star (q7, q25), agg/report (q43, q55), window
-# rollup (q67) — the mix named in the round-2 verdict
-DEFAULT_QUERIES = ["q3", "q7", "q25", "q43", "q55", "q93", "q67"]
+# Every TPC-DS shape class (round-4 verdict #1): star join (q3, q93),
+# multi-star (q7, q25), agg/report (q42, q43, q55), rollup (q67, q18,
+# q22, q36), window (q63, q89), semi/anti (q16, q95), fact-fact (q64,
+# q78), EXISTS-under-OR (q10, q35), union-heavy (q5, q77).
+DEFAULT_QUERIES = ["q3", "q7", "q25", "q42", "q43", "q55", "q93",
+                   "q18", "q22", "q36", "q63", "q89", "q16", "q95",
+                   "q64", "q78", "q10", "q35", "q5", "q77", "q67"]
 
 FACTS = ("store_sales", "catalog_sales", "web_sales", "inventory",
          "store_returns", "catalog_returns", "web_returns")
@@ -53,6 +57,32 @@ FACTS = ("store_sales", "catalog_sales", "web_sales", "inventory",
 
 def cache_dir(sf: float) -> str:
     return os.path.join(CACHE_ROOT, f"sf{sf:g}")
+
+
+def _git_rev() -> str:
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip() or "unknown"
+    except OSError:
+        return "unknown"
+
+
+def datagen_fingerprint(sf: float) -> str:
+    """Cheap content fingerprint of the cached dataset: hash of the
+    sorted (table, file size) list. Round-4 verdict #7: jsonl rows from
+    different datagen versions were silently incomparable — every result
+    row now carries this so cross-round deltas can be attributed to
+    engine vs data changes."""
+    import hashlib
+    d = cache_dir(sf)
+    if not os.path.isdir(d):
+        return "none"
+    ent = sorted((n, os.path.getsize(os.path.join(d, n)))
+                 for n in os.listdir(d) if n.endswith(".parquet"))
+    return hashlib.sha256(repr(ent).encode()).hexdigest()[:12]
 
 
 def cmd_gen(sf: float, seed: int = 0) -> None:
@@ -68,6 +98,8 @@ def cmd_gen(sf: float, seed: int = 0) -> None:
         df.to_parquet(os.path.join(d, f"{name}.parquet"))
         df.head(4).to_parquet(os.path.join(d, f"{name}.head.parquet"))
         print(f"  {name}: {len(df)} rows cached", file=sys.stderr)
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({"sf": sf, "seed": seed, "git_rev": _git_rev()}, f)
 
 
 def _load_for_query(qname: str, sf: float):
@@ -89,7 +121,8 @@ def _load_for_query(qname: str, sf: float):
 
 
 def cmd_query(qname: str, sf: float, partitions: int = 1,
-              eager: bool = False) -> dict:
+              eager: bool = False, staged: bool = False,
+              budget_bytes: int = 0) -> dict:
     import jax
 
     from auron_tpu.tpcds.runner import (QUERIES, make_session_pruned,
@@ -103,17 +136,37 @@ def cmd_query(qname: str, sf: float, partitions: int = 1,
     # warm the oracle so oracle_s measures steady-state pandas
     _, oracle = QUERIES[qname]
     oracle(tables)
-    if eager:
+    if staged:
+        # out-of-core on the REAL chip (round-4 verdict #4): a budget
+        # below the working set routes the plan through plan/staged.py —
+        # per-chunk device programs instead of one whole-plan program
+        # (also the practical path for plans whose whole-program compile
+        # exceeds the remote compiler's memory, q67 at sf=500)
+        from auron_tpu.plan import staged as STG
+        from auron_tpu.runtime.memory import MemoryBudget
+        session.memory_budget = MemoryBudget(
+            budget_bytes=budget_bytes or None)
+        build, _ = QUERIES[qname]
+        plan = build(session).plan
+        assert STG.should_stage(plan, session), \
+            "staged mode: plan did not route staged (budget too big " \
+            "or unsupported shape)"
+        out = run_query(qname, session, tables, jit=False, oracle_runs=3)
+        out["mode"] = "staged"
+        out["budget_bytes"] = session.memory_budget.budget
+        est = STG.estimate_plan_bytes(plan, session)
+        out["est_working_set_bytes"] = int(est)
+    elif eager:
         # fan-out-heavy plans (q25/q67-class): whole-plan jit must
         # PREALLOCATE join outputs from stats, and a multi-join chain's
         # estimates compound past HBM; eager mode sizes every join from
         # the ACTUAL match count (the reference's AQE analog). Warm run
         # first (op-level jit caches, overflow settled), then measure.
         run_query(qname, session, tables, jit=False)
-        out = run_query(qname, session, tables, jit=False)
+        out = run_query(qname, session, tables, jit=False, oracle_runs=3)
         out["mode"] = "eager"
     else:
-        out = run_query(qname, session, tables, jit=True)
+        out = run_query(qname, session, tables, jit=True, oracle_runs=3)
     fact_rows = max((len(tables[t]) for t in tables if t in FACTS),
                     default=max(len(t) for t in tables.values()))
     denom = out.get("compute_s") or out.get("engine_s")
@@ -121,6 +174,7 @@ def cmd_query(qname: str, sf: float, partitions: int = 1,
         "sf": sf, "backend": backend, "fact_rows": fact_rows,
         "load_s": round(load_s, 1),
         "rows_per_s": round(fact_rows / denom, 1) if denom else None,
+        "datagen_fp": datagen_fingerprint(sf), "git_rev": _git_rev(),
     })
     print(json.dumps(out), flush=True)
     return out
@@ -132,6 +186,14 @@ def cmd_query(qname: str, sf: float, partitions: int = 1,
 # re-aggregation, plan/rewrite.py) made whole-plan jit viable for all of
 # them — eager mode remains reachable via --eager for debugging only.
 EAGER_QUERIES: set = set()
+
+# Queries whose WHOLE-PLAN program exceeds the remote TPU compiler's
+# memory (axon compile helper SIGKILL, measured twice for q67 at sf=500
+# in round 5: 9 rollup levels + window + top-k in one program). These run
+# through the staged executor — per-chunk programs, bounded HBM, the
+# same differential bar (and the round-4 verdict #4 out-of-core-on-chip
+# evidence at the same time).
+STAGED_QUERIES: set = {"q67"}
 
 
 def cmd_profile(qname: str, sf: float) -> dict:
@@ -159,6 +221,28 @@ def cmd_profile(qname: str, sf: float) -> dict:
     return rep
 
 
+def _failure_tail(stderr: str, limit: int = 3000) -> str:
+    """Extract the ACTUAL exception from a failed subprocess's stderr.
+
+    Round-4 verdict #7b: stderr[-2000:] kept 4KB of ANSI-coded libtpu
+    init noise and truncated the traceback away, making the one failing
+    at-scale query undiagnosable from the artifact. Strategy: strip ANSI
+    escapes, then keep everything from the LAST 'Traceback (most recent
+    call last)' marker (the real error lives there); if no traceback,
+    keep the last non-logging lines."""
+    import re
+    clean = re.sub(r"\x1b\[[0-9;]*m", "", stderr)
+    idx = clean.rfind("Traceback (most recent call last)")
+    if idx >= 0:
+        return clean[idx:idx + limit]
+    # no traceback: drop structured log/progress lines, keep the rest
+    lines = [ln for ln in clean.splitlines()
+             if ln.strip() and not re.match(
+                 r"^(WARNING|INFO|DEBUG|ERROR)?[:\d\- ,.]*\d{4}-\d{2}",
+                 ln) and "axon_host::" not in ln]
+    return "\n".join(lines[-40:])[-limit:]
+
+
 def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
             partitions: int = 1) -> None:
     if not os.path.isdir(cache_dir(sf)):
@@ -171,6 +255,8 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
                str(partitions)]
         if q in EAGER_QUERIES:
             cmd.append("--eager")
+        if q in STAGED_QUERIES:
+            cmd.append("--staged")
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout_s)
@@ -181,7 +267,8 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
             else:
                 results.append({"query": q, "error": "no-output",
                                 "rc": p.returncode,
-                                "tail": p.stderr[-2000:]})
+                                "infra": "Traceback" not in p.stderr,
+                                "tail": _failure_tail(p.stderr)})
         except subprocess.TimeoutExpired:
             results.append({"query": q, "error": f"timeout>{timeout_s}s"})
         with open(out_path, "w") as f:
@@ -189,6 +276,19 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
                 f.write(json.dumps(r) + "\n")
         print(json.dumps(results[-1]), file=sys.stderr)
     ok = [r for r in results if r.get("match")]
+    speed = [r["speedup"] for r in ok if r.get("speedup")]
+    if speed:
+        import math
+        gm = math.exp(sum(math.log(x) for x in speed) / len(speed))
+        summary = {"summary": True, "matched": len(ok),
+                   "total": len(results),
+                   "geomean_speedup_vs_warm_pandas": round(gm, 3),
+                   "min_speedup": min(speed), "max_speedup": max(speed),
+                   "datagen_fp": datagen_fingerprint(sf),
+                   "git_rev": _git_rev()}
+        with open(out_path, "a") as f:
+            f.write(json.dumps(summary) + "\n")
+        print(json.dumps(summary), file=sys.stderr)
     print(f"done: {len(ok)}/{len(results)} matched -> {out_path}",
           file=sys.stderr)
 
@@ -204,6 +304,8 @@ def main() -> None:
     q.add_argument("--sf", type=float, default=500)
     q.add_argument("--partitions", type=int, default=1)
     q.add_argument("--eager", action="store_true")
+    q.add_argument("--staged", action="store_true")
+    q.add_argument("--budget-bytes", type=int, default=0)
     pr = sub.add_parser("profile")
     pr.add_argument("name")
     pr.add_argument("--sf", type=float, default=500)
@@ -217,7 +319,8 @@ def main() -> None:
     if args.cmd == "gen":
         cmd_gen(args.sf, args.seed)
     elif args.cmd == "query":
-        cmd_query(args.name, args.sf, args.partitions, args.eager)
+        cmd_query(args.name, args.sf, args.partitions, args.eager,
+                  args.staged, args.budget_bytes)
     elif args.cmd == "profile":
         cmd_profile(args.name, args.sf)
     else:
