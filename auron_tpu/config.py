@@ -250,6 +250,41 @@ MEMORY_BUDGET_BYTES = ConfigOption(
     "Per-chip HBM working budget; operators size chunks to stay under it "
     "(replaces Auron's spill-first MemManager with multi-pass chunking).")
 
+MEMORY_BUDGET_FRACTION = ConfigOption(
+    "auron.memory.budget.fraction", 0.0, float,
+    "If > 0, the HBM working budget is this fraction of the live "
+    "device's memory (overrides auron.memory.budget.bytes) — the "
+    "reference's process.vmrss.memoryFraction / onHeapSpill."
+    "memoryFraction analog for a device whose memory is queryable "
+    "(SparkAuronConfiguration.java PROCESS_MEMORY_FRACTION).")
+
+STAGING_CODEC = ConfigOption(
+    "auron.staging.codec", "zstd", str,
+    "Compression codec for host-RAM staging / exchange payloads: "
+    "'zstd' (native kernel), 'zlib' (stdlib), or 'none' (raw bytes — "
+    "fastest when host RAM is plentiful). The reference's spill/IPC "
+    "codec choice (auron.spill.compression.codec, ipc_compression.rs).",
+    validator=lambda v: v in ("zstd", "zlib", "none"))
+
+JOIN_BROADCAST_MAX_ROWS = ConfigOption(
+    "auron.join.broadcast.max.rows", 1 << 20, int,
+    "Build sides at or below this estimated row count broadcast; larger "
+    "builds use a partitioned exchange join. 0 forces partitioned "
+    "everywhere (the reference's forceShuffledHashJoin) — the size-"
+    "triggered strategy switch is its smjfallback.*.threshold analog.")
+
+FILES_IGNORE_CORRUPT = ConfigOption(
+    "auron.files.ignore.corrupt", False, bool,
+    "Skip unreadable parquet/ORC fragments with a warning instead of "
+    "failing the scan (reference auron.files.ignoreCorruptFiles / "
+    "IGNORE_CORRUPTED_FILES, conf.rs:38).")
+
+UDAF_FALLBACK_ENABLE = ConfigOption(
+    "auron.udaf.fallback.enable", True, bool,
+    "Allow host-Python UDAF execution for aggregate functions without a "
+    "native kernel (the reference's serialized-Spark-UDAF fallback, "
+    "auron.udafFallback.enable). Off -> such plans raise instead.")
+
 CAST_STRING_TRIM = ConfigOption(
     "auron.cast.string.trim.enable", True, bool,
     "Trim whitespace when casting string->numeric (Spark parity).")

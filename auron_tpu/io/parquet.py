@@ -222,7 +222,19 @@ def read_parquet_blocks(node) -> List[TableBlock]:
             cols = None
             if columns is not None:
                 cols = [c for c in columns if c not in consts]
-            t = piece.to_table(columns=cols, filter=piece_filter)
+            try:
+                t = piece.to_table(columns=cols, filter=piece_filter)
+            except (OSError, _palib.ArrowException) as e:
+                from auron_tpu import config as _cfg
+                if not _cfg.conf.get(_cfg.FILES_IGNORE_CORRUPT):
+                    raise
+                # auron.files.ignoreCorruptFiles analog (conf.rs:38):
+                # skip the unreadable fragment with a warning
+                import warnings
+                warnings.warn(f"skipping corrupt fragment "
+                              f"{getattr(frag, 'path', '?')}: {e}",
+                              RuntimeWarning, stacklevel=2)
+                continue
             want_consts = {k: v for k, v in consts.items()
                            if columns is None or k in columns}
             tables.append((t, want_consts))

@@ -101,6 +101,27 @@ def _zstd_decompress(data: bytes, out_size: int) -> np.ndarray:
         dtype=np.uint8).copy()
 
 
+def _compress(data: np.ndarray, level: int, codec: str) -> bytes:
+    """Codec-dispatched payload compression (the reference's spill/IPC
+    codec choice, auron.spill.compression.codec / ipc_compression.rs:
+    lz4|zstd). 'none' trades host RAM for zero codec CPU."""
+    if codec == "none":
+        return data.tobytes()
+    if codec == "zlib":
+        import zlib
+        return zlib.compress(data.tobytes(), max(min(level, 9), 0))
+    return _zstd_compress(data, level)
+
+
+def _decompress(data: bytes, out_size: int, codec: str) -> np.ndarray:
+    if codec == "none":
+        return np.frombuffer(data, dtype=np.uint8).copy()
+    if codec == "zlib":
+        import zlib
+        return np.frombuffer(zlib.decompress(data), dtype=np.uint8).copy()
+    return _zstd_decompress(data, out_size)
+
+
 def serialize_block(block: TableBlock, compact: bool = True,
                     level: int = 1) -> bytes:
     """Block -> bytes. ``compact`` drops dead rows first (cuts wire bytes,
@@ -111,7 +132,11 @@ def serialize_block(block: TableBlock, compact: bool = True,
     else:
         sel = np.arange(len(mask))
     n = len(sel)
+    from auron_tpu import config as _cfg
+    codec = _cfg.conf.get(_cfg.STAGING_CODEC)
     header = {"n": n, "capacity": block.capacity, "cols": []}
+    if codec != "zstd":
+        header["codec"] = codec
     payload = io.BytesIO()
     for name, c in block.columns.items():
         vals = np.asarray(c.values)[sel]
@@ -126,13 +151,13 @@ def serialize_block(block: TableBlock, compact: bool = True,
         if vals.ndim == 1 and width > 1 and n > 0:
             raw = _transpose(raw, n, width)
             colh["transposed"] = True
-        comp = _zstd_compress(raw, level)
+        comp = _compress(raw, level, codec)
         colh["raw_len"] = int(raw.size)
         colh["comp_len"] = len(comp)
         payload.write(comp)
         if c.validity is not None:
             vbits = _pack_bits(np.asarray(c.validity)[sel])
-            vcomp = _zstd_compress(vbits, level)
+            vcomp = _compress(vbits, level, codec)
             colh["vraw_len"] = int(vbits.size)
             colh["vcomp_len"] = len(vcomp)
             payload.write(vcomp)
@@ -151,13 +176,14 @@ def deserialize_block(data: bytes, capacity: Optional[int] = None
     hlen = struct.unpack("<I", data[4:8])[0]
     header = json.loads(data[8:8 + hlen].decode())
     n = header["n"]
+    codec = header.get("codec", "zstd")
     cap = capacity or round_capacity(max(n, 1))
     off = 8 + hlen
     cols: Dict[str, Column] = {}
     for colh in header["cols"]:
         comp = data[off:off + colh["comp_len"]]
         off += colh["comp_len"]
-        raw = _zstd_decompress(comp, colh["raw_len"])
+        raw = _decompress(comp, colh["raw_len"], codec)
         np_dtype = np.dtype(colh["np"])
         shape = colh["shape"]
         if colh.get("transposed"):
@@ -170,7 +196,7 @@ def deserialize_block(data: bytes, capacity: Optional[int] = None
         if colh["validity"]:
             vcomp = data[off:off + colh["vcomp_len"]]
             off += colh["vcomp_len"]
-            vbits = _zstd_decompress(vcomp, colh["vraw_len"])
+            vbits = _decompress(vcomp, colh["vraw_len"], codec)
             v = np.zeros(cap, np.bool_)
             v[:n] = _unpack_bits(vbits, n)
             validity = jnp.asarray(v)

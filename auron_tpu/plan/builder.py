@@ -29,7 +29,8 @@ from auron_tpu.parallel.partition import (HashPartitioning,
 from auron_tpu.plan import nodes as PN
 from auron_tpu.plan.execute import Session, execute_plan
 
-BROADCAST_ROW_THRESHOLD = 1 << 20  # build sides below this broadcast
+# broadcast-vs-partitioned threshold lives in config
+# (auron.join.broadcast.max.rows; 0 = forceShuffledHashJoin analog)
 
 
 class _LruJitCache:
@@ -119,9 +120,11 @@ class Frame:
         # joinable-side checks) — force partitioned for those shapes.
         build_outer = how in ("right", "full", "right_semi", "right_anti")
         if strategy is None:
+            from auron_tpu import config as _cfg
+            threshold = _cfg.conf.get(_cfg.JOIN_BROADCAST_MAX_ROWS)
             est = other._estimated_rows()
             strategy = "broadcast" if est is not None \
-                and est <= BROADCAST_ROW_THRESHOLD \
+                and est <= threshold \
                 and not (build_outer and self.num_partitions > 1) \
                 else "partitioned"
         elif strategy == "broadcast" and build_outer \

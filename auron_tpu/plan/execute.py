@@ -208,20 +208,45 @@ class Session:
                                                     0) + 1
             return ST.collect_staged(plan, self)
         overrides: dict = {}
-        for _attempt in range(OV.MAX_ATTEMPTS):
-            with C.conf.scoped_overrides(overrides):
-                with OV.collect() as sc:
-                    blocks = execute_plan(plan, self)
-                grown = OV.check(sc.meta(),
-                                 [np.asarray(v) for v in sc.values()],
-                                 overrides)
-            if grown is None:
-                return pd.concat([b.to_pandas() for b in blocks],
-                                 ignore_index=True)
-            overrides = grown
+        try:
+            for _attempt in range(OV.MAX_ATTEMPTS):
+                with C.conf.scoped_overrides(overrides):
+                    with OV.collect() as sc:
+                        blocks = execute_plan(plan, self)
+                    grown = OV.check(sc.meta(),
+                                     [np.asarray(v) for v in sc.values()],
+                                     overrides)
+                if grown is None:
+                    return pd.concat([b.to_pandas() for b in blocks],
+                                     ignore_index=True)
+                overrides = grown
+        except Exception as e:  # noqa: BLE001 — reroute only OOM shapes
+            # in-HBM -> staged fallback (round-4 verdict #4): an XLA
+            # device-allocation failure on a streamable plan reroutes
+            # through the out-of-core executor instead of dying — the
+            # reference's transparent grow->spill (auron-memmgr
+            # lib.rs:381-427) made at the whole-plan boundary. Anything
+            # that is not an allocation failure re-raises unchanged.
+            if not _is_device_oom(e) or not ST.can_stage(plan, self):
+                raise
+            self.metrics.setdefault("planner", {})["oom_rerouted"] = \
+                self.metrics.get("planner", {}).get("oom_rerouted", 0) + 1
+            return ST.collect_staged(plan, self)
         raise RuntimeError(
             f"overflow regrow did not converge after {OV.MAX_ATTEMPTS} "
             f"attempts (overrides={overrides})")
+
+
+def _is_device_oom(e: BaseException) -> bool:
+    """Recognize an XLA device-allocation failure (any backend wording):
+    jaxlib raises XlaRuntimeError with RESOURCE_EXHAUSTED / 'Out of
+    memory' / allocator text; nothing else should trigger the staged
+    reroute (a NaN or shape error must surface unchanged)."""
+    msg = str(e)
+    needles = ("RESOURCE_EXHAUSTED", "Out of memory", "out of memory",
+               "Allocation failure", "failed to allocate",
+               "exceeds the memory available")
+    return any(n in msg for n in needles)
 
 
 import threading as _threading
@@ -758,6 +783,12 @@ def _call_specs(call: PN.AggCall, mode: str, block: TableBlock):
             eff_len = max(int(math.ceil(call.max_len * factor)), 1)
             specs.append((AggSpec(call.name, k, max_len=eff_len), col))
         elif k == "py_udaf":
+            if not config.conf.get(config.UDAF_FALLBACK_ENABLE):
+                raise NotImplementedError(
+                    "aggregate has no native kernel and "
+                    "auron.udaf.fallback.enable is off (reference "
+                    "udafFallback.enable semantics: fail instead of "
+                    "falling back to host execution)")
             specs.append((AggSpec(call.name, k, fn=call.fn,
                                   udaf_dtype=call.udaf_dtype), col))
         elif k == "avg":

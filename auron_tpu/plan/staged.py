@@ -84,9 +84,17 @@ def estimate_plan_bytes(plan: PN.PlanNode, s) -> int:
         if isinstance(n, PN.Sort):
             o, p = est(n.child)
             return o, max(p, 2 * o)
-        if isinstance(n, PN.Agg):
+        if isinstance(n, (PN.Agg, PN.Window)):
             o, p = est(n.child)
             return o, max(p, 2 * o)
+        if isinstance(n, PN.Union):
+            pairs = [est(c) for c in n.children_nodes]
+            total = sum(o for o, _ in pairs)
+            return total, max(max(p for _, p in pairs), total)
+        if isinstance(n, PN.Expand):
+            o, p = est(n.child)
+            k = max(len(n.projections), 1)
+            return o * k, max(p, o * k)
         child = getattr(n, "child", None)
         if child is not None:
             return est(child)
@@ -95,9 +103,19 @@ def estimate_plan_bytes(plan: PN.PlanNode, s) -> int:
 
 
 _STREAM_NODES = (PN.MemoryScan, PN.Filter, PN.Project, PN.Rename,
-                 PN.Sort, PN.Limit, PN.Agg, PN.Join)
+                 PN.Sort, PN.Limit, PN.Agg, PN.Join, PN.Window,
+                 PN.Union, PN.Expand, PN.Exchange)
 
-_AGG_KINDS = ("sum", "count", "count_star", "min", "max", "avg")
+
+# Exchange nodes are pass-throughs on the staged path: hash/range/rr/
+# single routing only PERMUTES rows for parallel placement, and every
+# staged operator re-establishes its own required distribution globally
+# (sort_staged/aggregate_staged/_window_staged sort the whole stream;
+# joins bucket it). The staged stream is one partition by construction —
+# the n=1 short-circuit of the in-HBM path (7247c03), generalized.
+
+_AGG_KINDS = ("sum", "count", "count_star", "min", "max", "avg",
+              "stddev", "stddev_samp", "count_distinct")
 
 
 def can_stage(plan: PN.PlanNode, s) -> bool:
@@ -107,15 +125,31 @@ def can_stage(plan: PN.PlanNode, s) -> bool:
         return plan.table in s.tables or \
             plan.table in getattr(s, "staged_tables", {})
     if isinstance(plan, PN.Agg):
-        if plan.mode != "single":
-            return False
+        distinct_exprs = set()
         for c in plan.calls:
             if c.kind not in _AGG_KINDS or c.filter is not None \
                     or c.fn is not None:
                 return False
+            if c.kind == "count_distinct":
+                # count_distinct rides the sorted stream (mode single;
+                # one shared distinct expression adds ONE trailing sort
+                # key — several distinct exprs would each need their own
+                # global order, like Spark's multi-distinct expansion)
+                if plan.mode != "single":
+                    return False
+                distinct_exprs.add(repr(c.expr))
+        if len(distinct_exprs) > 1:
+            return False
+        return can_stage(plan.child, s)
+    if isinstance(plan, PN.Window):
+        # window requires partition-grouped sorted input
+        # (window/window_context.rs:48-176); sort_staged provides it and
+        # chunk boundaries are realigned to partition boundaries
         return can_stage(plan.child, s)
     if isinstance(plan, PN.Join):
         return can_stage(plan.left, s) and can_stage(plan.right, s)
+    if isinstance(plan, PN.Union):
+        return all(can_stage(c, s) for c in plan.children_nodes)
     return can_stage(plan.child, s)
 
 
@@ -168,19 +202,51 @@ def _map_chunks(staged: StagedTable, fn) -> StagedTable:
 
 
 def _chunk_budget_rows(s) -> int:
-    """Rows per staged chunk sized from the budget (bounded HBM)."""
+    """Rows per staged chunk sized from the budget (bounded HBM).
+
+    Floor 64Ki rows: below that the per-chunk device dispatch dominates
+    (each chunk pays a program launch; through the axon tunnel, 50-160ms)
+    — the same amortization argument as the reference's batch-size floor
+    (datafusion-ext-commons/src/lib.rs:93-117). Real budgets (>=1 GB)
+    sit far above the floor; only artificial test budgets hit it."""
     budget = getattr(s, "memory_budget", None)
     if budget is None:
         return 1 << 20
     # a chunk should use ~1/8 of the budget at ~64B/row so several
     # operands + the output coexist
-    return max(int(budget.budget // (8 * 64)), 1024)
+    return max(int(budget.budget // (8 * 64)), 1 << 16)
+
+
+def _rechunk(staged: StagedTable, max_rows: int) -> StagedTable:
+    """Split chunks whose live-row count exceeds the budget-derived chunk
+    size — a registered 1M-row in-HBM block must not ride the staged path
+    whole (round-4 verdict #4: scan chunks ignored the budget). Serde
+    compacts live rows, so each split payload deserializes at its own
+    (smaller) rounded capacity."""
+    from auron_tpu.ops.selection import head_limit
+    out: List[bytes] = []
+    for i in range(staged.num_partitions):
+        if _payload_rows(staged.payloads[i]) <= max_rows:
+            out.append(staged.payloads[i])
+            continue
+        chunk = staged.block(i)
+        live = int(np.asarray(chunk.row_mask).sum())
+        for off in range(0, live, max_rows):
+            out.append(serialize_block(head_limit(chunk, max_rows, off)))
+        del chunk
+    return StagedTable(out)
+
+
+def _payload_rows(payload: bytes) -> int:
+    hlen = struct.unpack("<I", payload[4:8])[0]
+    return json.loads(payload[8:8 + hlen].decode())["n"]
 
 
 def _scan(node: PN.MemoryScan, s) -> StagedTable:
     staged = getattr(s, "staged_tables", {}).get(node.table)
     if staged is None:
         staged = StagedTable.from_blocks(s.tables[node.table])
+    staged = _rechunk(staged, _chunk_budget_rows(s))
     if node.projection:
         proj = list(node.projection)
         staged = _map_chunks(
@@ -209,28 +275,60 @@ def _limit_staged(staged: StagedTable, limit: int, offset: int = 0
 
 
 def _agg_staged(node: PN.Agg, s) -> StagedTable:
+    from auron_tpu.dtypes import FLOAT64
     from auron_tpu.ops.external_agg import (_finalize, _merge_specs,
                                             _partial_specs,
-                                            aggregate_staged)
+                                            aggregate_staged,
+                                            mark_first_occurrences)
+    from auron_tpu.ops.sort import SortKey
     key_names = [n for n, _ in node.keys]
     triples = []
-    proj = [E.Alias(e, n) for n, e in node.keys]
-    for c in node.calls:
-        in_name = None
-        if c.expr is not None:
-            in_name = f"{c.name}#in"
-            proj.append(E.Alias(c.expr, in_name))
-        triples.append((c.name, c.kind, in_name))
-    child = _exec(node.child, s)
-    pre = _map_chunks(child, lambda b: project_block(b, proj))
+    distinct_col: Optional[str] = None
+    if node.mode == "final":
+        # inputs are the state columns a partial stage emitted; no
+        # input projection — _merge_specs reads them by state name
+        triples = [(c.name, c.kind, None) for c in node.calls]
+        pre = _exec(node.child, s)
+    else:
+        proj = [E.Alias(e, n) for n, e in node.keys]
+        for c in node.calls:
+            in_name = None
+            if c.expr is not None:
+                in_name = f"{c.name}#in"
+                proj.append(E.Alias(c.expr, in_name))
+                if c.kind in ("stddev", "stddev_samp"):
+                    # exact-merge (sum, sum-of-squares, count) states;
+                    # square in f64 like the in-HBM path (_call_specs)
+                    sq = c.expr.cast(FLOAT64) * c.expr.cast(FLOAT64)
+                    proj.append(E.Alias(sq, f"{in_name}#sq"))
+                if c.kind == "count_distinct":
+                    distinct_col = in_name
+            triples.append((c.name, c.kind, in_name))
+        child = _exec(node.child, s)
+        pre = _map_chunks(child, lambda b: project_block(b, proj))
     if key_names:
-        return aggregate_staged(pre, key_names, triples)
-    # keyless (global) aggregate: stream partials, merge with a carry
+        return aggregate_staged(pre, key_names, triples,
+                                mode=node.mode,
+                                distinct_col=distinct_col)
+    # keyless (global) aggregate: stream partials, merge with a carry;
+    # a count_distinct sorts the stream by the distinct expression first
+    # so first-occurrence flags can ride the generic sum protocol
     from auron_tpu.ops.aggregate import groupby_sorted
     from auron_tpu.ops.join import concat_blocks
-    psp = _partial_specs(triples)
+    from auron_tpu.ops.external_sort import sort_staged
+    dflag_names = [f"{name}#dflag" for name, kind, _ in triples
+                   if kind == "count_distinct"]
+    if distinct_col is not None:
+        pre = sort_staged(pre, [SortKey(distinct_col)],
+                          getattr(s, "memory_budget", None))
+    psp = _partial_specs(triples) if node.mode != "final" else \
+        list(_merge_specs(triples))
     carry: Optional[TableBlock] = None
+    dcarry: Optional[tuple] = None
     for chunk in pre.blocks():
+        if distinct_col is not None:
+            chunk, dcarry = mark_first_occurrences(
+                chunk, [], distinct_col, dflag_names, dcarry)
         partial = groupby_sorted(
             chunk, [],
             [(spec, chunk.columns[col] if col else None)
@@ -247,7 +345,8 @@ def _agg_staged(node: PN.Agg, s) -> StagedTable:
         return StagedTable([serialize_block(b)
                             for b in execute_plan(node, s)])
     return StagedTable([serialize_block(
-        _finalize(carry, [], triples))])
+        carry if node.mode == "partial"
+        else _finalize(carry, [], triples))])
 
 
 def _join_staged(node: PN.Join, s) -> StagedTable:
@@ -312,6 +411,90 @@ def _join_staged(node: PN.Join, s) -> StagedTable:
                        filter_fn=filter_fn)
 
 
+def _window_staged(node: PN.Window, s) -> StagedTable:
+    """Window over host-staged input with bounded HBM.
+
+    The reference's WindowExec requires partition-grouped sorted input
+    (window/window_context.rs:48-176; Spark guarantees it via required
+    child distribution/ordering). Here sort_staged provides the global
+    (partition_by, order_by) order, then chunk boundaries are REALIGNED
+    to partition boundaries: each chunk's trailing (possibly incomplete)
+    partition is held back and prepended to the next chunk, so every
+    chunk window_block sees contains only whole partitions. HBM stays
+    O(chunk) as long as no single partition exceeds a chunk — a
+    partition larger than that is carried whole (correct, softer bound).
+    """
+    from auron_tpu.ops.external_sort import sort_staged
+    from auron_tpu.ops.join import concat_blocks
+    from auron_tpu.ops.selection import head_limit
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.ops.window import window_block
+
+    child = _exec(node.child, s)
+    part = list(node.partition_by)
+    keys = [SortKey(p) for p in part] + list(node.order_by)
+    sorted_runs = sort_staged(child, keys,
+                              getattr(s, "memory_budget", None))
+
+    def run_window(block: TableBlock) -> TableBlock:
+        return window_block(block, part, list(node.order_by),
+                            list(node.funcs), node.group_limit,
+                            node.output_window_cols)
+
+    def trailing_run(chunk: TableBlock) -> int:
+        """Live-rank of the first row of the trailing partition (rows
+        ordered by partition keys; mask-aware, dictionary codes are
+        consistent within one block)."""
+        mask = np.asarray(chunk.row_mask)
+        live_idx = np.flatnonzero(mask)
+        same = np.ones(len(live_idx), bool)
+        for p in part:
+            c = chunk.columns[p]
+            vals = np.asarray(c.values)[live_idx]
+            if vals.ndim > 1:
+                same &= (vals == vals[-1]).all(axis=1)
+            else:
+                same &= vals == vals[-1]
+            if c.validity is not None:
+                va = np.asarray(c.validity)[live_idx]
+                same &= va == va[-1]
+        return len(live_idx) - int(same.sum())
+
+    out: List[bytes] = []
+    carry: Optional[TableBlock] = None
+    n_parts = sorted_runs.num_partitions
+    for i in range(n_parts):
+        chunk = sorted_runs.block(i)
+        if carry is not None:
+            chunk = concat_blocks([carry, chunk])
+            carry = None
+        live = int(np.asarray(chunk.row_mask).sum())
+        if live == 0:
+            continue
+        if i == n_parts - 1 or not part:
+            done = run_window(chunk)
+            if bool(np.asarray(done.row_mask).any()):
+                out.append(serialize_block(done))
+            continue
+        start = trailing_run(chunk)
+        if start == 0:
+            # a single partition spans the whole chunk: carry it whole
+            # (compacted so the next concat stays live-dense)
+            carry = deserialize_block(serialize_block(chunk))
+            continue
+        finished = head_limit(chunk, start, 0)
+        carry = deserialize_block(serialize_block(
+            head_limit(chunk, live - start, start)))
+        done = run_window(finished)
+        if bool(np.asarray(done.row_mask).any()):
+            out.append(serialize_block(done))
+    if carry is not None:
+        done = run_window(carry)
+        if bool(np.asarray(done.row_mask).any()):
+            out.append(serialize_block(done))
+    return StagedTable(out)
+
+
 def _exec(node: PN.PlanNode, s) -> StagedTable:
     if isinstance(node, PN.MemoryScan):
         return _scan(node, s)
@@ -340,10 +523,65 @@ def _exec(node: PN.PlanNode, s) -> StagedTable:
         return out
     if isinstance(node, PN.Agg):
         return _agg_staged(node, s)
+    if isinstance(node, PN.Window):
+        return _window_staged(node, s)
     if isinstance(node, PN.Join):
         return _join_staged(node, s)
+    if isinstance(node, PN.Union):
+        return _union_staged(node, s)
+    if isinstance(node, PN.Exchange):
+        return _exec(node.child, s)
+    if isinstance(node, PN.Expand):
+        def expand(b, _projs=node.projections):
+            from auron_tpu.ops.join import concat_blocks
+            pieces = [project_block(b, [E.Alias(e, n) for n, e in proj])
+                      for proj in _projs]
+            return concat_blocks(pieces)
+        return _map_chunks(_exec(node.child, s), expand)
     raise NotImplementedError(
         f"staged executor: {type(node).__name__}")
+
+
+def _union_staged(node: PN.Union, s) -> StagedTable:
+    """UNION ALL: children stream sequentially; numeric dtype differences
+    across children are union-coerced per chunk from one sample per child
+    (the in-HBM executor's unify_block_dtypes, q5's decimal/float mix).
+    Raw-string width mismatches cannot be widened safely from a sample
+    (later chunks may hold longer strings) — those bail loudly."""
+    from auron_tpu.expr.cast import cast_column
+    from auron_tpu.ops.join import unify_block_dtypes
+    outs = [_exec(c, s) for c in node.children_nodes]
+    samples = [(i, deserialize_block(o.payloads[0]))
+               for i, o in enumerate(outs) if o.payloads]
+    per_child_targets: Dict[int, Dict[str, object]] = {}
+    if len(samples) >= 2:
+        unified = unify_block_dtypes([b for _, b in samples])
+        for (i, orig), uni in zip(samples, unified):
+            t = {}
+            for name, c in orig.columns.items():
+                u = uni.columns[name]
+                if (c.dtype.name, c.dtype.params) != \
+                        (u.dtype.name, u.dtype.params):
+                    if u.dtype.is_raw_string:
+                        raise NotImplementedError(
+                            "staged UNION with raw-string width "
+                            "mismatch across children")
+                    t[name] = u.dtype
+            if t:
+                per_child_targets[i] = t
+    payloads: List[bytes] = []
+    for i, o in enumerate(outs):
+        targets = per_child_targets.get(i)
+        if not targets:
+            payloads.extend(o.payloads)
+            continue
+        for chunk in o.blocks():
+            cols = dict(chunk.columns)
+            for name, to in targets.items():
+                cols[name] = cast_column(cols[name], to, chunk.capacity)
+            payloads.append(serialize_block(
+                TableBlock(cols, chunk.row_mask)))
+    return StagedTable(payloads)
 
 
 def execute_plan_staged(plan: PN.PlanNode, s) -> StagedTable:

@@ -48,12 +48,32 @@ def suggested_capacity(budget_bytes: int, per_row: int,
     return max(bucket, floor)
 
 
+def _device_memory_bytes() -> Optional[int]:
+    """Queryable memory of the default device (None when the backend
+    doesn't report it — e.g. the CPU test mesh)."""
+    try:
+        import jax
+        stats = jax.devices()[0].memory_stats()
+        if stats and "bytes_limit" in stats:
+            return int(stats["bytes_limit"])
+    except Exception:  # noqa: BLE001 — stats are best-effort everywhere
+        pass
+    return None
+
+
 class MemoryBudget:
     """Tracks estimated HBM residency; advises chunk counts for plans."""
 
     def __init__(self, budget_bytes: Optional[int] = None):
-        self.budget = budget_bytes or config.conf.get(
-            config.MEMORY_BUDGET_BYTES)
+        if budget_bytes:
+            self.budget = budget_bytes
+        else:
+            frac = config.conf.get(config.MEMORY_BUDGET_FRACTION)
+            self.budget = config.conf.get(config.MEMORY_BUDGET_BYTES)
+            if frac > 0:
+                dev_mem = _device_memory_bytes()
+                if dev_mem:
+                    self.budget = int(dev_mem * frac)
         self.registered: Dict[str, int] = {}
 
     def register_table(self, name: str, blocks) -> int:

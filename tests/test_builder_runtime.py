@@ -47,17 +47,14 @@ def test_builder_full_query(sess):
 
 
 def test_builder_partitioned_join_auto(sess):
-    # force partitioned by lowering the broadcast threshold
-    import auron_tpu.plan.builder as B
-    old = B.BROADCAST_ROW_THRESHOLD
-    B.BROADCAST_ROW_THRESHOLD = 10
-    try:
+    # force partitioned by lowering the broadcast threshold (the
+    # configurable forceShuffledHashJoin / smjfallback-threshold analog)
+    from auron_tpu import config as _cfg
+    with _cfg.conf.scoped(**{"auron.join.broadcast.max.rows": 10}):
         frame = sess.table("fact").join(sess.table("dim"), ("k",), ("k2",),
                                         how="left", out_capacity=4096)
         assert "Exchange" in frame.explain()
         out = frame.collect()
-    finally:
-        B.BROADCAST_ROW_THRESHOLD = old
     want = sess._fact.merge(sess._dim, left_on="k", right_on="k2", how="left")
     assert sorted_rows(out) == sorted_rows(want)
 

@@ -78,3 +78,42 @@ def test_two_process_distributed_run():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
         assert "MULTIHOST-MATCH" in out, out[-2000:]
+
+
+def test_two_process_rss_exchange(tmp_path):
+    """RSS as an EXECUTION PATH (round-4 verdict #6): two jax.distributed
+    processes run the flagship partitioned join with the inter-host
+    exchange routed through RssShuffleWriter/read_partition over shared
+    LocalDirStorage — map push, barrier (MapStatus-commit analog), owned-
+    partition pull, partial-state shuffle, final merge differentially
+    checked against pandas. The reference contract:
+    shuffle/rss_sort_repartitioner.rs:128 + buffered_data.rs:161-202."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    worker = os.path.join(os.path.dirname(__file__), "multihost_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), "rss",
+         str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=os.path.dirname(os.path.dirname(worker)))
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert "RSS-MULTIHOST-MATCH" in out, out[-2000:]

@@ -186,3 +186,197 @@ def test_tpcds_q3_shape_under_tiny_budget():
         got = frame.collect()
         assert s.metrics["planner"]["staged_executor"] >= 1, q
         assert frames_match(got, oracle(tables)), q
+
+
+# ---------------------------------------------------------------------------
+# round-5 surface extensions: stddev / count_distinct / partial-final /
+# window / budget-bounded scan chunks / OOM reroute
+# ---------------------------------------------------------------------------
+
+
+def test_staged_stddev_and_count_distinct(sess):
+    s, fact, dim = sess
+    f = s.table("fact").groupby("d").agg(
+        sd=("stddev", col("v")),
+        nd=("count_distinct", col("k")),
+        t=("sum", col("v")))
+    assert ST.should_stage(f.plan, s)
+    got = f.collect().sort_values("d").reset_index(drop=True)
+    want = (fact.groupby("d")
+            .agg(sd=("v", "std"), nd=("k", "nunique"), t=("v", "sum"))
+            .reset_index().sort_values("d").reset_index(drop=True))
+    assert (got["d"].values == want["d"].values).all()
+    assert (got["nd"].values == want["nd"].values).all()
+    assert np.allclose(got["sd"], want["sd"], rtol=1e-9, equal_nan=True)
+    assert np.allclose(got["t"], want["t"], rtol=1e-9)
+
+
+def test_staged_keyless_count_distinct(sess):
+    s, fact, dim = sess
+    f = s.table("fact").groupby().agg(
+        nd=("count_distinct", col("k")), t=("sum", col("v")))
+    assert ST.should_stage(f.plan, s)
+    got = f.collect()
+    assert int(got["nd"][0]) == fact["k"].nunique()
+    assert np.isclose(float(got["t"][0]), fact["v"].sum())
+
+
+def test_staged_partial_final_protocol(sess):
+    """mode=partial emits mergeable state columns; mode=final merges
+    them — the staged twin of the in-HBM PARTIAL/FINAL split
+    (auron.proto:741-750)."""
+    from auron_tpu.plan import nodes as PN
+    s, fact, dim = sess
+    scan = s.table("fact").plan
+    calls = (PN.AggCall("t", "sum", col("v")),
+             PN.AggCall("m", "avg", col("v")),
+             PN.AggCall("sd", "stddev", col("v")),
+             PN.AggCall("n", "count_star", None))
+    partial = PN.Agg(child=scan, keys=(("d", col("d")),), calls=calls,
+                     mode="partial")
+    final = PN.Agg(child=partial, keys=(("d", col("d")),), calls=calls,
+                   mode="final")
+    assert ST.can_stage(final, s)
+    got = ST.collect_staged(final, s).sort_values("d") \
+        .reset_index(drop=True)
+    want = (fact.groupby("d")
+            .agg(t=("v", "sum"), m=("v", "mean"), sd=("v", "std"),
+                 n=("v", "size"))
+            .reset_index().sort_values("d").reset_index(drop=True))
+    assert (got["d"].values == want["d"].values).all()
+    assert (got["n"].values == want["n"].values).all()
+    assert np.allclose(got["t"], want["t"], rtol=1e-9)
+    assert np.allclose(got["m"], want["m"], rtol=1e-9)
+    assert np.allclose(got["sd"], want["sd"], rtol=1e-9, equal_nan=True)
+
+
+def test_staged_window_rank_and_cumsum(rng):
+    from auron_tpu.ops.sort import SortKey as SK
+    from auron_tpu.ops.window import WindowFunc
+    n = 50_000
+    fact = pd.DataFrame({
+        "g": rng.integers(0, 700, n).astype(np.int64),
+        "v": rng.random(n).round(6),
+        "rid": np.arange(n, dtype=np.int64),
+    })
+    s = Session()
+    s.register_pandas("fact", fact)
+    s.memory_budget = MemoryBudget(budget_bytes=TINY)
+    f = s.table("fact").window(("g",), (SK("v"),),
+                               (WindowFunc("rnk", "rank"),
+                                WindowFunc("cs", "sum", input="v")))
+    assert ST.should_stage(f.plan, s)
+    got = f.collect().sort_values("rid").reset_index(drop=True)
+    assert s.metrics["planner"]["staged_executor"] >= 1
+    w = fact.sort_values(["g", "v"], kind="stable")
+    want_rnk = w.groupby("g")["v"].rank(method="min").astype(np.int64)
+    # RANGE-frame cumulative sum: ties share the frame end
+    want_cs = w.groupby(["g", "v"])["v"].transform("sum") \
+        .groupby([w["g"], w["v"]]).transform("first")
+    cs = w.assign(_u=w.groupby("g")["v"].transform("cumsum"))
+    last_of_tie = w.assign(c=cs["_u"]).groupby(["g", "v"])["c"] \
+        .transform("max")
+    w = w.assign(rnk=want_rnk, cs=last_of_tie).sort_values("rid") \
+        .reset_index(drop=True)
+    assert (got["rnk"].values == w["rnk"].values).all()
+    assert np.allclose(got["cs"], w["cs"], rtol=1e-9)
+
+
+def test_scan_chunks_respect_budget(sess):
+    """Round-4 verdict: _chunk_budget_rows was dead code — staged scans
+    streamed whatever block size the table was registered with. Now every
+    scan chunk re-chunks to the budget-derived row bound."""
+    from auron_tpu.io.staging import StagedTable
+    s, fact, dim = sess
+    staged = StagedTable.from_blocks(s.tables["fact"])
+    re = ST._rechunk(staged, 4096)
+    rows = [ST._payload_rows(p) for p in re.payloads]
+    assert max(rows) <= 4096
+    assert sum(rows) == len(fact)
+    # the planner path derives the bound from the budget (floored at
+    # 64Ki rows so per-chunk dispatch stays amortized)
+    assert ST._chunk_budget_rows(s) == max(TINY // (8 * 64), 1 << 16)
+    big = MemoryBudget(budget_bytes=1 << 33)
+    s.memory_budget = big
+    assert ST._chunk_budget_rows(s) == (1 << 33) // (8 * 64)
+    s.memory_budget = MemoryBudget(budget_bytes=TINY)
+
+
+def test_oom_reroutes_to_staged(sess, monkeypatch):
+    """An XLA device-allocation failure on a streamable plan reroutes
+    through the staged executor instead of dying (q67's sf=500 failure
+    mode; auron-memmgr lib.rs:381-427 grow->spill analog)."""
+    import auron_tpu.plan.execute as EX
+    s, fact, dim = sess
+    s.memory_budget = None  # decision says in-HBM; execution will "OOM"
+    f = s.table("fact").groupby("d").agg(t=("sum", col("v")))
+    real = EX.execute_plan
+    calls = {"n": 0}
+
+    def boom(plan, sess_, **kw):
+        calls["n"] += 1
+        raise RuntimeError(
+            "RESOURCE_EXHAUSTED: Out of memory while trying to allocate "
+            "44000000000 bytes")
+    monkeypatch.setattr(EX, "execute_plan", boom)
+    got = s.sql_result(f.plan).sort_values("d").reset_index(drop=True)
+    monkeypatch.setattr(EX, "execute_plan", real)
+    assert calls["n"] == 1
+    assert s.metrics["planner"]["oom_rerouted"] == 1
+    want = fact.groupby("d").agg(t=("v", "sum")).reset_index() \
+        .sort_values("d").reset_index(drop=True)
+    assert np.allclose(got["t"], want["t"], rtol=1e-9)
+
+
+def test_non_oom_errors_propagate(sess, monkeypatch):
+    import pytest as _pytest
+
+    import auron_tpu.plan.execute as EX
+    s, fact, dim = sess
+    s.memory_budget = None
+    f = s.table("fact").groupby("d").agg(t=("sum", col("v")))
+
+    def boom(plan, sess_, **kw):
+        raise RuntimeError("INVALID_ARGUMENT: shapes do not match")
+    monkeypatch.setattr(EX, "execute_plan", boom)
+    with _pytest.raises(RuntimeError, match="INVALID_ARGUMENT"):
+        s.sql_result(f.plan)
+
+
+def test_staged_union_and_expand(sess):
+    """UNION ALL + Expand stream through the staged path (q67-class
+    rollup decompositions route staged when over budget)."""
+    s, fact, dim = sess
+    a = s.table("fact").filter(col("d") < lit(100)) \
+        .groupby("d").agg(t=("sum", col("v")))
+    b = s.table("fact").filter(col("d") >= lit(200)) \
+        .groupby("d").agg(t=("sum", col("v")))
+    f = a.union(b)
+    assert ST.should_stage(f.plan, s)
+    got = f.collect().sort_values("d").reset_index(drop=True)
+    lo = fact[fact.d < 100].groupby("d").agg(t=("v", "sum")).reset_index()
+    hi = fact[fact.d >= 200].groupby("d").agg(t=("v", "sum")).reset_index()
+    want = pd.concat([lo, hi]).sort_values("d").reset_index(drop=True)
+    assert (got["d"].values == want["d"].values).all()
+    assert np.allclose(got["t"], want["t"], rtol=1e-9)
+
+
+def test_staged_rollup_flagship_q67_shape():
+    """The q67 safety net pinned: a verbatim rollup+window TPC-DS query
+    under a tiny budget routes through the staged executor (union +
+    window + re-aggregated rollup all stageable) and matches the oracle.
+    This is the exact plan shape whose whole-program compile OOMs the
+    remote compiler at sf=500 — the staged path replaces one giant
+    program with per-chunk programs."""
+    from auron_tpu.tpcds.runner import (QUERIES, frames_match,
+                                        generate_cached,
+                                        make_session_pruned)
+    tables = generate_cached(1, 0, 0.0)
+    s = make_session_pruned(tables, ["q67"], num_partitions=1)
+    s.memory_budget = MemoryBudget(budget_bytes=4_000_000)
+    build, oracle = QUERIES["q67"]
+    frame = build(s)
+    assert ST.should_stage(frame.plan, s)
+    got = frame.collect()
+    assert s.metrics["planner"]["staged_executor"] >= 1
+    assert frames_match(got, oracle(tables))
