@@ -117,6 +117,47 @@ _STREAM_NODES = (PN.MemoryScan, PN.Filter, PN.Project, PN.Rename,
 _AGG_KINDS = ("sum", "count", "count_star", "min", "max", "avg",
               "stddev", "stddev_samp", "count_distinct")
 
+# kinds the GROUP-ALIGNED fallback additionally accepts: whole groups
+# are materialized per chunk, so anything the in-HBM agg executes works
+# — including host UDAFs (the reference's UDAF accumulator spill analog,
+# SparkUDAFWrapperContext.scala:174-235: here the "spill" is the sorted
+# host-staged stream itself, values re-materialized per complete group)
+_ALIGNED_EXTRA_KINDS = ("first", "first_ignores_null", "collect_list",
+                        "collect_set", "approx_count_distinct", "py_udaf")
+
+
+def _agg_mergeable(plan: PN.Agg) -> bool:
+    """True when every call rides the partial-state merge protocol
+    (bounded HBM even when one group spans many chunks)."""
+    distinct_exprs = set()
+    for c in plan.calls:
+        if c.kind not in _AGG_KINDS or c.filter is not None \
+                or c.fn is not None:
+            return False
+        if c.kind == "count_distinct":
+            # one shared distinct expression adds ONE trailing sort key
+            # (several would each need their own global order, like
+            # Spark's multi-distinct expansion) — and only mode single
+            if plan.mode != "single":
+                return False
+            distinct_exprs.add(repr(c.expr))
+    return len(distinct_exprs) <= 1
+
+
+def _agg_alignable(plan: PN.Agg) -> bool:
+    """True when the group-aligned fallback applies: single mode, keyed,
+    every kind executable by the in-HBM agg over whole groups."""
+    if plan.mode != "single" or not plan.keys:
+        return False
+    ok = _AGG_KINDS + _ALIGNED_EXTRA_KINDS
+    for c in plan.calls:
+        if c.kind not in ok:
+            return False
+        if c.kind == "py_udaf" and \
+                not config.conf.get(config.UDAF_FALLBACK_ENABLE):
+            return False
+    return True
+
 
 def can_stage(plan: PN.PlanNode, s) -> bool:
     if not isinstance(plan, _STREAM_NODES):
@@ -125,20 +166,7 @@ def can_stage(plan: PN.PlanNode, s) -> bool:
         return plan.table in s.tables or \
             plan.table in getattr(s, "staged_tables", {})
     if isinstance(plan, PN.Agg):
-        distinct_exprs = set()
-        for c in plan.calls:
-            if c.kind not in _AGG_KINDS or c.filter is not None \
-                    or c.fn is not None:
-                return False
-            if c.kind == "count_distinct":
-                # count_distinct rides the sorted stream (mode single;
-                # one shared distinct expression adds ONE trailing sort
-                # key — several distinct exprs would each need their own
-                # global order, like Spark's multi-distinct expansion)
-                if plan.mode != "single":
-                    return False
-                distinct_exprs.add(repr(c.expr))
-        if len(distinct_exprs) > 1:
+        if not (_agg_mergeable(plan) or _agg_alignable(plan)):
             return False
         return can_stage(plan.child, s)
     if isinstance(plan, PN.Window):
@@ -274,6 +302,38 @@ def _limit_staged(staged: StagedTable, limit: int, offset: int = 0
     return StagedTable(out)
 
 
+def _agg_group_aligned(node: PN.Agg, s) -> StagedTable:
+    """Staged aggregation for call kinds WITHOUT a mergeable partial
+    state (first / collect / py_udaf / multi-distinct): sort the stream
+    by the group keys, realign chunk boundaries to group boundaries, and
+    run the ordinary in-HBM agg on each chunk of whole groups."""
+    import dataclasses as _dc
+
+    from auron_tpu.ops.external_sort import sort_staged
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.plan.execute import _agg_block
+    key_names = [n for n, _ in node.keys]
+    child = _exec(node.child, s)
+
+    def addkeys(b: TableBlock) -> TableBlock:
+        kb = project_block(b, [E.Alias(e, n) for n, e in node.keys])
+        cols = dict(b.columns)
+        cols.update(kb.columns)
+        return TableBlock(cols, b.row_mask)
+
+    pre = _map_chunks(child, addkeys)
+    sorted_runs = sort_staged(pre, [SortKey(k) for k in key_names],
+                              getattr(s, "memory_budget", None))
+    node2 = _dc.replace(node, keys=tuple(
+        (n, E.Column(n)) for n, _ in node.keys))
+    out: List[bytes] = []
+    for chunk in _group_aligned_chunks(sorted_runs, key_names):
+        res = _agg_block(chunk, node2)
+        if bool(np.asarray(res.row_mask).any()):
+            out.append(serialize_block(res))
+    return StagedTable(out)
+
+
 def _agg_staged(node: PN.Agg, s) -> StagedTable:
     from auron_tpu.dtypes import FLOAT64
     from auron_tpu.ops.external_agg import (_finalize, _merge_specs,
@@ -281,6 +341,8 @@ def _agg_staged(node: PN.Agg, s) -> StagedTable:
                                             aggregate_staged,
                                             mark_first_occurrences)
     from auron_tpu.ops.sort import SortKey
+    if not _agg_mergeable(node):
+        return _agg_group_aligned(node, s)
     key_names = [n for n, _ in node.keys]
     triples = []
     distinct_col: Optional[str] = None
@@ -411,39 +473,24 @@ def _join_staged(node: PN.Join, s) -> StagedTable:
                        filter_fn=filter_fn)
 
 
-def _window_staged(node: PN.Window, s) -> StagedTable:
-    """Window over host-staged input with bounded HBM.
+def _group_aligned_chunks(sorted_runs: StagedTable, part: List[str]):
+    """Yield blocks whose chunk boundaries ALIGN with group boundaries.
 
-    The reference's WindowExec requires partition-grouped sorted input
-    (window/window_context.rs:48-176; Spark guarantees it via required
-    child distribution/ordering). Here sort_staged provides the global
-    (partition_by, order_by) order, then chunk boundaries are REALIGNED
-    to partition boundaries: each chunk's trailing (possibly incomplete)
-    partition is held back and prepended to the next chunk, so every
-    chunk window_block sees contains only whole partitions. HBM stays
-    O(chunk) as long as no single partition exceeds a chunk — a
-    partition larger than that is carried whole (correct, softer bound).
+    Input: key-sorted staged runs (sort_staged output). Each chunk's
+    trailing (possibly incomplete) group is held back and prepended to
+    the next chunk, so every yielded block contains only WHOLE groups —
+    the reference's partition-grouped-input contract
+    (window/window_context.rs:48-176). HBM stays O(chunk) as long as no
+    single group exceeds a chunk; a larger group is carried whole
+    (correct, softer bound). With no keys, the whole stream is one
+    group: chunks are concatenated (callers should avoid that shape).
     """
-    from auron_tpu.ops.external_sort import sort_staged
     from auron_tpu.ops.join import concat_blocks
     from auron_tpu.ops.selection import head_limit
-    from auron_tpu.ops.sort import SortKey
-    from auron_tpu.ops.window import window_block
-
-    child = _exec(node.child, s)
-    part = list(node.partition_by)
-    keys = [SortKey(p) for p in part] + list(node.order_by)
-    sorted_runs = sort_staged(child, keys,
-                              getattr(s, "memory_budget", None))
-
-    def run_window(block: TableBlock) -> TableBlock:
-        return window_block(block, part, list(node.order_by),
-                            list(node.funcs), node.group_limit,
-                            node.output_window_cols)
 
     def trailing_run(chunk: TableBlock) -> int:
-        """Live-rank of the first row of the trailing partition (rows
-        ordered by partition keys; mask-aware, dictionary codes are
+        """Live-rank of the first row of the trailing group (rows
+        ordered by the group keys; mask-aware, dictionary codes are
         consistent within one block)."""
         mask = np.asarray(chunk.row_mask)
         live_idx = np.flatnonzero(mask)
@@ -460,7 +507,6 @@ def _window_staged(node: PN.Window, s) -> StagedTable:
                 same &= va == va[-1]
         return len(live_idx) - int(same.sum())
 
-    out: List[bytes] = []
     carry: Optional[TableBlock] = None
     n_parts = sorted_runs.num_partitions
     for i in range(n_parts):
@@ -472,24 +518,41 @@ def _window_staged(node: PN.Window, s) -> StagedTable:
         if live == 0:
             continue
         if i == n_parts - 1 or not part:
-            done = run_window(chunk)
-            if bool(np.asarray(done.row_mask).any()):
-                out.append(serialize_block(done))
+            yield chunk
             continue
         start = trailing_run(chunk)
         if start == 0:
-            # a single partition spans the whole chunk: carry it whole
+            # a single group spans the whole chunk: carry it whole
             # (compacted so the next concat stays live-dense)
             carry = deserialize_block(serialize_block(chunk))
             continue
         finished = head_limit(chunk, start, 0)
         carry = deserialize_block(serialize_block(
             head_limit(chunk, live - start, start)))
-        done = run_window(finished)
-        if bool(np.asarray(done.row_mask).any()):
-            out.append(serialize_block(done))
+        yield finished
     if carry is not None:
-        done = run_window(carry)
+        yield carry
+
+
+def _window_staged(node: PN.Window, s) -> StagedTable:
+    """Window over host-staged input with bounded HBM: sort_staged
+    provides the global (partition_by, order_by) order, then
+    _group_aligned_chunks guarantees window_block only ever sees whole
+    partitions."""
+    from auron_tpu.ops.external_sort import sort_staged
+    from auron_tpu.ops.sort import SortKey
+    from auron_tpu.ops.window import window_block
+
+    child = _exec(node.child, s)
+    part = list(node.partition_by)
+    keys = [SortKey(p) for p in part] + list(node.order_by)
+    sorted_runs = sort_staged(child, keys,
+                              getattr(s, "memory_budget", None))
+    out: List[bytes] = []
+    for chunk in _group_aligned_chunks(sorted_runs, part):
+        done = window_block(chunk, part, list(node.order_by),
+                            list(node.funcs), node.group_limit,
+                            node.output_window_cols)
         if bool(np.asarray(done.row_mask).any()):
             out.append(serialize_block(done))
     return StagedTable(out)

@@ -160,11 +160,14 @@ def test_staged_keyless_agg(sess):
 
 def test_unsupported_shape_falls_back(sess):
     """Plans outside the streamable surface run in-HBM even over budget
-    (can_stage is honest; no wrong answers, no crash)."""
+    (can_stage is honest; no wrong answers, no crash). Generate (explode)
+    is not stageable; keyed 'first' now stages via group alignment."""
     s, fact, dim = sess
-    f = (s.table("fact")
-         .groupby("d").agg(fv=("first", col("v"))))  # 'first' unsupported
-    assert not ST.should_stage(f.plan, s)
+    from auron_tpu.plan import nodes as PN
+    f = s.table("fact").groupby("d").agg(fv=("first", col("v")))
+    assert ST.should_stage(f.plan, s)  # group-aligned path covers it
+    gen = PN.Generate(f.plan, column="fv")
+    assert not ST.can_stage(gen, s)
     got = f.collect()
     assert len(got) == fact["d"].nunique()
 
@@ -380,3 +383,36 @@ def test_staged_rollup_flagship_q67_shape():
     got = frame.collect()
     assert s.metrics["planner"]["staged_executor"] >= 1
     assert frames_match(got, oracle(tables))
+
+
+def test_staged_group_aligned_udaf_collect_first(sess):
+    """Non-mergeable agg kinds (first / collect_set / host UDAF /
+    multi-distinct) stage via group-aligned chunking — the reference's
+    UDAF accumulator spill analog (SparkUDAFWrapperContext.scala:
+    174-235): whole groups re-materialize from the sorted host stream."""
+    s, fact, dim = sess
+    from auron_tpu.plan import nodes as PN
+    from auron_tpu.dtypes import FLOAT64
+    scan = s.table("fact").plan
+    calls = (PN.AggCall("fv", "first", col("v")),
+             PN.AggCall("med", "py_udaf", col("v"),
+                        fn=lambda a: float(np.median(a)),
+                        udaf_dtype=FLOAT64),
+             PN.AggCall("n1", "count_distinct", col("k")),
+             PN.AggCall("n2", "count_distinct", col("v")))
+    agg = PN.Agg(child=scan, keys=(("d", col("d")),), calls=calls,
+                 mode="single")
+    assert ST.can_stage(agg, s)
+    assert not ST._agg_mergeable(agg)  # two distinct exprs + udaf
+    got = ST.collect_staged(agg, s).sort_values("d") \
+        .reset_index(drop=True)
+    want = (fact.groupby("d")
+            .agg(med=("v", "median"), n1=("k", "nunique"),
+                 n2=("v", "nunique"))
+            .reset_index().sort_values("d").reset_index(drop=True))
+    assert (got["d"].values == want["d"].values).all()
+    assert np.allclose(got["med"], want["med"], rtol=1e-9)
+    assert (got["n1"].values == want["n1"].values).all()
+    assert (got["n2"].values == want["n2"].values).all()
+    # 'first' is order-dependent: just require a real value per group
+    assert got["fv"].notna().all()
