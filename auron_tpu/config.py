@@ -293,6 +293,15 @@ METRICS_ENABLE = ConfigOption(
     "auron.metrics.enable", True, bool,
     "Collect per-operator metrics (rows, bytes, wall time in eager mode).")
 
+METRICS_SYNC_EAGER = ConfigOption(
+    "auron.metrics.sync.eager", False, bool,
+    "Per-op roofline mode: in eager execution on async backends (TPU "
+    "tunnel), force device completion after every plan node so recorded "
+    "per-node times are true device times (each also pays one tunnel "
+    "round-trip — reports subtract/annotate it). The measured analog of "
+    "the reference's per-operator elapsed_compute metrics "
+    "(auron/src/metrics.rs:9-45).")
+
 EXTERNAL_EXEC_ENABLE = ConfigOption(
     "auron.exec.external.enable", True, bool,
     "Planner-integrated out-of-core execution: when a session has a "

@@ -333,6 +333,18 @@ def execute_plan(plan: PN.PlanNode, session: Session,
         _EXEC_TLS.shared = outer_shared
 
 
+def _sync_blocks(blocks) -> None:
+    """Force device completion of every block's buffers via one scalar
+    host transfer (block_until_ready does not wait on the axon tunnel —
+    CLAUDE.md gotcha; a value transfer does)."""
+    import jax.numpy as jnp
+    acc = 0.0
+    for b in blocks:
+        for c in b.columns.values():
+            acc = acc + jnp.sum(c.values.ravel()[:1].astype(jnp.float32))
+    float(acc)
+
+
 _SYNC_BACKEND: Optional[bool] = None
 
 
@@ -368,7 +380,14 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         # measures DISPATCH, not device work — label it honestly so a
         # reader never mistakes 50-160 ms of tunnel latency for compute
         # (round-2 verdict weak #5)
-        tkey = "wall_s" if _sync_backend() else "dispatch_s"
+        synced = _sync_backend()
+        if not synced and s.conf.get(config.METRICS_SYNC_EAGER):
+            # per-op roofline mode: force device completion via a scalar
+            # host transfer so the recorded time IS the op's device time
+            # (plus one ~50-160ms tunnel hop per node, noted in reports)
+            _sync_blocks(out)
+            synced = True
+        tkey = "wall_s" if synced else "dispatch_s"
         m[tkey] = m.get(tkey, 0.0) + (time.perf_counter() - t0)
         m["partitions"] = len(out)
         # under whole-plan jit the wall time above is trace time; the

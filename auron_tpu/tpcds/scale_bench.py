@@ -195,6 +195,12 @@ EAGER_QUERIES: set = set()
 # evidence at the same time).
 STAGED_QUERIES: set = {"q67"}
 
+# Per-query staged budget: smaller budget -> smaller per-chunk programs.
+# The remote compile service degrades to minutes/program when congested
+# (measured 23:24 r05: a 2048^2 matmul compile took 66s); 23M-row chunk
+# programs (12GB default budget) queued behind that starve the run.
+STAGED_BUDGET = {"q67": 2 << 30}
+
 
 def cmd_profile(qname: str, sf: float) -> dict:
     """Measured per-op roofline for one query on the live device
@@ -217,6 +223,46 @@ def cmd_profile(qname: str, sf: float) -> dict:
                                   bytes_touched=total_bytes)
     rep["query"] = qname
     rep["sf"] = sf
+
+    # Per-op MEASURED table via sync-eager execution (the axon tunnel's
+    # profiler traces carry no device plane, so fusion-level attribution
+    # is unavailable there — this is the per-operator elapsed_compute
+    # analog, auron/src/metrics.rs:9-45). Each node's wall includes ONE
+    # tunnel round-trip; the measured hop is reported and subtracted.
+    import time as _t
+
+    import jax.numpy as _jnp
+    from auron_tpu import config as _c
+
+    hops = []
+    for _ in range(5):
+        t0 = _t.perf_counter()
+        float(_jnp.sum(_jnp.ones(8)))
+        hops.append(_t.perf_counter() - t0)
+    hop = sorted(hops)[len(hops) // 2]
+    with _c.conf.scoped(**{"auron.metrics.sync.eager": True}):
+        s2 = make_session_pruned(tables, [qname], num_partitions=1)
+        frame2 = QUERIES[qname][0](s2)
+        t0 = _t.perf_counter()
+        frame2.collect(jit=False)
+        eager_wall = _t.perf_counter() - t0
+    ops = []
+    for key, m_ in s2.metrics.items():
+        if not isinstance(m_, dict) or "wall_s" not in m_:
+            continue
+        calls = m_.get("calls", 1)
+        row = {"op": key.split("@")[0], "key": key,
+               "wall_s": round(m_["wall_s"], 4),
+               "device_s_est": round(max(m_["wall_s"] - hop * calls, 0.0),
+                                     4),
+               "calls": calls}
+        if "rows_out" in m_:
+            row["rows_out"] = m_["rows_out"]
+        ops.append(row)
+    ops.sort(key=lambda r: -r["wall_s"])
+    rep["ops_eager"] = ops
+    rep["eager_wall_s"] = round(eager_wall, 2)
+    rep["tunnel_hop_s"] = round(hop, 4)
     print(_json.dumps(rep), flush=True)
     return rep
 
@@ -257,6 +303,8 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
             cmd.append("--eager")
         if q in STAGED_QUERIES:
             cmd.append("--staged")
+            if q in STAGED_BUDGET:
+                cmd += ["--budget-bytes", str(STAGED_BUDGET[q])]
         try:
             p = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=timeout_s)
