@@ -312,6 +312,29 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
                          if ln.startswith("{")), None)
             if line:
                 results.append(json.loads(line))
+            elif ("tpu_compile_helper" in p.stderr or
+                  "remote_compile" in p.stderr) and q not in STAGED_QUERIES:
+                # whole-plan program killed the remote compile service
+                # (q67's failure class) — degrade to the staged executor:
+                # per-chunk programs, same differential bar
+                print(f"  {q}: whole-plan compile died; retrying staged",
+                      file=sys.stderr)
+                cmd2 = cmd + ["--staged", "--budget-bytes",
+                              str(STAGED_BUDGET.get(q, 2 << 30))]
+                p2 = subprocess.run(cmd2, capture_output=True, text=True,
+                                    timeout=timeout_s)
+                line2 = next((ln for ln in p2.stdout.splitlines()
+                              if ln.startswith("{")), None)
+                if line2:
+                    row = json.loads(line2)
+                    row["retried_staged"] = True
+                    results.append(row)
+                else:
+                    results.append({"query": q, "error": "no-output",
+                                    "rc": p2.returncode,
+                                    "retried_staged": True,
+                                    "infra": "Traceback" not in p2.stderr,
+                                    "tail": _failure_tail(p2.stderr)})
             else:
                 results.append({"query": q, "error": "no-output",
                                 "rc": p.returncode,
