@@ -40,7 +40,19 @@ def use_mxu_segments(num_segments: int, rows: int) -> bool:
             and rows >= (1 << 15))
 
 
-SUBBLOCKS = 16  # sub-blocks per scan step (fewer steps, same exactness)
+SUBBLOCKS = 16  # minimum sub-blocks per scan step
+
+# Per-step one-hot budget: S (sub-blocks per step) scales so the
+# [S, blk, d] one-hot intermediate stays within this many bytes. The
+# scan is SEQUENTIAL — with the old fixed S=16 a 50M-row aggregation at
+# blk=256 ran 12,200 latency-bound steps, a measured ~6s floor that
+# dominated q3/q42/q55 whole-query compute at sf=500 (BENCH_SCALE_r05:
+# all three pinned at 6.0-6.1s despite different shapes). Small segment
+# counts (the common case: brands ~1k, categories ~11) now take
+# thousands of sub-blocks per step; the worst case d=8192 still gets
+# S=32. Exactness is untouched: the f32 bound is per-SUB-BLOCK (blk
+# rows), and the per-step reduction over S sub-block sums is pairwise.
+ONEHOT_STEP_BYTES = 256 << 20
 
 
 def _scan_dot(planes, gid, d: int, blk: int):
@@ -57,7 +69,8 @@ def _scan_dot(planes, gid, d: int, blk: int):
     """
     n = planes[0].shape[0]
     k = len(planes)
-    S = SUBBLOCKS
+    S = max(SUBBLOCKS, ONEHOT_STEP_BYTES // max(blk * d * 4, 1))
+    S = min(S, max((n + blk - 1) // blk, 1), 1 << 16)
     step = blk * S
     pad = (-n) % step
     if pad:
