@@ -485,7 +485,8 @@ def groupby_sorted(block: TableBlock, key_names: Sequence[str],
     acc = segment_aggregate(gid, cap, live_sorted, aggs_sorted,
                             sorted_order=True)
     # group representative rows: positions of boundaries, compacted
-    positions = jnp.nonzero(boundary, size=cap, fill_value=0)[0]
+    from auron_tpu.ops.selection import first_live_indices
+    positions = first_live_indices(boundary, cap)
     out_cols: Dict[str, Column] = {}
     for name in key_names:
         c = block.columns[name]

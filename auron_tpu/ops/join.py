@@ -269,7 +269,8 @@ def _run_starts(offsets_at: jnp.ndarray, eff: jnp.ndarray,
     start_idx = jnp.where(has, offsets_at, out_cap).astype(jnp.int32)
     marks = jnp.zeros(out_cap, jnp.int32).at[start_idx].add(1, mode="drop")
     owner_rank = jnp.cumsum(marks) - 1  # rank among eff>0 rows
-    rows_with = jnp.nonzero(has, size=probe_cap, fill_value=0)[0]
+    from auron_tpu.ops.selection import first_live_indices
+    rows_with = first_live_indices(has, probe_cap)
     owner = jnp.take(rows_with, jnp.clip(owner_rank, 0, probe_cap - 1))
     j = jnp.arange(out_cap, dtype=offsets_at.dtype)
     live = (j < total) & (owner_rank >= 0)

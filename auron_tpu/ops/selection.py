@@ -20,7 +20,7 @@ from auron_tpu.block import Column, TableBlock
 def compaction_indices(mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Indices of live rows, padded to capacity; returns (indices, count)."""
     cap = mask.shape[0]
-    idx = jnp.nonzero(mask, size=cap, fill_value=0)[0]
+    idx = first_live_indices(mask, cap)
     n = jnp.sum(mask.astype(jnp.int32))
     return idx, n
 
@@ -181,9 +181,25 @@ def shrink_block(block: TableBlock, new_capacity: int) -> TableBlock:
     from auron_tpu.runtime import overflow as OV
     n = jnp.sum(block.row_mask.astype(jnp.int32))
     OV.record("shrink", n, new_capacity)
-    idx = jnp.nonzero(block.row_mask, size=new_capacity, fill_value=0)[0]
+    idx = first_live_indices(block.row_mask, new_capacity)
     new_mask = jnp.arange(new_capacity) < n
     return take_block(block, idx, new_mask)
+
+
+def first_live_indices(mask: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Positions of the first ``k`` live rows, ascending (fill = anything
+    past the live count — callers mask by the live total).
+
+    Replaces ``jnp.nonzero(mask, size=k)``: measured on the v5e, XLA's
+    sized-nonzero inside a large fused program cost 4.5s at 50M rows
+    (q55's shrink dominated the whole query, BENCH_NOTES r05) where a
+    single-operand sort of position-or-sentinel keys runs in 0.17s and
+    is equal element-for-element."""
+    import jax
+    cap = mask.shape[0]
+    src = jnp.arange(cap, dtype=jnp.int32)
+    keys = jnp.where(mask, src, jnp.int32(2 ** 31 - 1))
+    return jnp.minimum(jax.lax.sort(keys)[:k], cap - 1)
 
 
 def head_limit(block: TableBlock, limit: int, offset: int = 0) -> TableBlock:

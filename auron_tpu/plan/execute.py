@@ -366,6 +366,8 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         hit = memo.get(id(node))
         if hit is not None:
             return hit
+    parent_child_acc = getattr(_EXEC_TLS, "child_acc", 0.0)
+    _EXEC_TLS.child_acc = 0.0  # accumulates THIS node's children walls
     t0 = time.perf_counter()
     out = _dispatch(node, s)
     s.cancel_token.check()  # a kill during this subtree surfaces here
@@ -387,8 +389,18 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
             # (plus one ~50-160ms tunnel hop per node, noted in reports)
             _sync_blocks(out)
             synced = True
+        elapsed = time.perf_counter() - t0
         tkey = "wall_s" if synced else "dispatch_s"
-        m[tkey] = m.get(tkey, 0.0) + (time.perf_counter() - t0)
+        m[tkey] = m.get(tkey, 0.0) + elapsed
+        # EXCLUSIVE self time: walls are inclusive of children (operators
+        # recurse into _exec inside _dispatch) — subtract the children's
+        # walls accumulated during this frame (memo hits contribute 0,
+        # correctly: the first execution already credited its parent)
+        m["self_s"] = m.get("self_s", 0.0) + max(
+            elapsed - _EXEC_TLS.child_acc, 0.0)
+        _EXEC_TLS.child_acc = parent_child_acc + elapsed
+    else:
+        _EXEC_TLS.child_acc = parent_child_acc
         m["partitions"] = len(out)
         # under whole-plan jit the wall time above is trace time; the
         # traced rows_out counters ride the program outputs instead

@@ -57,22 +57,31 @@ def measured_peak_bps(refresh: bool = False) -> float:
     # CPU CI pays ~tens of ms
     n = (1 << 26) if backend == "tpu" else (1 << 23)  # 256MB / 32MB f32
 
+    # the triad LOOPS INSIDE one jitted program: a per-dispatch triad
+    # through the axon tunnel measures the ~25ms dispatch hop, not
+    # bandwidth (measured r05: per-dispatch said 31.7 GB/s where the
+    # in-jit loop measures 377 GB/s on the same chip)
+    ITERS = 20
+
     @jax.jit
-    def triad(b, c):
-        return b + 0.5 * c
+    def triad_loop(b, c):
+        def body(_, a):
+            return a + b + 0.5 * c  # read a,b,c + write a = 4 arrays
+        return jax.lax.fori_loop(0, ITERS, body,
+                                 jnp.zeros(n, jnp.float32))
 
     key_b = jnp.arange(n, dtype=jnp.float32)
     key_c = jnp.ones((n,), jnp.float32)
-    a = triad(key_b, key_c)
+    a = triad_loop(key_b, key_c)
     _sync(a)  # compile + warm
     ts = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
-        a = triad(key_b, key_c)
+        a = triad_loop(key_b, key_c)
         _sync(a)
         ts.append(time.perf_counter() - t0)
     best = min(ts)  # min filters dispatch jitter; bandwidth is a ceiling
-    bps = 3.0 * n * 4 / best if best > 0 else 1e9
+    bps = ITERS * 4.0 * n * 4 / best if best > 0 else 1e9
     _MEASURED[backend] = bps
     return bps
 

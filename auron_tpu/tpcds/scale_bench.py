@@ -243,23 +243,29 @@ def cmd_profile(qname: str, sf: float) -> dict:
     with _c.conf.scoped(**{"auron.metrics.sync.eager": True}):
         s2 = make_session_pruned(tables, [qname], num_partitions=1)
         frame2 = QUERIES[qname][0](s2)
+        frame2.collect(jit=False)   # warm: per-op jit compiles happen here
+        s2.metrics.clear()          # measure the SECOND (warm) pass only
         t0 = _t.perf_counter()
         frame2.collect(jit=False)
         eager_wall = _t.perf_counter() - t0
+    # per-node metrics carry EXCLUSIVE self-times (plan/execute.py
+    # computes them at runtime via a child-wall accumulator)
     ops = []
     for key, m_ in s2.metrics.items():
         if not isinstance(m_, dict) or "wall_s" not in m_:
             continue
         calls = m_.get("calls", 1)
+        self_s = m_.get("self_s", m_["wall_s"])
         row = {"op": key.split("@")[0], "key": key,
-               "wall_s": round(m_["wall_s"], 4),
-               "device_s_est": round(max(m_["wall_s"] - hop * calls, 0.0),
-                                     4),
+               "self_s": round(self_s, 4),
+               "self_device_s_est": round(
+                   max(self_s - hop * calls, 0.0), 4),
+               "inclusive_s": round(m_["wall_s"], 4),
                "calls": calls}
         if "rows_out" in m_:
             row["rows_out"] = m_["rows_out"]
         ops.append(row)
-    ops.sort(key=lambda r: -r["wall_s"])
+    ops.sort(key=lambda r: -r["self_s"])
     rep["ops_eager"] = ops
     rep["eager_wall_s"] = round(eager_wall, 2)
     rep["tunnel_hop_s"] = round(hop, 4)
