@@ -521,6 +521,17 @@ OPT_ROLLUP_REAGG = ConfigOption(
     "when every aggregate has an exact partial/final protocol "
     "(sum/min/max/count/avg/stddev).")
 
+OPT_DIM_INTERVAL = ConfigOption(
+    "auron.optimizer.dim.interval.prune", True, bool,
+    "Dynamic-partition-pruning analog (Spark DPP): an inner broadcast "
+    "join against a small FILTERED dimension is host-evaluated at plan "
+    "time; when the surviving unique integer join keys form a few "
+    "contiguous runs and every other surviving dimension column is "
+    "constant, the join rewrites to range predicates on the fact key "
+    "plus literal injection (plan/rewrite.py prune_interval_dims). A "
+    "one-month date_dim filter then costs two compares per fact row "
+    "instead of a 50M-index gather probe.")
+
 # Global default session configuration.
 conf = AuronConf()
 

@@ -399,14 +399,14 @@ def _exec(node: PN.PlanNode, s: Session) -> List[TableBlock]:
         m["self_s"] = m.get("self_s", 0.0) + max(
             elapsed - _EXEC_TLS.child_acc, 0.0)
         _EXEC_TLS.child_acc = parent_child_acc + elapsed
-    else:
-        _EXEC_TLS.child_acc = parent_child_acc
         m["partitions"] = len(out)
         # under whole-plan jit the wall time above is trace time; the
         # traced rows_out counters ride the program outputs instead
         # (runtime/metrics.py collect_op_counters)
         from auron_tpu.runtime.metrics import record_op_rows
         record_op_rows(key, out)
+    else:
+        _EXEC_TLS.child_acc = parent_child_acc
     return out
 
 

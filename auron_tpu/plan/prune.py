@@ -135,7 +135,12 @@ def prune_plan(plan: PN.PlanNode, session) -> PN.PlanNode:
         _PRUNE_MEMO, _USE_UNION = {}, _NEED_UNION
         _NEED_UNION, _PRUNED_NEEDED = None, {}
         pruned = _prune(plan, needed, session)
-        return reorder_inner_joins(pruned, session,
+        reordered = reorder_inner_joins(pruned, session,
+                                        needed_above=_PRUNED_NEEDED)
+        # DPP analog last: interval dimensions need the PRUNED column
+        # set (the eliminated join may only emit the key + constants)
+        from auron_tpu.plan.rewrite import prune_interval_dims
+        return prune_interval_dims(reordered, session,
                                    needed_above=_PRUNED_NEEDED)
     finally:
         _PRUNE_MEMO, _NEED_UNION, _USE_UNION, _PRUNED_NEEDED = \

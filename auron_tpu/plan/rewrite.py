@@ -120,13 +120,12 @@ def _scan_chain_table(node) -> Tuple[Optional[str], bool]:
             return None, has_filter
 
 
-def _host_live_count(node, table: str, session) -> Optional[int]:
+def _host_exec(node, table: str, session):
     """Execute a small scan-chain build side once on the host CPU and
-    return its live-row count. Table blocks are copied host-side once per
+    return its output blocks. Table blocks are copied host-side once per
     session (dimension tables — the probe-rows bound keeps facts out)."""
     try:
         import jax
-        import numpy as np
         from auron_tpu.plan.execute import Session, execute_plan
         cache = getattr(session, "_reorder_host_tables", None)
         if cache is None:
@@ -138,12 +137,18 @@ def _host_live_count(node, table: str, session) -> Optional[int]:
             cache[table] = blocks
         s2 = Session(getattr(session, "conf", None))
         s2.register(table, blocks)
-        import jax as _jax
-        with _jax.default_device(_jax.devices("cpu")[0]):
-            out = execute_plan(node, s2, annotate=False)
-        return sum(int(np.asarray(b.row_mask).sum()) for b in out)
+        with jax.default_device(jax.devices("cpu")[0]):
+            return execute_plan(node, s2, annotate=False)
     except Exception:
         return None
+
+
+def _host_live_count(node, table: str, session) -> Optional[int]:
+    import numpy as np
+    out = _host_exec(node, table, session)
+    if out is None:
+        return None
+    return sum(int(np.asarray(b.row_mask).sum()) for b in out)
 
 
 def _build_score(st: PN.Join, session) -> float:
@@ -545,5 +550,196 @@ def reassociate_left_joins(plan: PN.PlanNode, session) -> PN.PlanNode:
         out = new if new is not None else node2
         memo[id(node)] = out
         return out
+
+    return walk(plan)
+
+
+# ---------------------------------------------------------------------------
+# Dimension-interval elimination — the Dynamic Partition Pruning analog.
+#
+# Spark's DPP (inherited by the reference through the plans it consumes)
+# evaluates a dimension filter first and prunes fact partitions by the
+# surviving join keys. The TPU-native generalization: host-evaluate the
+# tiny filtered dimension at PLAN time (the same machinery that measures
+# join selectivity); when its surviving unique integer keys form a few
+# contiguous runs — one month of a sequential date_dim is ONE run — and
+# every other surviving dimension column is constant over the survivors
+# (d_year under `d_year = 1999`), the join itself disappears: the fact
+# side gets range predicates (two compares per row) plus literal
+# injection of the constants, and the dimension's key column rides along
+# as an alias of the fact key. A 50M-row probe gather (~0.5s measured —
+# the per-index gather floor) becomes a fused ~ms filter.
+# ---------------------------------------------------------------------------
+
+_MAX_KEY_RUNS = 64
+
+
+def _try_interval_dim(j: PN.Join, session,
+                      needed: Optional[set] = None
+                      ) -> Optional[PN.PlanNode]:
+    import numpy as np
+
+    from auron_tpu import config as C
+    if (j.join_type != "inner" or j.build != "right"
+            or j.condition is not None or j.null_aware
+            or j.strategy != "broadcast" or len(j.right_keys) != 1):
+        return None
+    key = j.right_keys[0]
+    table, has_filter = _scan_chain_table(j.right)
+    if table is None or not has_filter \
+            or table not in getattr(session, "tables", {}):
+        return None
+    try:
+        cap = sum(int(b.row_mask.shape[0]) for b in session.tables[table])
+    except Exception:
+        return None
+    if cap > int(C.conf.get(C.OPT_REORDER_PROBE_ROWS)):
+        return None
+    blocks = _host_exec(j.right, table, session)
+    if not blocks:
+        return None
+
+    key_vals: list = []
+    consts: dict = {}      # name -> (value, dtype, dict_decoded)
+    first = True
+    for b in blocks:
+        mask = np.asarray(b.row_mask)
+        if key not in b.columns:
+            return None
+        kc = b.columns[key]
+        if not kc.dtype.is_integer or np.asarray(kc.values).ndim != 1:
+            return None
+        kvalid = mask if kc.validity is None else \
+            (mask & np.asarray(kc.validity))
+        key_vals.append(np.asarray(kc.values)[kvalid])
+        sel = np.asarray(b.row_mask)
+        for name, c in b.columns.items():
+            if name == key:
+                continue
+            if needed is not None and name not in needed:
+                continue  # filter-only input (e.g. d_year under the
+                          # dim predicate): never emitted above the join
+            v = np.asarray(c.values)
+            if v.ndim != 1:
+                return None   # raw-string planes etc.: bail
+            v = v[sel]
+            valid = np.ones(len(v), bool) if c.validity is None else \
+                np.asarray(c.validity)[sel]
+            if len(v) and not valid.all():
+                return None   # NULL constants: not worth the edge cases
+            if c.dict_values is not None:
+                vals = [c.dict_values[int(x)]
+                        if 0 <= int(x) < len(c.dict_values) else None
+                        for x in v]
+                uniq = set(vals)
+            else:
+                uniq = set(np.unique(v).tolist())
+            prev = consts.get(name)
+            if prev is not None:
+                uniq |= prev[0]
+            if len(uniq) > 1:
+                return None   # non-constant dimension column survives
+            consts[name] = (uniq, c.dtype)
+        first = False
+    ks = np.concatenate(key_vals) if key_vals else np.zeros(0, np.int64)
+    ks = np.unique(ks)  # sorted; duplicates would mean probe expansion
+    total = sum(len(x) for x in key_vals)
+    if len(ks) != total:
+        return None  # non-unique build keys: the join duplicates rows
+    from auron_tpu.expr.nodes import col as _col, lit as _lit
+    lk = j.left_keys[0]
+    if len(ks) == 0:
+        pred = _lit(False)
+    else:
+        splits = np.flatnonzero(np.diff(ks) != 1)
+        starts = np.concatenate([[0], splits + 1])
+        ends = np.concatenate([splits, [len(ks) - 1]])
+        if len(starts) > _MAX_KEY_RUNS:
+            return None
+        terms = []
+        for s0, e0 in zip(starts, ends):
+            lo, hi = int(ks[s0]), int(ks[e0])
+            if lo == hi:
+                terms.append(_col(lk) == _lit(lo))
+            else:
+                terms.append((_col(lk) >= _lit(lo)) &
+                             (_col(lk) <= _lit(hi)))
+        pred = terms[0]
+        for t in terms[1:]:
+            pred = pred | t
+
+    from auron_tpu.plan.prune import output_names
+    try:
+        left_names = list(output_names(j.left, session))
+    except Exception:
+        return None
+    right_names = list(blocks[0].names)
+    if set(left_names) & set(right_names):
+        return None
+    if needed is not None:
+        # only the dimension columns consumed ABOVE the join must be
+        # constant/emitted — the filter's own inputs (d_year under
+        # `d_year = 1999 OR d_year = 2001`) are not outputs
+        right_names = [n for n in right_names if n in needed]
+    exprs = [(n, _col(n)) for n in left_names]
+    for name in right_names:
+        if name == key:
+            kdt = blocks[0].columns[key].dtype
+            exprs.append((name, _col(lk).cast(kdt)))
+            continue
+        uniq, dt = consts[name]
+        if len(uniq) == 0:
+            # dimension matched zero rows: value never observable
+            # (pred is False) — emit a typed zero-value literal
+            val = "" if dt.is_string else 0
+        else:
+            val = next(iter(uniq))
+        if val is None:
+            return None
+        if dt.is_string:
+            exprs.append((name, _lit(str(val))))
+        else:
+            exprs.append((name, _lit(np.asarray(val).item(), dtype=dt)))
+    return PN.Project(PN.Filter(j.left, pred), tuple(exprs))
+
+
+def prune_interval_dims(plan: PN.PlanNode, session,
+                        needed_above: Optional[Dict] = None
+                        ) -> PN.PlanNode:
+    from auron_tpu import config as C
+    if not C.conf.get(C.OPT_DIM_INTERVAL):
+        return plan
+    memo: dict = {}
+    na = needed_above or {}
+
+    def walk(node):
+        if not isinstance(node, PN.PlanNode):
+            return node
+        hit = memo.get(id(node))
+        if hit is not None:
+            return hit
+        src = node
+        changes = {}
+        for f in dataclasses.fields(node):
+            v = getattr(node, f.name)
+            if isinstance(v, PN.PlanNode):
+                nv = walk(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            elif isinstance(v, tuple) and v and \
+                    all(isinstance(x, PN.PlanNode) for x in v):
+                nv = tuple(walk(x) for x in v)
+                if any(a is not b for a, b in zip(nv, v)):
+                    changes[f.name] = nv
+        if changes:
+            node = dataclasses.replace(node, **changes)
+            if id(src) in na:
+                na[id(node)] = na[id(src)]
+        if isinstance(node, PN.Join):
+            new = _try_interval_dim(node, session, na.get(id(node)))
+            if new is not None:
+                node = new
+        memo[id(src)] = node
+        return node
 
     return walk(plan)

@@ -99,13 +99,20 @@ def query_table_columns(names: List[str], tables: Dict[str, pd.DataFrame]
     from auron_tpu.plan import nodes as PN
     from auron_tpu.plan.prune import prune_plan
 
+    from auron_tpu import config as _cfg
     stub = Session()
     for t, df in tables.items():
         stub.register_pandas(t, df.iloc[:1])
     out: Dict[str, Optional[set]] = {}
     for qname in names:
         build, _ = QUERIES[qname]
-        plan = prune_plan(build(stub).plan, stub)
+        # interval-dim elimination is DATA-driven (it bakes the filtered
+        # dim's key runs into the plan) — on this 1-row stub it would
+        # eliminate dims that the real data keeps, hiding their tables
+        # from the column-pruning answer entirely (q16/q95 crash, r05)
+        with _cfg.conf.scoped(
+                **{"auron.optimizer.dim.interval.prune": False}):
+            plan = prune_plan(build(stub).plan, stub)
         seen = set()
 
         def walk(n):

@@ -370,10 +370,14 @@ def test_shared_subtree_pruned_once_with_union_of_needs():
     assert sorted(c.name for c in aggs[0].calls) == ["sx", "sy"]
 
 
-def test_prepass_roots_skips_rollup_agg():
+def test_prepass_roots_skips_rollup_agg(monkeypatch):
     """The calibration prepass must execute joins/filters but NOT the
     rollup aggregation above them (q67-class: a 50M-row host aggregation
-    recorded nothing)."""
+    recorded nothing). Interval-dim elimination is disabled so the join
+    survives as the measured root (its own test is below)."""
+    from auron_tpu import config as _c
+    monkeypatch.setitem(_c.conf._overrides,
+                        "auron.optimizer.dim.interval.prune", False)
     from auron_tpu.runtime.calibrate import prepass_roots
     s = Session()
     fact, dates, items, other = _star_tables(s)
@@ -463,3 +467,54 @@ def test_reorder_anti_join_stays_exact():
                       left_on="f_date", right_on="d_sk")
     got = f.collect()
     assert sorted_rows(got[want.columns.tolist()]) == sorted_rows(want)
+
+
+def test_interval_dim_elimination_matches_join():
+    """The DPP analog: an inner broadcast join against a filtered
+    sequential dimension whose surviving keys are one contiguous run and
+    whose other surviving columns are constant rewrites to a range
+    predicate + literal injection — same rows, no join."""
+    from auron_tpu import config as _c
+    from auron_tpu.plan.prune import prune_plan
+    from auron_tpu.plan.rewrite import prune_interval_dims
+    s = Session()
+    fact, dates, items, other = _star_tables(s)
+    f = (table(s, "fact")
+         .join(table(s, "dates").filter(col("d_year") == lit(3)),
+               ("f_date",), ("d_sk",))
+         .groupby("d_year").agg(t=("sum", col("f_v")),
+                                n=("count_star", None)))
+    pruned = prune_plan(f.plan, s)
+    txt = pruned.pretty() if hasattr(pruned, "pretty") else repr(pruned)
+    assert "Join" not in txt, "dimension join should be eliminated"
+    got = f.collect().reset_index(drop=True)
+    w = fact.merge(dates[dates.d_year == 3], left_on="f_date",
+                   right_on="d_sk")
+    want = w.groupby("d_year").agg(t=("f_v", "sum"),
+                                   n=("f_v", "size")).reset_index()
+    assert (got["n"].values == want["n"].values).all()
+    assert np.allclose(got["t"], want["t"], rtol=1e-9)
+    assert (got["d_year"].values == want["d_year"].values).all()
+    # non-contiguous key sets split into runs (d_year in {1, 3})
+    f2 = (table(s, "fact")
+          .join(table(s, "dates").filter((col("d_year") == lit(1)) |
+                                         (col("d_year") == lit(3))),
+                ("f_date",), ("d_sk",))
+          .groupby().agg(n=("count_star", None)))
+    assert "Join" not in repr(prune_plan(f2.plan, s))
+    got2 = int(f2.collect()["n"][0])
+    want2 = len(fact[((fact.f_date // 100) == 1) |
+                     ((fact.f_date // 100) == 3)])
+    assert got2 == want2
+    # a NON-constant surviving dim column blocks the rewrite
+    f3 = (table(s, "fact")
+          .join(table(s, "dates").filter(col("d_sk") < lit(250)),
+                ("f_date",), ("d_sk",))
+          .groupby("d_year").agg(n=("count_star", None)))
+    assert "Join" in repr(prune_plan(f3.plan, s))
+    got3 = f3.collect().sort_values("d_year").reset_index(drop=True)
+    w3 = fact.merge(dates[dates.d_sk < 250], left_on="f_date",
+                    right_on="d_sk")
+    want3 = w3.groupby("d_year").size().reset_index(name="n") \
+        .sort_values("d_year").reset_index(drop=True)
+    assert (got3["n"].values == want3["n"].values).all()
