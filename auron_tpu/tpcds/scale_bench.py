@@ -371,6 +371,14 @@ def cmd_all(sf: float, queries, out_path: str, timeout_s: int = 2400,
 
 
 def main() -> None:
+    # AURON_BENCH_PLATFORM=cpu forces a CPU run for harness debugging:
+    # the JAX_PLATFORMS env var is snapshotted before user code runs
+    # (sitecustomize imports jax at interpreter start), so only
+    # jax.config.update can actually steer the backend here.
+    plat = os.environ.get("AURON_BENCH_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
     g = sub.add_parser("gen")
